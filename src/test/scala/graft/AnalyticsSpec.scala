@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.Analytics
+
+class AnalyticsSpec extends SparkSpec {
+
+  test("q1 groups by returnflag+linestatus and aggregates") {
+    val rows = Analytics.q1(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val schema = rows.head.schema.fieldNames.toSet
+    assert(schema.contains("sum_qty") && schema.contains("count_order"))
+    assert(rows.map(_.getAs[Long]("count_order")).sum <= 6000)
+  }
+
+  test("q3 returns top-10 by revenue desc") {
+    val rows = Analytics.q3(spark, sf).collect()
+    assert(rows.length <= 10)
+    val revs = rows.map(_.getAs[Double]("revenue"))
+    assert(revs.sameElements(revs.sortBy(-_)))
+  }
+
+  test("q5 broadcast joins dims and aggregates per nation") {
+    val plan = Analytics.q5(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in plan:\n$plan")
+    assert(Analytics.q5(spark, sf).collect().nonEmpty)
+  }
+
+  test("q6 pushes filters to the parquet scan") {
+    val plan = Analytics.q6(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("l_shipdate"), s"plan:\n$plan")
+  }
+
+  test("window_topn keeps at most 3 orders per customer") {
+    val rows = Analytics.windowTopN(spark, sf).collect()
+    val perCust = rows.groupBy(_.getAs[Long]("o_custkey")).values.map(_.length)
+    assert(perCust.forall(_ <= 3))
+  }
+
+  test("sessionize splits on >30min gaps") {
+    val rows = Analytics.sessionize(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n_events")).sum
+    assert(total == Tables.events(spark, sf).count())
+  }
+
+  test("windowed agg covers all events") {
+    val rows = Analytics.windowedAgg(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n")).sum == Tables.events(spark, sf).count())
+  }
+
+  test("every query key has matching oracle coverage") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(o.subsetOf(q), s"oracles without queries: ${o.diff(q)}")
+  }
+}
