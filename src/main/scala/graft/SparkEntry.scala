@@ -6,11 +6,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private val packs: Seq[QueryPack] = Seq(
-    operators.Analytics)
+    operators.Analytics,
+    operators.PathIndexOps,
+    operators.IndexerOps)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    operators.Analytics.q1(spark, "/root/testdata/sf0.001")
+    operators.IndexerOps.incrementalRun(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

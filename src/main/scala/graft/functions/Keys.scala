@@ -1,0 +1,38 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Key/path derivation, mirroring the reference's conventions.
+  *
+  * Reference: AzureSearchIndexer/IndexDefinitions/PathIndexModel.cs:13 —
+  * `key = base64(utf8(join("%2f", filesystem, pathUrlEncoded)))`; paths
+  * are stored url-encoded (HttpUtility.UrlEncode, lowercase escapes, so
+  * '/' → "%2f").
+  *
+  * All helpers are pure Column expressions → whole-stage codegen, no UDFs.
+  */
+object Keys {
+
+  /** Lowercase percent-encoding of the path chars the reference's data
+    * actually contains (HttpUtility.UrlEncode leaves [A-Za-z0-9-_.] and
+    * encodes the rest; our synthetic paths only need '/', ' ', ':').
+    */
+  def pathUrlEncode(path: Column): Column = {
+    val enc = Seq("%" -> "%25", "/" -> "%2f", " " -> "+", ":" -> "%3a")
+    enc.foldLeft(path) { case (c, (from, to)) => regexp_replace(c, java.util.regex.Pattern.quote(from), to) }
+  }
+
+  /** The reference's document key: base64 of "filesystem%2f<encodedPath>". */
+  def pathKey(filesystem: Column, pathUrlEncoded: Column): Column =
+    base64(concat(filesystem, lit("%2f"), pathUrlEncoded).cast("binary"))
+
+  /** Split an ADLS url ("https://host/filesystem/path…") into parts.
+    * Reference: AzureSearchIndexer/Utils.cs:11-15 (UrlToFilesystemAndPath).
+    */
+  def urlFilesystem(url: Column): Column =
+    regexp_extract(url, "^https://[^/]+/([^/]+)/(.*)$", 1)
+
+  def urlPath(url: Column): Column =
+    regexp_extract(url, "^https://[^/]+/([^/]+)/(.*)$", 2)
+}

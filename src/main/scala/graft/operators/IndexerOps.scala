@@ -1,0 +1,160 @@
+package graft.operators
+
+import graft.{QueryPack, Tables}
+import graft.functions.Keys
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Document-indexer pipeline, re-expressing DataLakeIndexer semantics.
+  *
+  * Reference: AzureSearchIndexer/DataLakeIndexer.cs — list paths → read
+  * files (parallel; read failures counted, not fatal) → user map fn
+  * (null ⇒ skip) → BatchingUploader.cs — batch by doc count AND byte
+  * cap, docs above the max size counted FailedTooLargeCount and
+  * dropped; merge-or-upload; run metrics.
+  *
+  * On Spark the whole chain is one declarative plan: the "parallel
+  * read" is the distributed scan itself, the map fn is a projection,
+  * and the upload batching is a deterministic batch-id assignment (the
+  * real sink on a cluster would be foreachPartition → HTTP client, so
+  * the batching column is exactly what each executor would replay).
+  *
+  * Synthetic read semantics (SURVEY.md §3): a document "read" fails
+  * when the payload is too short to parse (n_chars < 60 ⇒ mapper
+  * returns null, mirroring IndexMapper.cs:14's null return); a doc is
+  * too large for upload when n_chars > 512 (maxDocumentSizeBytes
+  * analog).
+  */
+object IndexerOps extends QueryPack {
+
+  private val ReadFailBelow = 60L
+  private val TooLargeAbove = 512L
+  private val BatchDocCount = 100L
+
+  /** documents mapped to the index model (IndexMapper.cs analog). */
+  def mappedDocs(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val path = concat(lit("docs/"), col("lang"), lit("/"), col("doc_id").cast("string"), lit(".json"))
+    val encoded = Keys.pathUrlEncode(path)
+    d.filter(col("n_chars") >= ReadFailBelow) // mapper returned null ⇒ skip
+      .select(
+        col("doc_id"),
+        Keys.pathKey(col("source"), encoded).as("pathbase64"),
+        substring(col("text"), 1, 100).as("stringvalue"),
+        col("n_chars").as("numbervalue"),
+        (col("n_chars") > 300).as("booleanvalue"),
+        md5(col("text").cast("binary")).as("eTag"),
+        encoded.as("pathUrlEncoded"))
+  }
+
+  def docReadMap(spark: SparkSession, dir: String): DataFrame =
+    mappedDocs(spark, dir).orderBy(col("doc_id"))
+
+  /** Upload batch assignment: count-capped batches over upload order
+    * (key order, like the reference's stable channel order); too-large
+    * docs are excluded and grouped under batch_id -1.
+    */
+  def batchAssign(spark: SparkSession, dir: String): DataFrame = {
+    val docs = mappedDocs(spark, dir)
+    val kept = docs.filter(col("numbervalue") <= TooLargeAbove)
+    val w = Window.orderBy(col("pathbase64"))
+    val assigned = kept
+      .withColumn("batch_id", ((row_number().over(w) - 1) / BatchDocCount).cast("long"))
+    val batches = assigned.groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("numbervalue")).as("total_bytes"))
+    val tooLarge = docs.filter(col("numbervalue") > TooLargeAbove)
+      .agg(count(lit(1)).as("n_docs"), sum(col("numbervalue")).as("total_bytes"))
+      .select(lit(-1L).as("batch_id"), col("n_docs"), col("total_bytes"))
+    batches.unionByName(tooLarge).filter(col("n_docs") > 0).orderBy(col("batch_id"))
+  }
+
+  /** IndexerRunMetrics analog over one full run. */
+  def indexerMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.agg(
+      sum(when(col("n_chars") >= ReadFailBelow, 1L).otherwise(0L)).as("readCount"),
+      sum(when(col("n_chars") < ReadFailBelow, 1L).otherwise(0L)).as("readFailedCount"),
+      sum(when(col("n_chars") >= ReadFailBelow && col("n_chars") <= TooLargeAbove, 1L).otherwise(0L)).as("uploadCount"),
+      sum(when(col("n_chars") > TooLargeAbove, 1L).otherwise(0L)).as("uploadFailedTooLargeCount"))
+  }
+
+  /** Flagship end-to-end incremental run: delta paths since cutoff →
+    * read+map the backing documents → merge-or-upload rows for the data
+    * index. One shuffle for the delta dedup, one broadcast-able join to
+    * the documents "read".
+    */
+  def incrementalRun(spark: SparkSession, dir: String): DataFrame = {
+    val delta = PathIndexOps.upsertState(
+      PathIndexOps.changeLog(spark, dir)
+        .filter(col("ts") >= lit("2024-01-20 00:00:00").cast("timestamp")))
+      .filter(!col("is_delete"))
+      .withColumn("doc_id", col("event_id") % 500)
+      .select(col("key"), col("doc_id"), col("filesystem"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("fileLastModified"))
+    val docs = Tables.documents(spark, dir)
+      .filter(col("n_chars") >= ReadFailBelow)
+      .select(col("doc_id"), substring(col("text"), 1, 100).as("stringvalue"),
+        col("n_chars").as("numbervalue"), md5(col("text").cast("binary")).as("eTag"))
+    delta.join(docs, Seq("doc_id"))
+      .filter(col("numbervalue") <= TooLargeAbove)
+      .select(col("key"), col("doc_id"), col("filesystem"), col("fileLastModified"),
+        col("stringvalue"), col("numbervalue"), col("eTag"))
+      .orderBy(col("key"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_read_map" -> (docReadMap _),
+    "batch_assign" -> (batchAssign _),
+    "indexer_metrics" -> (indexerMetrics _),
+    "incremental_run" -> (incrementalRun _))
+
+  private val mappedSql =
+    s"""SELECT doc_id,
+       | to_base64(encode(source || '%2f' || replace('docs/' || lang || '/' || doc_id || '.json', '/', '%2f'))) AS pathbase64,
+       | substring(text, 1, 100) AS stringvalue,
+       | n_chars AS numbervalue,
+       | (n_chars > 300) AS booleanvalue,
+       | md5(text) AS eTag,
+       | replace('docs/' || lang || '/' || doc_id || '.json', '/', '%2f') AS pathUrlEncoded
+       |FROM documents WHERE n_chars >= $ReadFailBelow""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "doc_read_map" -> (mappedSql + " ORDER BY doc_id"),
+    "batch_assign" ->
+      s"""WITH mapped AS ($mappedSql),
+         |kept AS (SELECT *, CAST((row_number() OVER (ORDER BY pathbase64) - 1) // $BatchDocCount AS BIGINT) AS batch_id
+         |  FROM mapped WHERE numbervalue <= $TooLargeAbove),
+         |batches AS (SELECT batch_id, count(*) AS n_docs, sum(numbervalue) AS total_bytes
+         |  FROM kept GROUP BY batch_id),
+         |toolarge AS (SELECT CAST(-1 AS BIGINT) AS batch_id, count(*) AS n_docs, sum(numbervalue) AS total_bytes
+         |  FROM mapped WHERE numbervalue > $TooLargeAbove)
+         |SELECT * FROM (SELECT * FROM batches UNION ALL SELECT * FROM toolarge)
+         |WHERE n_docs > 0 ORDER BY batch_id""".stripMargin,
+    "indexer_metrics" ->
+      s"""SELECT
+         | sum(CASE WHEN n_chars >= $ReadFailBelow THEN 1 ELSE 0 END) AS readCount,
+         | sum(CASE WHEN n_chars < $ReadFailBelow THEN 1 ELSE 0 END) AS readFailedCount,
+         | sum(CASE WHEN n_chars >= $ReadFailBelow AND n_chars <= $TooLargeAbove THEN 1 ELSE 0 END) AS uploadCount,
+         | sum(CASE WHEN n_chars > $TooLargeAbove THEN 1 ELSE 0 END) AS uploadFailedTooLargeCount
+         |FROM documents""".stripMargin,
+    "incremental_run" ->
+      s"""WITH log AS (
+         | SELECT event_id, ts, event_type,
+         |  'fs' || (user_id % 4) AS filesystem,
+         |  to_base64(encode('fs' || (user_id % 4) || '%2f' ||
+         |    replace('data/part_' || (event_id % 50) || '/file_' || (event_id % 500) || '.json', '/', '%2f'))) AS key
+         | FROM events WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'),
+         |delta AS (
+         | SELECT * FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY key ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM log) WHERE rn = 1 AND event_type <> 'error'),
+         |docs AS (
+         | SELECT doc_id, substring(text, 1, 100) AS stringvalue, n_chars AS numbervalue, md5(text) AS eTag
+         | FROM documents WHERE n_chars >= $ReadFailBelow)
+         |SELECT key, (event_id % 500) AS doc_id, filesystem,
+         | strftime(ts, '%Y-%m-%d %H:%M:%S') AS fileLastModified,
+         | stringvalue, numbervalue, eTag
+         |FROM delta JOIN docs ON (event_id % 500) = docs.doc_id
+         |WHERE numbervalue <= $TooLargeAbove ORDER BY key""".stripMargin)
+}

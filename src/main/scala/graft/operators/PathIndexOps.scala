@@ -1,0 +1,206 @@
+package graft.operators
+
+import graft.{QueryPack, Tables}
+import graft.functions.Keys
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Path-index core, re-expressing PathIndexClient semantics on Spark.
+  *
+  * Reference behaviors covered (AzureSearchIndexer/PathIndexClient.cs):
+  * - UpsertPathsAsync (:24) — merge-or-upload, latest write wins, with
+  *   created/modified/failed counts.
+  * - ListPathsAsync (:52) — `lastModified ge t` + OData filter + order
+  *   by key (keyset pagination, page 5000).
+  * - RebuildPathsIndexAsync (:99) — full listing, skip directories,
+  *   batch-1000 upserts.
+  * Plus the event-side (DatalakePathIndexerFunc/PathIndexerFunc.cs):
+  * blob created/deleted events → parse url → upsert path / tombstone.
+  *
+  * The "index" is a DataFrame keyed by `key`; upsert = latest-per-key
+  * window dedup — one shuffle on the (high-cardinality, skew-free) key,
+  * which at 100 TB scale is the minimal-cost formulation and AQE-safe.
+  *
+  * Synthetic change-log mapping (SURVEY.md §3): each `events` row is a
+  * blob event: filesystem = 'fs' + user_id%4, path =
+  * 'data/part_<event_id%50>/file_<event_id%500>.json', eventTime = ts,
+  * event_type 'error' ⇒ BlobDeleted, else BlobCreated/Modified.
+  */
+object PathIndexOps extends QueryPack {
+
+  private val TsFmt = "yyyy-MM-dd HH:mm:ss"
+
+  /** events → blob-event change-log with derived path-model columns. */
+  def changeLog(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val fs = concat(lit("fs"), (col("user_id") % 4).cast("string"))
+    val path = concat(
+      lit("data/part_"), (col("event_id") % 50).cast("string"),
+      lit("/file_"), (col("event_id") % 500).cast("string"), lit(".json"))
+    val encoded = Keys.pathUrlEncode(path)
+    e.select(
+      col("event_id"), col("ts"), col("ts_ns"), col("event_type"), col("props"),
+      fs.as("filesystem"), path.as("path"), encoded.as("pathUrlEncoded"),
+      Keys.pathKey(fs, encoded).as("key"),
+      (col("event_type") === "error").as("is_delete"))
+  }
+
+  /** Latest record per key (merge-or-upload end state). */
+  def upsertState(log: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("key")).orderBy(col("ts_ns").desc, col("event_id").desc)
+    log.withColumn("rn", row_number().over(w))
+      .withColumn("n_versions", count(lit(1)).over(Window.partitionBy(col("key"))))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  // ---- §2.A queries ----
+
+  def pathKeyQ(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val path = concat(lit("docs/"), col("lang"), lit("/"), col("doc_id").cast("string"), lit(".json"))
+    val encoded = Keys.pathUrlEncode(path)
+    d.select(
+      col("doc_id"),
+      col("source").as("filesystem"),
+      encoded.as("pathUrlEncoded"),
+      Keys.pathKey(col("source"), encoded).as("key"))
+      .orderBy(col("doc_id"))
+  }
+
+  def upsertPaths(spark: SparkSession, dir: String): DataFrame =
+    upsertState(changeLog(spark, dir))
+      .select(
+        col("key"), col("filesystem"), col("pathUrlEncoded"),
+        date_format(col("ts"), TsFmt).as("fileLastModified"),
+        col("n_versions"))
+      .orderBy(col("key"))
+
+  def upsertPathsMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val log = changeLog(spark, dir)
+    val cutoff = lit("2024-01-20 00:00:00").cast("timestamp")
+    val existing = upsertState(log.filter(col("ts") < cutoff)).select(col("key"))
+    val batch = upsertState(log.filter(col("ts") >= cutoff)).select(col("key"))
+    val joined = batch.join(existing.withColumn("pre", lit(1)), Seq("key"), "left")
+    joined.agg(
+      sum(when(col("pre").isNull, 1L).otherwise(0L)).as("created"),
+      sum(when(col("pre").isNotNull, 1L).otherwise(0L)).as("modified"),
+      count(lit(1)).as("batch_total"))
+  }
+
+  def listPathsDelta(spark: SparkSession, dir: String): DataFrame =
+    upsertPaths(spark, dir)
+      .filter(col("fileLastModified") >= "2024-01-25 00:00:00")
+      .filter(col("filesystem") === "fs1")
+      .select(col("key"), col("pathUrlEncoded"), col("fileLastModified"))
+      .orderBy(col("key"))
+      .limit(5000)
+
+  def rebuildIndex(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).filter(col("doc_id") % 17 =!= 0) // dirs skipped
+    val path = concat(lit("docs/"), col("lang"), lit("/"), col("doc_id").cast("string"), lit(".json"))
+    val encoded = Keys.pathUrlEncode(path)
+    val keyed = d.select(
+      col("doc_id"), col("source").as("filesystem"), encoded.as("pathUrlEncoded"),
+      Keys.pathKey(col("source"), encoded).as("key"))
+    val w = Window.orderBy(col("key"))
+    keyed.withColumn("batch_id", ((row_number().over(w) - 1) / 1000).cast("long"))
+      .orderBy(col("key"))
+  }
+
+  def blobEventsToPaths(spark: SparkSession, dir: String): DataFrame = {
+    val log = changeLog(spark, dir)
+    // round-trip through the event url exactly like the reference func
+    val url = concat(lit("https://acct.dfs.core.windows.net/"), col("filesystem"), lit("/"), col("path"))
+    log.select(col("event_id"), col("ts"), col("props"), url.as("url"))
+      .select(
+        col("event_id"),
+        Keys.urlFilesystem(col("url")).as("filesystem"),
+        Keys.pathUrlEncode(Keys.urlPath(col("url"))).as("pathUrlEncoded"),
+        get_json_object(col("props"), "$.k").cast("long").as("content_k"),
+        date_format(col("ts"), TsFmt).as("eventTime"))
+      .orderBy(col("event_id"))
+  }
+
+  def deletedPaths(spark: SparkSession, dir: String): DataFrame =
+    upsertState(changeLog(spark, dir))
+      .filter(col("is_delete"))
+      .select(
+        col("key"), col("filesystem"), col("pathUrlEncoded"),
+        date_format(col("ts"), TsFmt).as("deletedAt"))
+      .orderBy(col("key"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "path_key" -> (pathKeyQ _),
+    "upsert_paths" -> (upsertPaths _),
+    "upsert_paths_metrics" -> (upsertPathsMetrics _),
+    "list_paths_delta" -> (listPathsDelta _),
+    "rebuild_index" -> (rebuildIndex _),
+    "blob_events_to_paths" -> (blobEventsToPaths _),
+    "deleted_paths" -> (deletedPaths _))
+
+  // Shared SQL fragments for the oracle (DuckDB dialect).
+  private val logSql =
+    """SELECT event_id, ts, event_type, props,
+      | 'fs' || (user_id % 4) AS filesystem,
+      | 'data/part_' || (event_id % 50) || '/file_' || (event_id % 500) || '.json' AS path,
+      | replace('data/part_' || (event_id % 50) || '/file_' || (event_id % 500) || '.json', '/', '%2f') AS pathUrlEncoded,
+      | to_base64(encode('fs' || (user_id % 4) || '%2f' ||
+      |   replace('data/part_' || (event_id % 50) || '/file_' || (event_id % 500) || '.json', '/', '%2f'))) AS key,
+      | (event_type = 'error') AS is_delete
+      |FROM events""".stripMargin
+
+  private def stateSql(src: String) =
+    s"""SELECT * FROM (
+       | SELECT *, row_number() OVER (PARTITION BY key ORDER BY ts DESC, event_id DESC) AS rn,
+       |  count(*) OVER (PARTITION BY key) AS n_versions
+       | FROM ($src)) WHERE rn = 1""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "path_key" ->
+      """SELECT doc_id, source AS filesystem,
+        | replace('docs/' || lang || '/' || doc_id || '.json', '/', '%2f') AS pathUrlEncoded,
+        | to_base64(encode(source || '%2f' || replace('docs/' || lang || '/' || doc_id || '.json', '/', '%2f'))) AS key
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "upsert_paths" ->
+      s"""SELECT key, filesystem, pathUrlEncoded,
+         | strftime(ts, '%Y-%m-%d %H:%M:%S') AS fileLastModified, n_versions
+         |FROM (${stateSql(logSql)}) ORDER BY key""".stripMargin,
+    "upsert_paths_metrics" ->
+      s"""WITH log AS ($logSql),
+         |existing AS (SELECT DISTINCT key FROM log WHERE ts < TIMESTAMP '2024-01-20 00:00:00'),
+         |batch AS (SELECT DISTINCT key FROM log WHERE ts >= TIMESTAMP '2024-01-20 00:00:00')
+         |SELECT
+         | sum(CASE WHEN e.key IS NULL THEN 1 ELSE 0 END) AS created,
+         | sum(CASE WHEN e.key IS NOT NULL THEN 1 ELSE 0 END) AS modified,
+         | count(*) AS batch_total
+         |FROM batch b LEFT JOIN existing e ON b.key = e.key""".stripMargin,
+    "list_paths_delta" ->
+      s"""SELECT key, pathUrlEncoded, strftime(ts, '%Y-%m-%d %H:%M:%S') AS fileLastModified
+         |FROM (${stateSql(logSql)})
+         |WHERE strftime(ts, '%Y-%m-%d %H:%M:%S') >= '2024-01-25 00:00:00' AND filesystem = 'fs1'
+         |ORDER BY key LIMIT 5000""".stripMargin,
+    "rebuild_index" ->
+      """WITH keyed AS (
+        | SELECT doc_id, source AS filesystem,
+        |  replace('docs/' || lang || '/' || doc_id || '.json', '/', '%2f') AS pathUrlEncoded,
+        |  to_base64(encode(source || '%2f' || replace('docs/' || lang || '/' || doc_id || '.json', '/', '%2f'))) AS key
+        | FROM documents WHERE doc_id % 17 <> 0)
+        |SELECT doc_id, filesystem, pathUrlEncoded, key,
+        | CAST((row_number() OVER (ORDER BY key) - 1) // 1000 AS BIGINT) AS batch_id
+        |FROM keyed ORDER BY key""".stripMargin,
+    "blob_events_to_paths" ->
+      s"""WITH log AS ($logSql),
+         |urls AS (SELECT event_id, ts, props,
+         |  'https://acct.dfs.core.windows.net/' || filesystem || '/' || path AS url FROM log)
+         |SELECT event_id,
+         | regexp_extract(url, '^https://[^/]+/([^/]+)/(.*)$$', 1) AS filesystem,
+         | replace(regexp_extract(url, '^https://[^/]+/([^/]+)/(.*)$$', 2), '/', '%2f') AS pathUrlEncoded,
+         | CAST(json_extract_string(props, '$$.k') AS BIGINT) AS content_k,
+         | strftime(ts, '%Y-%m-%d %H:%M:%S') AS eventTime
+         |FROM urls ORDER BY event_id""".stripMargin,
+    "deleted_paths" ->
+      s"""SELECT key, filesystem, pathUrlEncoded, strftime(ts, '%Y-%m-%d %H:%M:%S') AS deletedAt
+         |FROM (${stateSql(logSql)}) WHERE is_delete ORDER BY key""".stripMargin)
+}

@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.{IndexerOps, PathIndexOps}
+import org.apache.spark.sql.functions._
+
+class PathIndexSpec extends SparkSpec {
+
+  test("pathKey matches the reference's base64 derivation") {
+    // reference: PathIndexModel.cs:13 — base64(utf8("fs%2fpath"))
+    val row = PathIndexOps.pathKeyQ(spark, sf).filter(col("doc_id") === 0).collect().head
+    val fs = row.getAs[String]("filesystem")
+    val enc = row.getAs[String]("pathUrlEncoded")
+    val expected = java.util.Base64.getEncoder.encodeToString(
+      s"$fs%2f$enc".getBytes("UTF-8"))
+    assert(row.getAs[String]("key") == expected)
+    assert(enc.contains("%2f") && !enc.contains("/"))
+  }
+
+  test("upsert keeps exactly one record per key (latest wins)") {
+    val state = PathIndexOps.upsertState(PathIndexOps.changeLog(spark, sf))
+    val dupes = state.groupBy("key").count().filter(col("count") > 1).count()
+    assert(dupes == 0)
+    // latest-wins: every kept ts_ns is the max for its key
+    val log = PathIndexOps.changeLog(spark, sf)
+    val maxTs = log.groupBy("key").agg(max("ts_ns").as("max_ns"))
+    val wrong = state.join(maxTs, "key").filter(col("ts_ns") < col("max_ns")).count()
+    assert(wrong == 0)
+  }
+
+  test("upsert metrics: created+modified = batch total") {
+    val m = PathIndexOps.upsertPathsMetrics(spark, sf).collect().head
+    assert(m.getAs[Long]("created") + m.getAs[Long]("modified") == m.getAs[Long]("batch_total"))
+  }
+
+  test("deleted paths are disjoint from a live listing filtered on same state") {
+    val state = PathIndexOps.upsertState(PathIndexOps.changeLog(spark, sf)).cache()
+    val live = state.filter(!col("is_delete")).select("key")
+    val dead = state.filter(col("is_delete")).select("key")
+    assert(live.intersect(dead).count() == 0)
+    state.unpersist()
+  }
+
+  test("blob event url round-trip preserves filesystem and path") {
+    val rows = PathIndexOps.blobEventsToPaths(spark, sf).limit(50).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[String]("filesystem").startsWith("fs")))
+    assert(rows.forall(r => r.getAs[String]("pathUrlEncoded").startsWith("data%2f")))
+  }
+
+  test("rebuild skips directories and assigns 1000-doc batches") {
+    val rows = PathIndexOps.rebuildIndex(spark, sf).collect()
+    assert(rows.forall(_.getAs[Long]("doc_id") % 17 != 0))
+    val perBatch = rows.groupBy(_.getAs[Long]("batch_id")).view.mapValues(_.length)
+    assert(perBatch.values.forall(_ <= 1000))
+  }
+
+  test("batch assignment caps batches at 100 docs and isolates too-large") {
+    val rows = IndexerOps.batchAssign(spark, sf).collect()
+    val normal = rows.filter(_.getAs[Long]("batch_id") >= 0)
+    assert(normal.forall(_.getAs[Long]("n_docs") <= 100))
+  }
+
+  test("indexer metrics partition the corpus") {
+    val m = IndexerOps.indexerMetrics(spark, sf).collect().head
+    val total = Tables.documents(spark, sf).count()
+    assert(m.getAs[Long]("readCount") + m.getAs[Long]("readFailedCount") == total)
+  }
+
+  test("incremental run joins delta paths to readable docs") {
+    val out = IndexerOps.incrementalRun(spark, sf)
+    assert(out.count() > 0)
+    assert(out.select("key").distinct().count() == out.count())
+  }
+}
