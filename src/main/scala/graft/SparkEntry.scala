@@ -8,7 +8,10 @@ object SparkEntry {
   private val packs: Seq[QueryPack] = Seq(
     operators.Analytics,
     operators.PathIndexOps,
-    operators.IndexerOps)
+    operators.IndexerOps,
+    operators.Search,
+    operators.Dedup,
+    operators.Similarity)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,142 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Compiler from Azure-Search-style OData filter strings to Catalyst
+  * Columns.
+  *
+  * The reference drives every index read through OData filter strings —
+  * e.g. `"filesystem eq 'stuff-large' and search.ismatch('partition_1*')"`
+  * (reference: DatalakePathIndexerFunc/DatalakeIndexerFunc.cs:47,
+  * AzureSearchIndexer/PathIndexClient.cs:57 `lastModified ge {t:o}`,
+  * :88 `key gt '{previousKey}'`). This compiler gives the Spark engine
+  * the same query surface: the output is a plain Column tree, so
+  * Catalyst still pushes compiled predicates down to the parquet scan.
+  *
+  * Grammar (recursive descent):
+  * {{{
+  *   expr   := and_or | 'not' expr | '(' expr ')'
+  *   and_or := cmp (('and'|'or') cmp)*        — 'and' binds tighter
+  *   cmp    := field ('eq'|'ne'|'gt'|'ge'|'lt'|'le') literal
+  *           | search.ismatch('pattern'[, 'field'])
+  *   literal:= 'single-quoted' | number | true | false | null
+  * }}}
+  * `search.ismatch` supports trailing-`*` prefix patterns over
+  * whitespace tokens, like the reference's `'partition_1*'` usage.
+  */
+object ODataFilter {
+
+  /** Default searchable field for single-arg search.ismatch. */
+  def compile(input: String, searchField: String = "text"): Column =
+    new Parser(tokenize(input), searchField).parseAll()
+
+  /** Token-prefix match: does any whitespace token of `field` match
+    * `pattern` (literal token, or prefix when ending in `*`)?
+    */
+  def isMatch(field: Column, pattern: String): Column = {
+    val toks = split(field, " ")
+    if (pattern.endsWith("*")) {
+      val prefix = pattern.dropRight(1)
+      exists(toks, t => t.startsWith(prefix))
+    } else exists(toks, t => t === pattern)
+  }
+
+  // ---- lexer ----
+  private def tokenize(s: String): List[String] = {
+    val out = scala.collection.mutable.ListBuffer[String]()
+    var i = 0
+    while (i < s.length) {
+      s(i) match {
+        case c if c.isWhitespace => i += 1
+        case '(' => out += "("; i += 1
+        case ')' => out += ")"; i += 1
+        case ',' => out += ","; i += 1
+        case '\'' =>
+          val sb = new StringBuilder("'")
+          i += 1
+          while (i < s.length && s(i) != '\'') { sb += s(i); i += 1 }
+          require(i < s.length, s"unterminated string literal in: $s")
+          i += 1 // closing quote
+          out += sb.toString
+        case _ =>
+          val start = i
+          while (i < s.length && !s(i).isWhitespace && !"(),'".contains(s(i))) i += 1
+          out += s.substring(start, i)
+      }
+    }
+    out.toList
+  }
+
+  private final class Parser(var toks: List[String], searchField: String) {
+    private def peek: Option[String] = toks.headOption
+    private def next(): String = { val h = toks.head; toks = toks.tail; h }
+    private def expect(t: String): Unit = {
+      val got = next()
+      require(got == t, s"expected '$t' but got '$got'")
+    }
+
+    def parseAll(): Column = {
+      val c = parseOr()
+      require(toks.isEmpty, s"trailing tokens: ${toks.mkString(" ")}")
+      c
+    }
+
+    private def parseOr(): Column = {
+      var left = parseAnd()
+      while (peek.contains("or")) { next(); left = left || parseAnd() }
+      left
+    }
+
+    private def parseAnd(): Column = {
+      var left = parseUnary()
+      while (peek.contains("and")) { next(); left = left && parseUnary() }
+      left
+    }
+
+    private def parseUnary(): Column = peek match {
+      case Some("not") => next(); !parseUnary()
+      case Some("(") => next(); val c = parseOr(); expect(")"); c
+      case Some("search.ismatch") => parseIsMatch()
+      case _ => parseCmp()
+    }
+
+    private def parseIsMatch(): Column = {
+      expect("search.ismatch"); expect("(")
+      val pat = literalString(next())
+      val field = if (peek.contains(",")) { next(); literalString(next()) } else searchField
+      expect(")")
+      isMatch(col(field), pat)
+    }
+
+    private def literalString(tok: String): String = {
+      require(tok.startsWith("'"), s"expected string literal, got '$tok'")
+      tok.drop(1)
+    }
+
+    private def parseCmp(): Column = {
+      val field = col(next())
+      val op = next()
+      val lit0 = parseLiteral(next())
+      op match {
+        case "eq" => field === lit0
+        case "ne" => field =!= lit0
+        case "gt" => field > lit0
+        case "ge" => field >= lit0
+        case "lt" => field < lit0
+        case "le" => field <= lit0
+        case other => throw new IllegalArgumentException(s"unknown operator '$other'")
+      }
+    }
+
+    private def parseLiteral(tok: String): Column = tok match {
+      case t if t.startsWith("'") => lit(t.drop(1))
+      case "true" => lit(true)
+      case "false" => lit(false)
+      case "null" => lit(null)
+      case t if t.matches("-?\\d+") => lit(t.toLong)
+      case t if t.matches("-?\\d*\\.\\d+([eE][+-]?\\d+)?") => lit(t.toDouble)
+      case t => throw new IllegalArgumentException(s"bad literal '$t'")
+    }
+  }
+}

