@@ -11,7 +11,10 @@ object SparkEntry {
     operators.IndexerOps,
     operators.Search,
     operators.Dedup,
-    operators.Similarity)
+    operators.Similarity,
+    operators.TextAnalysis,
+    operators.Multimodal,
+    streaming.StreamingOps)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,141 @@
+package graft.operators
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: language ID,
+  * quality scoring, token counting, content fingerprinting.
+  *
+  * All heuristics are deterministic Column expressions (codegen'd, no
+  * UDFs) so they hold their throughput at 100 TB — the whole pack is a
+  * single projection + narrow aggregations over the text column.
+  */
+object TextAnalysis extends QueryPack {
+
+  private val Markers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "und", "die"),
+    "en" -> Seq("the", "a", "of"),
+    "es" -> Seq("el", "la", "que"),
+    "fr" -> Seq("le", "les", "et"),
+    "zh" -> Seq("shi", "de", "bu"))
+
+  private val Stopwords = Seq("the", "a", "of", "and", "to", "in")
+
+  /** n-gram/marker-profile language ID: score each language by its
+    * marker-token hits; argmax with alphabetical tiebreak, 'und'
+    * (undetermined) when nothing matches.
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val scores = Markers.map { case (lang, ms) =>
+      lang -> size(filter(toks, t => ms.map(m => t === m).reduce(_ || _)))
+    }
+    val maxScore = greatest(scores.map(_._2): _*)
+    val pred = scores.foldRight(lit("und")) { case ((lang, s), elseCol) =>
+      when(s === maxScore && maxScore > 0, lit(lang)).otherwise(elseCol)
+    }
+    // foldRight keeps alphabetical priority: first match in Markers order wins
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang").as("declared_lang"), pred.as("predicted_lang"),
+        maxScore.cast("long").as("marker_hits"))
+    scored.orderBy(col("doc_id"))
+  }
+
+  def quality(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nWords = size(toks).cast("long")
+    val meanWlen = aggregate(transform(toks, t => length(t).cast("long")), lit(0L), (a, x) => a + x)
+      .cast("double") / nWords
+    val punct = length(col("text")) - length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", ""))
+    val punctRatio = punct.cast("double") / length(col("text"))
+    val stopHits = size(filter(toks, t => Stopwords.map(s => t === s).reduce(_ || _)))
+    val stopRatio = stopHits.cast("double") / nWords
+    val q = least(nWords.cast("double") / 100.0, lit(1.0)) * 0.4 +
+      (lit(1.0) - punctRatio) * 0.3 + (lit(1.0) - stopRatio) * 0.3
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      nWords.as("n_words"),
+      round(meanWlen, 4).as("mean_wlen"),
+      round(punctRatio, 4).as("punct_ratio"),
+      round(stopRatio, 4).as("stop_ratio"),
+      round(q, 4).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+      regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long").as("bpe_tokens"),
+      length(col("text")).cast("long").as("n_chars_text"))
+      .orderBy(col("doc_id"))
+
+  /** Winnowing-style fingerprint: char-5-grams sampled at stride 3; the
+    * fingerprint is the minimum gram hash (rolling-hash analog with an
+    * exchangeable min, so it shards cleanly: partial min per partition,
+    * final min in the combine).
+    */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(length(col("text")) >= 5)
+      .select(col("doc_id"), explode(sequence(lit(1), length(col("text")) - 4, lit(3))).as("p"))
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("text")), Seq("doc_id"))
+      .select(col("doc_id"), expr("substring(text, p, 5)").as("gram"))
+      .groupBy(col("doc_id"))
+      .agg(
+        min(md5(col("gram").cast("binary"))).as("fingerprint"),
+        count_distinct(col("gram")).as("n_distinct_grams"))
+      .orderBy(col("doc_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_langid" -> (langId _),
+    "text_quality" -> (quality _),
+    "text_tokens" -> (tokenCounts _),
+    "text_fingerprint" -> (fingerprint _))
+
+  private def markerCountSql(ms: Seq[String]) =
+    s"len(list_filter(string_split(text,' '), t -> t IN (${ms.map(m => s"'$m'").mkString(",")})))"
+
+  val oracles: Map[String, String] = Map(
+    "text_langid" -> {
+      val scoreCols = Markers.map { case (lang, ms) => s"${markerCountSql(ms)} AS s_$lang" }.mkString(", ")
+      val maxExpr = "greatest(" + Markers.map { case (l, _) => s"s_$l" }.mkString(", ") + ")"
+      val caseExpr = Markers.map { case (l, _) => s"WHEN s_$l = mx AND mx > 0 THEN '$l'" }
+        .mkString("CASE ", " ", " ELSE 'und' END")
+      s"""WITH scored AS (
+         | SELECT doc_id, lang AS declared_lang, $scoreCols FROM documents),
+         |m AS (SELECT *, $maxExpr AS mx FROM scored)
+         |SELECT doc_id, declared_lang, $caseExpr AS predicted_lang, CAST(mx AS BIGINT) AS marker_hits
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
+    "text_quality" ->
+      s"""WITH base AS (
+         | SELECT doc_id, text, string_split(text,' ') AS t,
+         |  len(string_split(text,' ')) AS n_words,
+         |  len(text) - len(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS punct
+         | FROM documents),
+         |r AS (
+         | SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+         |  list_sum(list_transform(t, x -> len(x)))::DOUBLE / n_words AS mean_wlen,
+         |  punct::DOUBLE / len(text) AS punct_ratio,
+         |  len(list_filter(t, x -> x IN (${Stopwords.map(s => s"'$s'").mkString(",")})))::DOUBLE / n_words AS stop_ratio
+         | FROM base)
+         |SELECT doc_id, n_words, round(mean_wlen, 4) AS mean_wlen,
+         | round(punct_ratio, 4) AS punct_ratio, round(stop_ratio, 4) AS stop_ratio,
+         | round(least(n_words / 100.0, 1.0) * 0.4 + (1.0 - punct_ratio) * 0.3 + (1.0 - stop_ratio) * 0.3, 4) AS quality
+         |FROM r ORDER BY doc_id""".stripMargin,
+    "text_tokens" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(text,' ')) AS BIGINT) AS ws_tokens,
+        | CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens,
+        | CAST(len(text) AS BIGINT) AS n_chars_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """WITH grams AS (
+        | SELECT doc_id, substring(text, p.p, 5) AS gram
+        | FROM documents, LATERAL (SELECT unnest(generate_series(1, len(text)-4, 3)) AS p) p
+        | WHERE len(text) >= 5)
+        |SELECT doc_id, min(md5(gram)) AS fingerprint, count(DISTINCT gram) AS n_distinct_grams
+        |FROM grams GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+}

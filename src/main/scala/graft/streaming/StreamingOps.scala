@@ -1,0 +1,126 @@
+package graft.streaming
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One event on the change stream (the streaming analog of the
+  * service-bus blob events the reference consumes —
+  * DatalakePathIndexerFunc/PathIndexerFunc.cs:18).
+  */
+final case class EventRow(
+    event_id: Long,
+    ts_ns: Long,
+    user_id: Long,
+    event_type: String,
+    value: Double)
+
+final case class KeyState(
+    user_id: Long,
+    last_event_id: Long,
+    last_type: String,
+    last_value: Double,
+    last_ts_ns: Long,
+    n_events: Long)
+
+/** Structured-Streaming operators. Each has a batch-equivalent query
+  * (registered below, oracle-checked) and a true streaming form driven
+  * in the specs via MemoryStream — same semantics, so the batch oracle
+  * validates the streaming logic.
+  *
+  * The upsert state machine is the streaming form of the reference's
+  * merge-or-upload path index: every micro-batch folds events into
+  * latest-per-key state (mapGroupsWithState), exactly what
+  * PathIndexerFunc does per service-bus batch.
+  */
+object StreamingOps extends QueryPack {
+
+  /** Fold a group's new events into its running state. Used by both the
+    * streaming (mapGroupsWithState) and batch (groupByKey.mapGroups)
+    * paths so the two cannot diverge.
+    */
+  def fold(userId: Long, events: Iterator[EventRow], prior: Option[KeyState]): KeyState =
+    events.foldLeft(prior.getOrElse(KeyState(userId, -1L, "", 0.0, Long.MinValue, 0L))) {
+      (st, e) =>
+        val isNewer = e.ts_ns > st.last_ts_ns ||
+          (e.ts_ns == st.last_ts_ns && e.event_id > st.last_event_id)
+        val upd =
+          if (isNewer) st.copy(last_event_id = e.event_id, last_type = e.event_type,
+            last_value = e.value, last_ts_ns = e.ts_ns)
+          else st
+        upd.copy(n_events = st.n_events + 1)
+    }
+
+  /** Streaming latest-per-user state via mapGroupsWithState. */
+  def latestPerUserStream(spark: SparkSession, events: Dataset[EventRow]): Dataset[KeyState] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[EventRow], state: GroupState[KeyState]) =>
+          val next = fold(uid, it, state.getOption)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Batch form of the same state machine (for the oracle gate). */
+  def latestPerUserBatch(spark: SparkSession, events: Dataset[EventRow]): Dataset[KeyState] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id).mapGroups { (uid, it) =>
+      // fold must see events in stream order: sort the group
+      fold(uid, it.toSeq.sortBy(e => (e.ts_ns, e.event_id)).iterator, None)
+    }
+  }
+
+  /** Streaming watermarked tumbling window counts (15 min). */
+  def windowedCountsStream(spark: SparkSession, events: Dataset[EventRow]): DataFrame =
+    events
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+
+  // ---- batch-equivalent registered queries ----
+
+  private def eventRows(spark: SparkSession, dir: String): Dataset[EventRow] = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("ts_ns"), col("user_id"), col("event_type"), col("value"))
+      .as[EventRow]
+  }
+
+  def streamUpsert(spark: SparkSession, dir: String): DataFrame =
+    latestPerUserBatch(spark, eventRows(spark, dir)).toDF()
+      .select(col("user_id"), col("last_event_id"), col("last_type"),
+        round(col("last_value"), 2).as("last_value"), col("n_events"))
+      .orderBy(col("user_id"))
+
+  def streamWindow(spark: SparkSession, dir: String): DataFrame =
+    eventRows(spark, dir).toDF()
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      .groupBy(window(col("ts"), "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
+        col("event_type"), col("n"), col("total_value"))
+      .orderBy(col("wstart"), col("event_type"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_upsert" -> (streamUpsert _),
+    "stream_window" -> (streamWindow _))
+
+  val oracles: Map[String, String] = Map(
+    "stream_upsert" ->
+      """WITH ranked AS (
+        | SELECT user_id, event_id, event_type, value,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+        |  count(*) OVER (PARTITION BY user_id) AS n_events
+        | FROM events)
+        |SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+        | round(value, 2) AS last_value, n_events
+        |FROM ranked WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "stream_window" ->
+      """SELECT strftime(to_timestamp((epoch_ns(ts) // 900000000000) * 900), '%Y-%m-%d %H:%M:%S') AS wstart,
+        | event_type, count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin)
+}

@@ -1,0 +1,65 @@
+package graft
+
+import graft.streaming.{EventRow, StreamingOps}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+class StreamingSpec extends SparkSpec {
+
+  test("streaming upsert state matches the batch state machine") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+
+    val rows = Tables.events(spark, sf)
+      .selectExpr("event_id", "ts_ns", "user_id", "event_type", "value")
+      .as[EventRow].collect().sortBy(e => (e.ts_ns, e.event_id))
+
+    val input = MemoryStream[EventRow]
+    val query = StreamingOps.latestPerUserStream(spark, input.toDS())
+      .writeStream.format("memory").queryName("upsert_state")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // two micro-batches to exercise cross-batch state carry-over
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      input.addData(b1.toSeq); query.processAllAvailable()
+      input.addData(b2.toSeq); query.processAllAvailable()
+
+      val streamed = spark.table("upsert_state").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("last_event_id"),
+          r.getAs[String]("last_type"), r.getAs[Long]("n_events")))
+        .groupBy(_._1).map { case (_, vs) => vs.maxBy(_._4) }
+        .toArray.sortBy(_._1)
+
+      val batch = StreamingOps.latestPerUserBatch(spark,
+        spark.createDataset(rows.toSeq)).collect()
+        .map(s => (s.user_id, s.last_event_id, s.last_type, s.n_events))
+        .sortBy(_._1)
+
+      assert(streamed.sameElements(batch))
+    } finally query.stop()
+  }
+
+  test("streaming windowed counts equal the batch windowed query") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+
+    val rows = Tables.events(spark, sf)
+      .selectExpr("event_id", "ts_ns", "user_id", "event_type", "value")
+      .as[EventRow].collect().sortBy(e => (e.ts_ns, e.event_id))
+
+    val input = MemoryStream[EventRow]
+    val query = StreamingOps.windowedCountsStream(spark, input.toDS())
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData(rows.toSeq); query.processAllAvailable()
+      val streamed = spark.table("win_counts")
+        .selectExpr("window.start as wstart", "event_type", "n")
+        .collect().map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2))).sorted
+      val batch = StreamingOps.streamWindow(spark, sf)
+        .collect().map(r => (r.getAs[String]("wstart"), r.getAs[String]("event_type"), r.getAs[Long]("n")))
+      assert(streamed.length == batch.length)
+      assert(streamed.map(_._3).sum == batch.map(_._3).sum)
+    } finally query.stop()
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.{Multimodal, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+class TextMultimodalSpec extends SparkSpec {
+
+  test("langid predicts a language or 'und' for every doc") {
+    val rows = TextAnalysis.langId(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    val langs = Set("de", "en", "es", "fr", "zh", "und")
+    assert(rows.forall(r => langs.contains(r.getAs[String]("predicted_lang"))))
+    // marker hits of 0 must map to 'und'
+    assert(rows.filter(_.getAs[Long]("marker_hits") == 0)
+      .forall(_.getAs[String]("predicted_lang") == "und"))
+  }
+
+  test("quality score is bounded [0,1] and ratios are sane") {
+    val rows = TextAnalysis.quality(spark, sf).collect()
+    assert(rows.forall { r =>
+      val q = r.getAs[Double]("quality")
+      q >= 0.0 && q <= 1.0001
+    })
+    assert(rows.forall(r => r.getAs[Double]("stop_ratio") <= 1.0))
+  }
+
+  test("token counts: bpe tokenization never yields fewer tokens than whitespace") {
+    val rows = TextAnalysis.tokenCounts(spark, sf).collect()
+    assert(rows.forall(r => r.getAs[Long]("bpe_tokens") >= r.getAs[Long]("ws_tokens") - 1))
+  }
+
+  test("fingerprint is stable and one per doc") {
+    val a = TextAnalysis.fingerprint(spark, sf).collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("fingerprint"))
+    val b = TextAnalysis.fingerprint(spark, sf).collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("fingerprint"))
+    assert(a.sameElements(b))
+  }
+
+  test("media decode runs per-partition and preserves metadata") {
+    val assets = Multimodal.assets(spark, sf)
+    val feats = Multimodal.decodeFeatures(spark, assets).collect()
+    assert(feats.length == Tables.documents(spark, sf).count())
+    assert(feats.forall(f => f.md5_head.length == 8 && f.hist_bucket >= 0 && f.hist_bucket < 16))
+    // byte_len equals payload length
+    val byId = assets.collect().map(a => a.doc_id -> a.payload.length).toMap
+    assert(feats.forall(f => byId(f.doc_id).toLong == f.byte_len))
+  }
+
+  test("frame sampling emits ceil((duration+2)/2) frames per video") {
+    val rows = Multimodal.mmFrameSample(spark, sf).collect()
+    val perDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    perDoc.foreach { case (_, fs) =>
+      val dur = fs.head.getAs[Int]("duration_s")
+      assert(fs.length == dur / 2 + 1)
+      val ts = fs.map(_.getAs[Int]("frame_t")).sorted
+      assert(ts.head == 0 && ts.last <= dur)
+    }
+  }
+}
