@@ -35,11 +35,23 @@ object Dedup extends QueryPack {
         .as("sh"))
   }
 
-  /** doc_id → NumPerms min-hashes (hex-string minima of salted md5). */
+  /** doc_id → NumPerms min-hashes (hex-string minima of salted md5).
+    *
+    * The salted hashes depend only on the shingle, not the doc — so we
+    * hash the (much smaller) DISTINCT shingle vocabulary once and
+    * broadcast-join it back, instead of re-hashing every (doc, shingle)
+    * occurrence. Real corpora follow Zipf: the vocabulary is orders of
+    * magnitude smaller than the occurrence stream, and the min-agg
+    * still partial-aggregates map-side before the shuffle.
+    */
   def minhashes(spark: SparkSession, dir: String): DataFrame = {
-    val aggs = (0 until NumPerms).map(p =>
-      min(md5(concat(lit(s"$p:"), col("sh")).cast("binary"))).as(s"m$p"))
-    shingled(spark, dir).groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val sh = shingled(spark, dir)
+    val hashed = sh.select(col("sh")).distinct()
+      .select(col("sh") +: (0 until NumPerms).map(p =>
+        md5(concat(lit(s"$p:"), col("sh")).cast("binary")).as(s"h$p")): _*)
+    val aggs = (0 until NumPerms).map(p => min(col(s"h$p")).as(s"m$p"))
+    sh.join(broadcast(hashed), Seq("sh"))
+      .groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** doc_id → (band, sig): LSH band signatures (md5 of each band's row
@@ -115,11 +127,15 @@ object Dedup extends QueryPack {
     */
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Vectors
+    // norms once per vector (O(n·d)), pairwise does only the dot
+    // (O(pairs·d)) — same math as cosine(), 3× less arithmetic
     val e = Tables.embeddings(spark, dir)
-    val l = e.select(col("label"), col("vec_id").as("a"), col("embedding").as("va"))
-    val r = e.select(col("label"), col("vec_id").as("b"), col("embedding").as("vb"))
+      .select(col("label"), col("vec_id"), col("embedding"),
+        Vectors.norm(col("embedding")).as("nrm"))
+    val l = e.select(col("label"), col("vec_id").as("a"), col("embedding").as("va"), col("nrm").as("na"))
+    val r = e.select(col("label"), col("vec_id").as("b"), col("embedding").as("vb"), col("nrm").as("nb"))
     l.join(r, Seq("label")).filter(col("a") < col("b"))
-      .withColumn("cos", round(Vectors.cosine(col("va"), col("vb")), 4))
+      .withColumn("cos", round(Vectors.dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
       .filter(col("cos") >= 0.3)
       .select(col("a"), col("b"), col("label"), col("cos"))
       .orderBy(col("a"), col("b"))

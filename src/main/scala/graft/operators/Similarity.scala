@@ -89,12 +89,13 @@ object Similarity extends QueryPack {
     */
   def knnJoin(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
+      .select(col("label"), col("vec_id"), col("embedding"), Vectors.norm(col("embedding")).as("nrm"))
     val probes = e.filter(col("vec_id") < 20)
-      .select(col("label"), col("vec_id").as("q"), col("embedding").as("qv"))
-    val cands = e.select(col("label"), col("vec_id").as("n"), col("embedding").as("nv"))
+      .select(col("label"), col("vec_id").as("q"), col("embedding").as("qv"), col("nrm").as("qn"))
+    val cands = e.select(col("label"), col("vec_id").as("n"), col("embedding").as("nv"), col("nrm").as("nn"))
     val scored = probes.join(cands, Seq("label")).filter(col("q") =!= col("n"))
       .select(col("q"), col("n"), col("label"),
-        round(Vectors.cosine(col("qv"), col("nv")), 4).as("cos"))
+        round(Vectors.dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 4).as("cos"))
     val w = Window.partitionBy(col("q")).orderBy(col("cos").desc, col("n"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
       .orderBy(col("q"), col("rk"))
