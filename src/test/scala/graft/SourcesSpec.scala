@@ -1,0 +1,65 @@
+package graft
+
+import graft.sources.{DocumentSource, IndexStore}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+class SourcesSpec extends SparkSpec {
+
+  test("IndexStore merge-or-upload: created/modified counts and latest-wins") {
+    val root = Files.createTempDirectory("graft_idx").toString
+    val store = new IndexStore(spark, root, "key")
+    import spark.implicits._
+
+    val b1 = Seq(("k1", "v1"), ("k2", "v2")).toDF("key", "value")
+    val r1 = store.mergeOrUpload(b1)
+    assert(r1 == graft.sources.MergeResult(2, 0, 0))
+
+    // second batch: one update, one insert
+    val b2 = Seq(("k2", "v2b"), ("k3", "v3")).toDF("key", "value")
+    val r2 = store.mergeOrUpload(b2)
+    assert(r2.created == 1 && r2.modified == 1 && r2.version == 1)
+
+    val state = store.read().get.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(state == Map("k1" -> "v1", "k2" -> "v2b", "k3" -> "v3"))
+  }
+
+  test("IndexStore delete-by-key removes tombstoned keys") {
+    val root = Files.createTempDirectory("graft_idx2").toString
+    val store = new IndexStore(spark, root, "key")
+    import spark.implicits._
+    store.mergeOrUpload(Seq(("a", 1), ("b", 2), ("c", 3)).toDF("key", "n"))
+    val deleted = store.deleteKeys(Seq("b", "zz").toDF("key"))
+    assert(deleted == 1)
+    assert(store.read().get.select("key").collect().map(_.getString(0)).sorted
+      .sameElements(Array("a", "c")))
+  }
+
+  test("json source tolerates corrupt records and reports them") {
+    val dir = Files.createTempDirectory("graft_json")
+    Files.writeString(dir.resolve("docs.json"),
+      """{"id": 1, "s": "ok"}
+        |{"id": 2, "s": "also ok"}
+        |{not json at all
+        |{"id": "wrongtype", "s": 3}
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("s", StringType)))
+    val (good, bad) = DocumentSource.jsonWithMetrics(spark, dir.toString, schema)
+    assert(good.count() == 2)
+    assert(bad.count() == 2) // malformed line + type mismatch
+    assert(good.collect().map(_.getAs[Long]("id")).sorted.sameElements(Array(1L, 2L)))
+  }
+
+  test("binary source reads payload bytes with metadata") {
+    val dir = Files.createTempDirectory("graft_bin")
+    Files.write(dir.resolve("a.bin"), Array[Byte](1, 2, 3))
+    Files.write(dir.resolve("b.bin"), Array[Byte](4, 5))
+    val df = DocumentSource.binaryFiles(spark, dir.toString, "*.bin")
+    val rows = df.collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getAs[Long]("length")).sorted.sameElements(Array(2L, 3L)))
+    assert(rows.forall(r => r.getAs[Array[Byte]]("content").length == r.getAs[Long]("length")))
+  }
+}
