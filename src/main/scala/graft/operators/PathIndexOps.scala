@@ -31,6 +31,14 @@ object PathIndexOps extends QueryPack {
 
   private val TsFmt = "yyyy-MM-dd HH:mm:ss"
 
+  /** Delta cutoff (2024-01-20T00:00Z) as epoch nanos: filtering on the
+    * raw ts_ns long (not the derived timestamp) lets the comparison
+    * push down into the parquet scan — on 100 TB of events that's the
+    * difference between reading one day and reading everything.
+    */
+  private[operators] val CutoffNs: Long =
+    java.time.Instant.parse("2024-01-20T00:00:00Z").getEpochSecond * 1000000000L
+
   /** events → blob-event change-log with derived path-model columns. */
   def changeLog(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
@@ -79,9 +87,8 @@ object PathIndexOps extends QueryPack {
 
   def upsertPathsMetrics(spark: SparkSession, dir: String): DataFrame = {
     val log = changeLog(spark, dir)
-    val cutoff = lit("2024-01-20 00:00:00").cast("timestamp")
-    val existing = upsertState(log.filter(col("ts") < cutoff)).select(col("key"))
-    val batch = upsertState(log.filter(col("ts") >= cutoff)).select(col("key"))
+    val existing = upsertState(log.filter(col("ts_ns") < CutoffNs)).select(col("key"))
+    val batch = upsertState(log.filter(col("ts_ns") >= CutoffNs)).select(col("key"))
     val joined = batch.join(existing.withColumn("pre", lit(1)), Seq("key"), "left")
     joined.agg(
       sum(when(col("pre").isNull, 1L).otherwise(0L)).as("created"),
