@@ -58,9 +58,9 @@ object IndexerOps extends QueryPack {
   def batchAssign(spark: SparkSession, dir: String): DataFrame = {
     val docs = mappedDocs(spark, dir)
     val kept = docs.filter(col("numbervalue") <= TooLargeAbove)
-    val w = Window.orderBy(col("pathbase64"))
-    val assigned = kept
-      .withColumn("batch_id", ((row_number().over(w) - 1) / BatchDocCount).cast("long"))
+    // distributed global sequence (no single-task window) → count-capped batches
+    val assigned = graft.functions.Ranks.globalRowNumber(kept, "pathbase64")
+      .withColumn("batch_id", ((col("rn") - 1) / BatchDocCount).cast("long"))
     val batches = assigned.groupBy(col("batch_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("numbervalue")).as("total_bytes"))
     val tooLarge = docs.filter(col("numbervalue") > TooLargeAbove)

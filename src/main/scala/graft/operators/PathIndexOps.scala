@@ -111,8 +111,10 @@ object PathIndexOps extends QueryPack {
     val keyed = d.select(
       col("doc_id"), col("source").as("filesystem"), encoded.as("pathUrlEncoded"),
       Keys.pathKey(col("source"), encoded).as("key"))
-    val w = Window.orderBy(col("key"))
-    keyed.withColumn("batch_id", ((row_number().over(w) - 1) / 1000).cast("long"))
+    // distributed global sequence (no single-task window) → 1000-doc batches
+    graft.functions.Ranks.globalRowNumber(keyed, "key")
+      .withColumn("batch_id", ((col("rn") - 1) / 1000).cast("long"))
+      .drop("rn")
       .orderBy(col("key"))
   }
 
