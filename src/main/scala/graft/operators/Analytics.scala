@@ -125,16 +125,151 @@ object Analytics extends QueryPack {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
       .orderBy(col("hour"), col("event_type"))
 
+  /** Q4 analog (no l_commitdate in the schema): per-priority count of
+    * orders having at least one late-shipped line — a semi join, so the
+    * probe side never duplicates rows.
+    */
+  def q4(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1994-07-01").cast("timestamp"))
+      .filter(col("o_orderdate") < lit("1994-10-01").cast("timestamp"))
+    val l = Tables.lineitem(spark, dir)
+    o.join(l, o("o_orderkey") === l("l_orderkey") &&
+        l("l_shipdate") > o("o_orderdate"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Q10: returned-item revenue per customer (top 20). */
+  def q10(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1994-01-01").cast("timestamp"))
+      .filter(col("o_orderdate") < lit("1994-07-01").cast("timestamp"))
+    val l = Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** Q12 analog: priority-class counts per order month (case-agg). */
+  def q12(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM").as("month"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L)).as("high_count"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L)).as("low_count"))
+      .orderBy(col("month"))
+
+  /** Q14: promo revenue share over a month window. */
+  def q14(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp"))
+      .filter(col("l_shipdate") < lit("1995-04-01").cast("timestamp"))
+    val p = Tables.part(spark, dir)
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(round(
+        sum(when(col("p_type") === "PROMO", col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(0.0)) * 100.0 /
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("promo_revenue_pct"))
+  }
+
+  /** Q16 analog (no partsupp table): distinct supplier count per
+    * (brand, type, size) bucket observed in lineitem.
+    */
+  def q16(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .filter(col("p_brand") =!= "Brand#1").filter(col("p_size").isin(1, 2, 3, 4, 5))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(count_distinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  /** Q18: large-quantity orders (group-agg + having + enrich join). */
+  def q18(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(round(sum(col("l_quantity")), 2).as("total_qty"))
+      .filter(col("total_qty") > 150)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    big.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        date_format(col("o_orderdate"), TsFmt).as("orderdate"),
+        round(col("o_totalprice"), 2).as("totalprice"), col("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1 _),
     "q3_join" -> (q3 _),
+    "q4_semijoin" -> (q4 _),
     "q5_join" -> (q5 _),
     "q6_filter" -> (q6 _),
+    "q10_topn" -> (q10 _),
+    "q12_caseagg" -> (q12 _),
+    "q14_promo" -> (q14 _),
+    "q16_distinct" -> (q16 _),
+    "q18_having" -> (q18 _),
     "window_topn" -> (windowTopN _),
     "events_sessionize" -> (sessionize _),
     "events_windowed_agg" -> (windowedAgg _))
 
   val oracles: Map[String, String] = Map(
+    "q4_semijoin" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders WHERE o_orderdate >= TIMESTAMP '1994-07-01 00:00:00'
+        | AND o_orderdate < TIMESTAMP '1994-10-01 00:00:00'
+        | AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q10_topn" ->
+      """SELECT c_custkey, c_name, n_name,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        | AND o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+        | AND o_orderdate < TIMESTAMP '1994-07-01 00:00:00'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q12_caseagg" ->
+      """SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+        | sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_count,
+        | sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_count
+        |FROM orders GROUP BY 1 ORDER BY month""".stripMargin,
+    "q14_promo" ->
+      """SELECT round(
+        | sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice*(1-l_discount) ELSE 0 END) * 100.0 /
+        | sum(l_extendedprice*(1-l_discount)), 4) AS promo_revenue_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        | AND l_shipdate < TIMESTAMP '1995-04-01 00:00:00'""".stripMargin,
+    "q16_distinct" ->
+      """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_size IN (1,2,3,4,5)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q18_having" ->
+      """WITH big AS (
+        | SELECT l_orderkey, round(sum(l_quantity),2) AS total_qty
+        | FROM lineitem GROUP BY l_orderkey HAVING round(sum(l_quantity),2) > 150)
+        |SELECT c_custkey, c_name, o_orderkey,
+        | strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS orderdate,
+        | round(o_totalprice,2) AS totalprice, total_qty
+        |FROM big JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_qty DESC, o_orderkey LIMIT 100""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),2) AS sum_qty,
