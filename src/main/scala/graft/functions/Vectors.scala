@@ -11,15 +11,28 @@ import org.apache.spark.sql.functions._
   */
 object Vectors {
 
+  import org.apache.spark.sql.graftbridge.Bridge.{column => toCol, expression => ex}
+
+  /** Native single-pass kernels (graft.expressions.*, codegen'd). */
+  def dot(a: Column, b: Column): Column =
+    toCol(graft.expressions.DotProduct(ex(a), ex(b)))
+
+  def cosine(a: Column, b: Column): Column =
+    toCol(graft.expressions.CosineSimilarity(ex(a), ex(b)))
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  // Composable Column fallbacks (kept for engines/tests that want the
+  // pure-functions formulation; math identical to the native kernels).
   private def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  def dot(a: Column, b: Column): Column =
+  def dotExpr(a: Column, b: Column): Column =
     aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  def norm(a: Column): Column =
+  def normExpr(a: Column): Column =
     sqrt(aggregate(asDouble(a), lit(0.0), (acc, x) => acc + x * x))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosineExpr(a: Column, b: Column): Column = dotExpr(a, b) / (normExpr(a) * normExpr(b))
 
   /** Deterministic pseudo-random hyperplane weight for LSH: md5-derived
     * value in [-1, 1), a function of (plane, dim) only — reproducible

@@ -1,0 +1,31 @@
+package graft.plans
+
+import graft.expressions.{CosineSimilarity, DotProduct}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extensions: registers the native vector expressions as SQL
+  * functions, so both the Column API (graft.functions.Vectors) and
+  * spark.sql("… cosine_sim(a, b) …") hit the same codegen'd kernels.
+  *
+  * Install with:
+  * {{{ .config("spark.sql.extensions", "graft.plans.GraftExtensions") }}}
+  * (GraftSession.builder does this by default.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[CosineSimilarity].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float vectors"),
+      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      info("dot_product", "dot_product(a, b) - dot product of two float vectors"),
+      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import graft.functions.Vectors
+import org.apache.spark.sql.functions._
+
+class VectorExprSpec extends SparkSpec {
+
+  private lazy val emb = Tables.embeddings(spark, sf)
+
+  test("native cosine kernel matches the composable Column formulation") {
+    val both = emb.limit(100)
+      .crossJoin(broadcast(emb.filter(col("vec_id") === 0).select(col("embedding").as("q"))))
+      .select(
+        Vectors.cosine(col("embedding"), col("q")).as("native"),
+        Vectors.cosineExpr(col("embedding"), col("q")).as("composed"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(math.abs(r.getAs[Double]("native") - r.getAs[Double]("composed")) < 1e-12)
+    }
+  }
+
+  test("native dot kernel matches the composable form") {
+    val both = emb.limit(100)
+      .crossJoin(broadcast(emb.filter(col("vec_id") === 1).select(col("embedding").as("q"))))
+      .select(
+        Vectors.dot(col("embedding"), col("q")).as("native"),
+        Vectors.dotExpr(col("embedding"), col("q")).as("composed"))
+      .collect()
+    both.foreach { r =>
+      assert(math.abs(r.getAs[Double]("native") - r.getAs[Double]("composed")) < 1e-12)
+    }
+  }
+
+  test("extensions register cosine_sim/dot_product as SQL functions") {
+    emb.createOrReplaceTempView("emb_v")
+    val viaSql = spark.sql(
+      """SELECT a.vec_id, cosine_sim(a.embedding, b.embedding) AS c, dot_product(a.embedding, b.embedding) AS d
+        |FROM emb_v a JOIN emb_v b ON b.vec_id = 0 WHERE a.vec_id < 5""".stripMargin).collect()
+    assert(viaSql.length == 5)
+    assert(viaSql.forall(r => !r.isNullAt(1) && !r.isNullAt(2)))
+  }
+
+  test("native kernel stays inside whole-stage codegen") {
+    val df = emb
+      .crossJoin(broadcast(emb.filter(col("vec_id") === 0).select(col("embedding").as("q"))))
+      .select(Vectors.cosine(col("embedding"), col("q")).as("c"))
+    df.collect() // materialize so AQE finalizes the physical plan
+    val plan = df.queryExecution.executedPlan.toString
+    // the "*(n)" stage prefix marks whole-stage-codegen'd operators in
+    // AQE's final-plan rendering
+    assert(plan.matches("(?s).*\\*\\(\\d+\\) Project \\[cosine_sim.*"), s"plan:\n$plan")
+  }
+}
