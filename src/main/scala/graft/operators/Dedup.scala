@@ -67,9 +67,13 @@ object Dedup extends QueryPack {
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
 
-  /** Distinct candidate pairs (a < b) sharing an LSH band. */
+  /** Distinct candidate pairs (a < b) sharing an LSH band. The band
+    * table is persisted for the duration of the query: it feeds both
+    * sides of the self-join (and the Jaccard verify), and recomputing
+    * it means re-running the whole shingle→minhash pipeline.
+    */
   def candidatePairs(spark: SparkSession, dir: String): DataFrame = {
-    val bands = lshBands(spark, dir)
+    val bands = lshBands(spark, dir).persist()
     val l = bands.select(col("doc_id").as("a"), col("band"), col("sig"))
     val r = bands.select(col("doc_id").as("b"), col("band"), col("sig"))
     l.join(r, Seq("band", "sig")).filter(col("a") < col("b"))
