@@ -1,0 +1,58 @@
+package graft
+
+import graft.functions.{Ranks, SkewJoin}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Randomized (seeded, reproducible) equivalence checks for the
+  * distributed helpers against their single-task / textbook forms.
+  */
+class PropertySpec extends SparkSpec {
+
+  test("globalRowNumber equals the single-task window for random unique key sets") {
+    import spark.implicits._
+    for (seed <- 1 to 5) {
+      val rnd = new Random(seed)
+      val keys = Seq.fill(200)(rnd.alphanumeric.take(12).mkString).distinct
+      val df = keys.toDF("k")
+      val dist = Ranks.globalRowNumber(df, "k", partitions = 7)
+        .select("k", "rn").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val single = df.withColumn("rn", row_number().over(Window.orderBy(col("k"))))
+        .collect().map(r => r.getString(0) -> r.getInt(1).toLong).toMap
+      assert(dist == single, s"seed=$seed")
+    }
+  }
+
+  test("salted join equals plain join for random key distributions") {
+    import spark.implicits._
+    for (seed <- 1 to 5) {
+      val rnd = new Random(seed)
+      val ks = Seq("a", "b", "c", "hot")
+      val big = Seq.tabulate(300)(i => (ks(rnd.nextInt(4)), rnd.nextLong(), i.toLong))
+        .toDF("key", "v", "uid")
+      val small = Seq(("a", 1), ("hot", 2), ("zz", 3)).toDF("key", "w")
+      val plain = big.join(small, "key").select("key", "uid", "w")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).sorted
+      val salted = SkewJoin.saltedJoin(big, small, "key", "uid", 5)
+        .select("key", "uid", "w")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).sorted
+      assert(plain.sameElements(salted), s"seed=$seed")
+    }
+  }
+
+  test("IndexStore merge counts are exact for random distinct-key batches") {
+    import spark.implicits._
+    for (seed <- 1 to 3) {
+      val rnd = new Random(seed)
+      val batch = Seq.fill(20)((rnd.alphanumeric.take(6).mkString, rnd.nextInt(100)))
+        .distinctBy(_._1)
+      val root = java.nio.file.Files.createTempDirectory("graft_prop").toString
+      val store = new graft.sources.IndexStore(spark, root, "key")
+      val r1 = store.mergeOrUpload(batch.toDF("key", "v"))
+      assert(r1.created == batch.length && r1.modified == 0, s"seed=$seed")
+      val r2 = store.mergeOrUpload(batch.reverse.toDF("key", "v"))
+      assert(r2.created == 0 && r2.modified == batch.length, s"seed=$seed")
+    }
+  }
+}
