@@ -23,9 +23,15 @@ object Keys {
     enc.foldLeft(path) { case (c, (from, to)) => regexp_replace(c, java.util.regex.Pattern.quote(from), to) }
   }
 
-  /** The reference's document key: base64 of "filesystem%2f<encodedPath>". */
+  /** The reference's document key: base64 of "filesystem%2f<encodedPath>".
+    * Spark's base64 MIME-chunks outputs longer than 76 chars (CRLF
+    * inserts) depending on the legacy conf; keys must be unchunked like
+    * java.util.Base64 / DuckDB to_base64, so strip any line breaks.
+    */
   def pathKey(filesystem: Column, pathUrlEncoded: Column): Column =
-    base64(concat(filesystem, lit("%2f"), pathUrlEncoded).cast("binary"))
+    regexp_replace(
+      base64(concat(filesystem, lit("%2f"), pathUrlEncoded).cast("binary")),
+      "[\\r\\n]", "")
 
   /** Split an ADLS url ("https://host/filesystem/path…") into parts.
     * Reference: AzureSearchIndexer/Utils.cs:11-15 (UrlToFilesystemAndPath).

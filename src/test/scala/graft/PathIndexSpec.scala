@@ -16,6 +16,18 @@ class PathIndexSpec extends SparkSpec {
     assert(enc.contains("%2f") && !enc.contains("/"))
   }
 
+  test("pathKey base64 is unchunked for long paths (no MIME wrapping)") {
+    import spark.implicits._
+    val longPath = "docs/" + ("x" * 200) + "/1.json"
+    val df = Seq(("fsA", longPath)).toDF("fs", "p")
+    val enc = graft.functions.Keys.pathUrlEncode(col("p"))
+    val key = df.select(graft.functions.Keys.pathKey(col("fs"), enc)).collect().head.getString(0)
+    val expected = java.util.Base64.getEncoder.encodeToString(
+      s"fsA%2fdocs%2f${"x" * 200}%2f1.json".getBytes("UTF-8"))
+    assert(key == expected) // java.util.Base64 is unchunked, like DuckDB's to_base64
+    assert(!key.contains("\n") && !key.contains("\r"))
+  }
+
   test("upsert keeps exactly one record per key (latest wins)") {
     val state = PathIndexOps.upsertState(PathIndexOps.changeLog(spark, sf))
     val dupes = state.groupBy("key").count().filter(col("count") > 1).count()
