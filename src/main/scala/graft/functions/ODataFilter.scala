@@ -136,6 +136,13 @@ object ODataFilter {
       case "null" => lit(null)
       case t if t.matches("-?\\d+") => lit(t.toLong)
       case t if t.matches("-?\\d*\\.\\d+([eE][+-]?\\d+)?") => lit(t.toDouble)
+      case t if t.matches("\\d{4}-\\d{2}-\\d{2}T[\\d:.]+(Z|[+-]\\d{2}:\\d{2})?") =>
+        // OData emits unquoted ISO-8601 datetimes ("lastModified ge
+        // 2023-09-28T05:00:00Z" — reference: PathIndexClient.cs:57 uses
+        // the round-trip 'o' format); compare as a timestamp
+        lit(java.sql.Timestamp.from(
+          java.time.OffsetDateTime.parse(
+            if (t.matches(".*(Z|[+-]\\d{2}:\\d{2})$")) t else t + "Z").toInstant))
       case t => throw new IllegalArgumentException(s"bad literal '$t'")
     }
   }

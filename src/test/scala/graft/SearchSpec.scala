@@ -38,6 +38,14 @@ class SearchSpec extends SparkSpec {
       r.getAs[String]("text").split(" ").exists(_.startsWith("sp"))))
   }
 
+  test("OData unquoted ISO datetime literals compare as timestamps") {
+    // reference shape: "lastModified ge 2023-09-28T05:00:00Z" (PathIndexClient.cs:57)
+    val e = Tables.events(spark, sf)
+    val n = e.filter(ODataFilter.compile("ts ge 2024-01-15T00:00:00Z")).count()
+    val expected = e.filter(col("ts") >= lit("2024-01-15 00:00:00").cast("timestamp")).count()
+    assert(n == expected && n > 0)
+  }
+
   test("OData rejects malformed input") {
     intercept[IllegalArgumentException](ODataFilter.compile("lang foo 'en'"))
     intercept[IllegalArgumentException](ODataFilter.compile("lang eq 'en' trailing"))
