@@ -22,6 +22,12 @@ object Vectors {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Bounded-heap top-k aggregate (graft.expressions.TopKIds): ids of
+    * the k largest `ord` values per group, partial-aggregated map-side.
+    */
+  def topKIds(ord: Column, id: Column, k: Int): Column =
+    toCol(graft.expressions.TopKIds(ex(ord), ex(id), k).toAggregateExpression())
+
   // Composable Column fallbacks (kept for engines/tests that want the
   // pure-functions formulation; math identical to the native kernels).
   private def asDouble(v: Column): Column = transform(v, x => x.cast("double"))

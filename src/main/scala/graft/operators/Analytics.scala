@@ -209,7 +209,23 @@ object Analytics extends QueryPack {
       .limit(100)
   }
 
+  /** Same top-3-orders-per-customer result as windowTopN, but via the
+    * bounded-heap aggregate (graft.expressions.TopKIds): partial top-k
+    * map-side, k rows per key through the shuffle — no full sort. The
+    * shared oracle proves the two formulations equivalent.
+    */
+  def topKAgg(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Vectors.topKIds
+    Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(topKIds(col("o_totalprice"), col("o_orderkey"), 3).as("ids"))
+      .select(col("o_custkey"), posexplode(col("ids")).as(Seq("pos", "o_orderkey")))
+      .select(col("o_custkey"), col("o_orderkey"), (col("pos") + 1).cast("long").as("rn"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "topk_agg" -> (topKAgg _),
     "q1_agg" -> (q1 _),
     "q3_join" -> (q3 _),
     "q4_semijoin" -> (q4 _),
@@ -225,6 +241,13 @@ object Analytics extends QueryPack {
     "events_windowed_agg" -> (windowedAgg _))
 
   val oracles: Map[String, String] = Map(
+    "topk_agg" ->
+      """SELECT o_custkey, o_orderkey, CAST(rn AS BIGINT) AS rn
+        |FROM (
+        | SELECT o_custkey, o_orderkey,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        | FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
     "q4_semijoin" ->
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders WHERE o_orderdate >= TIMESTAMP '1994-07-01 00:00:00'

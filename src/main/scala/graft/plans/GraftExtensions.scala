@@ -27,5 +27,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_product"),
       info("dot_product", "dot_product(a, b) - dot product of two float vectors"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("top_k_ids"),
+      info("top_k_ids", "top_k_ids(ord, id, k) - ids of the k largest ord values, as an aggregate"),
+      (children: Seq[Expression]) => {
+        val k = children(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(s"k must be an int literal, got $other")
+        }
+        graft.expressions.TopKIds(children(0), children(1), k).toAggregateExpression()
+      }))
   }
 }
