@@ -33,14 +33,20 @@ object ODataFilter {
 
   /** Token-prefix match: does any whitespace token of `field` match
     * `pattern` (literal token, or prefix when ending in `*`)?
+    *
+    * Implemented as plain string containment rather than
+    * `exists(split(field,' '), …)`: identical semantics for
+    * space-delimited tokens (the DuckDB oracle keeps the token-based
+    * formulation, proving the rewrite), but no per-row array
+    * materialization — it stays a scan-level predicate.
     */
-  def isMatch(field: Column, pattern: String): Column = {
-    val toks = split(field, " ")
+  def isMatch(field: Column, pattern: String): Column =
     if (pattern.endsWith("*")) {
       val prefix = pattern.dropRight(1)
-      exists(toks, t => t.startsWith(prefix))
-    } else exists(toks, t => t === pattern)
-  }
+      field.startsWith(prefix) || field.contains(" " + prefix)
+    } else {
+      concat(lit(" "), field, lit(" ")).contains(s" $pattern ")
+    }
 
   // ---- lexer ----
   private def tokenize(s: String): List[String] = {
