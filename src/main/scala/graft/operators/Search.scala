@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{QueryPack, Tables}
 import graft.functions.{Keys, ODataFilter}
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The Azure-Search query surface the reference relies on, re-expressed
@@ -71,6 +71,32 @@ object Search extends QueryPack {
       .orderBy(col("tf").desc, col("doc_id"))
       .limit(50)
   }
+
+  /** Client-side keyset pagination, the exact loop of the reference's
+    * ListPathsAsync (PathIndexClient.cs:66-96): fetch an ordered page,
+    * remember the last key, next page filters `key gt last`. Unlike
+    * OFFSET paging, every page is an indexed-predicate scan — the
+    * filter pushes down, so page N never rescans pages 1..N-1's rows.
+    */
+  def pagedByKey(df: DataFrame, keyCol: String, pageSize: Int): Iterator[Seq[Row]] =
+    new Iterator[Seq[Row]] {
+      private var lastKey: Option[String] = None
+      private var batch: Option[Seq[Row]] = None
+      private def fetch(): Seq[Row] = {
+        val page = lastKey.fold(df)(k => df.filter(col(keyCol) > k))
+          .orderBy(col(keyCol)).limit(pageSize).collect().toSeq
+        if (page.nonEmpty) lastKey = Some(page.last.getAs[String](keyCol))
+        page
+      }
+      override def hasNext: Boolean = {
+        if (batch.isEmpty) batch = Some(fetch())
+        batch.exists(_.nonEmpty)
+      }
+      override def next(): Seq[Row] = {
+        if (!hasNext) throw new NoSuchElementException("no more pages")
+        val page = batch.get; batch = None; page
+      }
+    }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "search_filter" -> (searchFilter _),

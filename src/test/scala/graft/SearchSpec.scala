@@ -66,6 +66,17 @@ class SearchSpec extends SparkSpec {
     assert(keys.forall(_ > "c3JjMiV"))
   }
 
+  test("keyset pagination iterates the whole index in order without overlap") {
+    val df = docs.selectExpr("lpad(cast(doc_id as string), 6, '0') as key", "lang")
+    val pages = Search.pagedByKey(df, "key", pageSize = 64).toSeq
+    assert(pages.forall(_.size <= 64))
+    assert(pages.dropRight(1).forall(_.size == 64))
+    val all = pages.flatten.map(_.getAs[String]("key"))
+    assert(all.length == df.count())
+    assert(all.distinct.length == all.length)
+    assert(all.sameElements(all.sorted))
+  }
+
   test("facets count every doc exactly once per field") {
     val rows = Search.searchFacets(spark, sf).collect()
     val total = docs.count()
