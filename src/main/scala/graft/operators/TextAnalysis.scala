@@ -88,7 +88,40 @@ object TextAnalysis extends QueryPack {
         count_distinct(col("gram")).as("n_distinct_grams"))
       .orderBy(col("doc_id"))
 
+  /** Sliding-window token chunking with overlap (chunk=32 tokens,
+    * stride=24 ⇒ 8-token overlap) — how training pipelines split long
+    * docs for fixed-context models. A generator op: runs AFTER filters,
+    * multiplies rows by ~n_tokens/stride.
+    */
+  def chunk(spark: SparkSession, dir: String): DataFrame = {
+    val chunkSize = 32
+    val stride = 24
+    val toks = split(col("text"), " ")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), greatest(ceil((size(col("t")) - chunkSize).cast("double") / stride).cast("long"), lit(0L)))).as("ci"))
+      .select(
+        col("doc_id"), col("ci").as("chunk_id"),
+        array_join(slice(col("t"), col("ci") * stride + 1, lit(chunkSize)), " ").as("chunk_text"),
+        least(size(col("t")) - col("ci") * stride, lit(chunkSize)).cast("long").as("chunk_tokens"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  /** Text normalization: lowercase, strip non-alphanumerics, collapse
+    * whitespace — the canonical pre-dedup cleanup pass.
+    */
+  def normalize(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+          .as("norm_text"))
+      .withColumn("norm_hash", md5(col("norm_text").cast("binary")))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_chunk" -> (chunk _),
+    "text_normalize" -> (normalize _),
     "text_langid" -> (langId _),
     "text_quality" -> (quality _),
     "text_tokens" -> (tokenCounts _),
@@ -98,6 +131,21 @@ object TextAnalysis extends QueryPack {
     s"len(list_filter(string_split(text,' '), t -> t IN (${ms.map(m => s"'$m'").mkString(",")})))"
 
   val oracles: Map[String, String] = Map(
+    "text_chunk" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |chunks AS (
+        | SELECT doc_id, t, unnest(generate_series(0,
+        |   greatest(CAST(ceil((len(t) - 32) / 24.0) AS BIGINT), 0))) AS ci
+        | FROM toks)
+        |SELECT doc_id, ci AS chunk_id,
+        | array_to_string(t[ci*24 + 1 : ci*24 + 32], ' ') AS chunk_text,
+        | CAST(least(len(t) - ci*24, 32) AS BIGINT) AS chunk_tokens
+        |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin,
+    "text_normalize" ->
+      """SELECT doc_id,
+        | trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text,
+        | md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_hash
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "text_langid" -> {
       val scoreCols = Markers.map { case (lang, ms) => s"${markerCountSql(ms)} AS s_$lang" }.mkString(", ")
       val maxExpr = "greatest(" + Markers.map { case (l, _) => s"s_$l" }.mkString(", ") + ")"
