@@ -145,7 +145,43 @@ object Dedup extends QueryPack {
       .orderBy(col("a"), col("b"))
   }
 
+  /** Duplicate clustering: connected components over the LSH candidate
+    * graph, cluster id = min doc_id in the component (the doc a
+    * pipeline would keep). Spark side runs min-label propagation to a
+    * fixpoint — each iteration is one join+agg, the number of
+    * iterations is the graph diameter (tiny for near-dup clusters); the
+    * oracle computes the true transitive closure with a recursive CTE,
+    * so the gate proves the fixpoint converged.
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = candidatePairs(spark, dir).persist()
+    val edges = pairs.unionByName(pairs.select(col("b").as("a"), col("a").as("b"))).persist()
+    var labels = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("doc_id").as("cluster_id")).persist()
+    var changed = 1L
+    var iters = 0
+    while (changed > 0 && iters < 50) {
+      val nbMin = edges
+        .join(labels.select(col("doc_id").as("b"), col("cluster_id").as("nb_label")), Seq("b"))
+        .groupBy(col("a")).agg(min(col("nb_label")).as("nb_min"))
+        .select(col("a").as("doc_id"), col("nb_min"))
+      val next = labels.join(nbMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(coalesce(col("nb_min"), col("cluster_id")), col("cluster_id")).as("cluster_id"))
+        .persist()
+      changed = next.join(labels.select(col("doc_id"), col("cluster_id").as("old")), Seq("doc_id"))
+        .filter(col("cluster_id") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      iters += 1
+    }
+    labels
+      .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_clusters" -> (dedupClusters _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
@@ -175,6 +211,16 @@ object Dedup extends QueryPack {
        | ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE pairs AS ($pairsSql),
+         |edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+         |reach(doc, r) AS (
+         | SELECT doc_id, doc_id FROM documents
+         | UNION
+         | SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.doc),
+         |clusters AS (SELECT doc AS doc_id, min(r) AS cluster_id FROM reach GROUP BY doc)
+         |SELECT doc_id, cluster_id, count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+         |FROM clusters ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper, count(*) AS n_docs
         |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
