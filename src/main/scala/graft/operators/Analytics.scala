@@ -176,7 +176,7 @@ object Analytics extends QueryPack {
     l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
       .agg(round(
         sum(when(col("p_type") === "PROMO", col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(0.0)) * 100.0 /
-          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("promo_revenue_pct"))
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))) + 1e-9, 4).as("promo_revenue_pct"))
   }
 
   /** Q16 analog (no partsupp table): distinct supplier count per
@@ -273,7 +273,7 @@ object Analytics extends QueryPack {
     "q14_promo" ->
       """SELECT round(
         | sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice*(1-l_discount) ELSE 0 END) * 100.0 /
-        | sum(l_extendedprice*(1-l_discount)), 4) AS promo_revenue_pct
+        | sum(l_extendedprice*(1-l_discount)) + 1e-9, 4) AS promo_revenue_pct
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
         | AND l_shipdate < TIMESTAMP '1995-04-01 00:00:00'""".stripMargin,

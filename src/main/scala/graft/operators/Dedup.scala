@@ -122,7 +122,7 @@ object Dedup extends QueryPack {
       .join(sizes.select(col("doc_id").as("a"), col("c").as("ca")), Seq("a"))
       .join(sizes.select(col("doc_id").as("b"), col("c").as("cb")), Seq("b"))
       .select(col("a"), col("b"),
-        round(col("inter") / (col("ca") + col("cb") - col("inter")), 4).as("jaccard"))
+        round(col("inter") / (col("ca") + col("cb") - col("inter")) + 1e-9, 4).as("jaccard"))
       .orderBy(col("a"), col("b"))
   }
 
@@ -247,7 +247,7 @@ object Dedup extends QueryPack {
          | FROM pairs p JOIN shd sa ON sa.doc_id = p.a JOIN shd sb ON sb.doc_id = p.b AND sb.sh = sa.sh
          | GROUP BY p.a, p.b)
          |SELECT p.a, p.b,
-         | round(coalesce(i.i, 0) / (ca.c + cb.c - coalesce(i.i, 0)), 4) AS jaccard
+         | round(coalesce(i.i, 0) / (ca.c + cb.c - coalesce(i.i, 0)) + 1e-9, 4) AS jaccard
          |FROM pairs p
          | LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
          | JOIN sizes ca ON ca.doc_id = p.a

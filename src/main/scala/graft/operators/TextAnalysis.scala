@@ -56,10 +56,10 @@ object TextAnalysis extends QueryPack {
     Tables.documents(spark, dir).select(
       col("doc_id"),
       nWords.as("n_words"),
-      round(meanWlen, 4).as("mean_wlen"),
-      round(punctRatio, 4).as("punct_ratio"),
-      round(stopRatio, 4).as("stop_ratio"),
-      round(q, 4).as("quality"))
+      round(meanWlen + 1e-9, 4).as("mean_wlen"),
+      round(punctRatio + 1e-9, 4).as("punct_ratio"),
+      round(stopRatio + 1e-9, 4).as("stop_ratio"),
+      round(q + 1e-9, 4).as("quality"))
       .orderBy(col("doc_id"))
   }
 
@@ -169,9 +169,9 @@ object TextAnalysis extends QueryPack {
          |  punct::DOUBLE / len(text) AS punct_ratio,
          |  len(list_filter(t, x -> x IN (${Stopwords.map(s => s"'$s'").mkString(",")})))::DOUBLE / n_words AS stop_ratio
          | FROM base)
-         |SELECT doc_id, n_words, round(mean_wlen, 4) AS mean_wlen,
-         | round(punct_ratio, 4) AS punct_ratio, round(stop_ratio, 4) AS stop_ratio,
-         | round(least(n_words / 100.0, 1.0) * 0.4 + (1.0 - punct_ratio) * 0.3 + (1.0 - stop_ratio) * 0.3, 4) AS quality
+         |SELECT doc_id, n_words, round(mean_wlen + 1e-9, 4) AS mean_wlen,
+         | round(punct_ratio + 1e-9, 4) AS punct_ratio, round(stop_ratio + 1e-9, 4) AS stop_ratio,
+         | round(least(n_words / 100.0, 1.0) * 0.4 + (1.0 - punct_ratio) * 0.3 + (1.0 - stop_ratio) * 0.3 + 1e-9, 4) AS quality
          |FROM r ORDER BY doc_id""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
