@@ -156,8 +156,10 @@ object Dedup extends QueryPack {
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = candidatePairs(spark, dir).persist()
     val edges = pairs.unionByName(pairs.select(col("b").as("a"), col("a").as("b"))).persist()
-    var labels = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("doc_id").as("cluster_id")).persist()
+    // only docs touching an edge can ever change label — iterate on that
+    // (small) subgraph; the untouched majority joins back at the end
+    val nodes = edges.select(col("a").as("doc_id")).distinct()
+    var labels = nodes.select(col("doc_id"), col("doc_id").as("cluster_id")).persist()
     var changed = 1L
     var iters = 0
     while (changed > 0 && iters < 50) {
@@ -175,7 +177,10 @@ object Dedup extends QueryPack {
       labels = next
       iters += 1
     }
-    labels
+    val all = Tables.documents(spark, dir).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    all
       .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
       .orderBy(col("doc_id"))
   }
