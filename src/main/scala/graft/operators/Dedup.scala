@@ -163,18 +163,27 @@ object Dedup extends QueryPack {
     var changed = 1L
     var iters = 0
     while (changed > 0 && iters < 50) {
+      // neighbor-min propagation + pointer jumping (label-of-label), so
+      // rounds shrink with log(diameter), not diameter
       val nbMin = edges
         .join(labels.select(col("doc_id").as("b"), col("cluster_id").as("nb_label")), Seq("b"))
         .groupBy(col("a")).agg(min(col("nb_label")).as("nb_min"))
         .select(col("a").as("doc_id"), col("nb_min"))
-      val next = labels.join(nbMin, Seq("doc_id"), "left")
+      val hop = labels.select(col("cluster_id").as("hop_key"), col("doc_id")).distinct()
+        .join(labels.select(col("doc_id").as("hop_key"), col("cluster_id").as("hop_label")), Seq("hop_key"))
+        .select(col("doc_id"), col("hop_label"))
+      val next = labels
+        .join(nbMin, Seq("doc_id"), "left")
+        .join(hop, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          least(coalesce(col("nb_min"), col("cluster_id")), col("cluster_id")).as("cluster_id"))
+          least(
+            least(coalesce(col("nb_min"), col("cluster_id")), col("cluster_id")),
+            coalesce(col("hop_label"), col("cluster_id"))).as("new_label"),
+          col("cluster_id").as("old_label"))
         .persist()
-      changed = next.join(labels.select(col("doc_id"), col("cluster_id").as("old")), Seq("doc_id"))
-        .filter(col("cluster_id") =!= col("old")).count()
+      changed = next.filter(col("new_label") =!= col("old_label")).count()
       labels.unpersist()
-      labels = next
+      labels = next.select(col("doc_id"), col("new_label").as("cluster_id"))
       iters += 1
     }
     val all = Tables.documents(spark, dir).select(col("doc_id"))
