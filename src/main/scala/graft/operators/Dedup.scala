@@ -163,22 +163,14 @@ object Dedup extends QueryPack {
     var changed = 1L
     var iters = 0
     while (changed > 0 && iters < 50) {
-      // neighbor-min propagation + pointer jumping (label-of-label), so
-      // rounds shrink with log(diameter), not diameter
       val nbMin = edges
         .join(labels.select(col("doc_id").as("b"), col("cluster_id").as("nb_label")), Seq("b"))
         .groupBy(col("a")).agg(min(col("nb_label")).as("nb_min"))
         .select(col("a").as("doc_id"), col("nb_min"))
-      val hop = labels.select(col("cluster_id").as("hop_key"), col("doc_id")).distinct()
-        .join(labels.select(col("doc_id").as("hop_key"), col("cluster_id").as("hop_label")), Seq("hop_key"))
-        .select(col("doc_id"), col("hop_label"))
       val next = labels
         .join(nbMin, Seq("doc_id"), "left")
-        .join(hop, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          least(
-            least(coalesce(col("nb_min"), col("cluster_id")), col("cluster_id")),
-            coalesce(col("hop_label"), col("cluster_id"))).as("new_label"),
+          least(coalesce(col("nb_min"), col("cluster_id")), col("cluster_id")).as("new_label"),
           col("cluster_id").as("old_label"))
         .persist()
       changed = next.filter(col("new_label") =!= col("old_label")).count()
@@ -186,6 +178,7 @@ object Dedup extends QueryPack {
       labels = next.select(col("doc_id"), col("new_label").as("cluster_id"))
       iters += 1
     }
+    if (sys.env.contains("GRAFT_DEBUG")) println(s"[dedup_clusters] converged in $iters rounds")
     val all = Tables.documents(spark, dir).select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
