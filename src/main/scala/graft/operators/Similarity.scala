@@ -101,6 +101,50 @@ object Similarity extends QueryPack {
       .orderBy(col("q"), col("rk"))
   }
 
+  /** Deterministic Lloyd's k-means over the embedding column: initial
+    * centroids are the first k vectors by vec_id (no RNG), then
+    * `iters` assign/update rounds. Each round is one broadcast of k×d
+    * centroids + one shuffle-free map (assignment) + one groupBy
+    * (update) — the standard scalable formulation.
+    *
+    * Returns (assignments, centroids): assignments = (vec_id, cell),
+    * centroids = (cell, centroid: Array[Double]).
+    */
+  def kmeans(spark: SparkSession, dir: String, k: Int, iters: Int): (DataFrame, DataFrame) = {
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")).persist()
+    // init: first k vectors (deterministic)
+    var centroids = e.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cell"),
+        transform(col("embedding"), x => x.cast("double")).as("centroid"))
+    for (_ <- 1 to iters) {
+      // assign: nearest centroid by squared L2 (dot trick not needed at k~16)
+      val assigned = e.crossJoin(broadcast(centroids))
+        .withColumn("d2", aggregate(
+          zip_with(col("embedding"), col("centroid"), (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+          lit(0.0), (acc, v) => acc + v))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cell"))))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("cell"), col("embedding"))
+      // update: per-dimension means
+      centroids = assigned
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim")).agg(avg(col("x").cast("double")).as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("cell"), transform(col("dm"), s => s.getField("m")).as("centroid"))
+    }
+    val finalAssign = e.crossJoin(broadcast(centroids))
+      .withColumn("d2", aggregate(
+        zip_with(col("embedding"), col("centroid"), (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+        lit(0.0), (acc, v) => acc + v))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cell"))))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("cell"))
+    (finalAssign, centroids)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce_topk" -> (annBruteForce _),
     "ann_ivf" -> (annIvf _),
