@@ -81,6 +81,16 @@ object StreamingOps extends QueryPack {
       .groupBy(window(col("ts"), "15 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
 
+  /** Stream-static join: enrich the event stream against a static index
+    * snapshot (how a streaming indexer reads document metadata per
+    * event). The static side is re-read per micro-batch by Spark, so an
+    * IndexStore snapshot swap is picked up without restarting.
+    */
+  def enrichStream(events: Dataset[EventRow], index: DataFrame, keyCol: String): DataFrame =
+    events.toDF()
+      .withColumn(keyCol, col("event_id") % 500)
+      .join(index, Seq(keyCol), "left")
+
   // ---- batch-equivalent registered queries ----
 
   private def eventRows(spark: SparkSession, dir: String): Dataset[EventRow] = {

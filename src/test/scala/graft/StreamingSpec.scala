@@ -2,6 +2,7 @@ package graft
 
 import graft.streaming.{EventRow, StreamingOps}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
 
 class StreamingSpec extends SparkSpec {
@@ -36,6 +37,31 @@ class StreamingSpec extends SparkSpec {
         .sortBy(_._1)
 
       assert(streamed.sameElements(batch))
+    } finally query.stop()
+  }
+
+  test("stream-static join enriches events against a static index") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+
+    val index = Tables.documents(spark, sf).select(col("doc_id"), col("lang"))
+    val rows = Tables.events(spark, sf)
+      .selectExpr("event_id", "ts_ns", "user_id", "event_type", "value")
+      .as[EventRow].collect().take(200)
+
+    val input = MemoryStream[EventRow]
+    val query = StreamingOps.enrichStream(input.toDS(), index, "doc_id")
+      .writeStream.format("memory").queryName("enriched").outputMode("append").start()
+    try {
+      input.addData(rows.toSeq); query.processAllAvailable()
+      val out = spark.table("enriched").collect()
+      assert(out.length == rows.length)
+      // every event whose doc exists got a lang
+      val docIds = index.collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(out.forall { r =>
+        val hasDoc = docIds.contains(r.getAs[Long]("doc_id"))
+        hasDoc == (r.getAs[String]("lang") != null)
+      })
     } finally query.stop()
   }
 
