@@ -119,7 +119,37 @@ object TextAnalysis extends QueryPack {
       .withColumn("norm_hash", md5(col("norm_text").cast("binary")))
       .orderBy(col("doc_id"))
 
+  /** Deterministic ~10% Bernoulli sample: keep docs whose md5-derived
+    * bucket (0..99) is < 10. Hash-based sampling is reproducible across
+    * runs/engines and composes with incremental processing (a doc's
+    * fate never changes as the corpus grows) — unlike rand()-based
+    * sampling.
+    */
+  def sampleDeterministic(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("bucket",
+        conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4), 16, 10).cast("long") % 100)
+      .filter(col("bucket") < 10)
+      .select(col("doc_id"), col("lang"), col("bucket"))
+      .orderBy(col("doc_id"))
+
+  /** Stratified sample: exactly min(n, 20) docs per language, chosen by
+    * md5 order (deterministic, uniform within stratum).
+    */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+    Tables.documents(spark, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 20)
+      .select(col("doc_id"), col("lang"), col("rk").cast("long").as("rk"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_deterministic" -> (sampleDeterministic _),
+    "sample_stratified" -> (sampleStratified _),
     "text_chunk" -> (chunk _),
     "text_normalize" -> (normalize _),
     "text_langid" -> (langId _),
@@ -131,6 +161,18 @@ object TextAnalysis extends QueryPack {
     s"len(list_filter(string_split(text,' '), t -> t IN (${ms.map(m => s"'$m'").mkString(",")})))"
 
   val oracles: Map[String, String] = Map(
+    "sample_deterministic" ->
+      """SELECT doc_id, lang,
+        | ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 AS bucket
+        |FROM documents
+        |WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 < 10
+        |ORDER BY doc_id""".stripMargin,
+    "sample_stratified" ->
+      """SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk FROM (
+        | SELECT doc_id, lang,
+        |  row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        | FROM documents)
+        |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin,
     "text_chunk" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |chunks AS (
