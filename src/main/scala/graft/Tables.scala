@@ -32,6 +32,9 @@ object Tables {
     * us-truncated timestamp (`ts`).
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    // runtime-settable; required to read the TIMESTAMP(NANOS) column
+    // even when the caller's session wasn't built by GraftSession
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(s, d, "events")
     if (raw.schema("ts").dataType == LongType)
       raw.withColumn("ts_ns", col("ts"))
