@@ -224,7 +224,22 @@ object Analytics extends QueryPack {
       .orderBy(col("o_custkey"), col("rn"))
   }
 
+  /** Exact interpolated percentiles per event type (p50/p95). Exact
+    * percentile needs the full sorted group — fine for bounded group
+    * counts like event types; at very high cardinality switch to
+    * approx_percentile (t-digest) and drop the oracle to rows-only.
+    */
+  def eventPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)") + 1e-9, 4).as("p50"),
+        round(expr("percentile(value, 0.95)") + 1e-9, 4).as("p95"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_percentiles" -> (eventPercentiles _),
     "topk_agg" -> (topKAgg _),
     "q1_agg" -> (q1 _),
     "q3_join" -> (q3 _),
@@ -241,6 +256,12 @@ object Analytics extends QueryPack {
     "events_windowed_agg" -> (windowedAgg _))
 
   val oracles: Map[String, String] = Map(
+    "events_percentiles" ->
+      """SELECT event_type,
+        | round(quantile_cont(value, 0.5) + 1e-9, 4) AS p50,
+        | round(quantile_cont(value, 0.95) + 1e-9, 4) AS p95,
+        | count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "topk_agg" ->
       """SELECT o_custkey, o_orderkey, CAST(rn AS BIGINT) AS rn
         |FROM (

@@ -66,6 +66,14 @@ class SearchSpec extends SparkSpec {
     assert(keys.forall(_ > "c3JjMiV"))
   }
 
+  test("compiled OData filters push down to the parquet scan") {
+    val df = docs.filter(ODataFilter.compile("lang eq 'en' and n_chars ge 200"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(lang,en)") &&
+      plan.contains("GreaterThanOrEqual(n_chars,200)"), s"plan:\n$plan")
+  }
+
   test("keyset pagination iterates the whole index in order without overlap") {
     val df = docs.selectExpr("lpad(cast(doc_id as string), 6, '0') as key", "lang")
     val pages = Search.pagedByKey(df, "key", pageSize = 64).toSeq
