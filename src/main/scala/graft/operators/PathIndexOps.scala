@@ -150,7 +150,7 @@ object PathIndexOps extends QueryPack {
     "deleted_paths" -> (deletedPaths _))
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
-  private val logSql =
+  private[operators] val logSql =
     """SELECT event_id, ts, event_type, props,
       | 'fs' || (user_id % 4) AS filesystem,
       | 'data/part_' || (event_id % 50) || '/file_' || (event_id % 500) || '.json' AS path,
@@ -160,7 +160,7 @@ object PathIndexOps extends QueryPack {
       | (event_type = 'error') AS is_delete
       |FROM events""".stripMargin
 
-  private def stateSql(src: String) =
+  private[operators] def stateSql(src: String) =
     s"""SELECT * FROM (
        | SELECT *, row_number() OVER (PARTITION BY key ORDER BY ts DESC, event_id DESC) AS rn,
        |  count(*) OVER (PARTITION BY key) AS n_versions

@@ -98,7 +98,22 @@ object Search extends QueryPack {
       }
     }
 
+  /** The reference Program.cs's actual indexer-run listing
+    * (SearchIndexerTest/Program.cs:92-96): paths modified since a
+    * cutoff AND `search.ismatch('<prefix>*')` under the keyword
+    * analyzer, ordered by key — here against the upserted path state.
+    */
+  def searchIsMatchPath(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Analyzers
+    PathIndexOps.upsertPaths(spark, dir)
+      .filter(col("fileLastModified") >= "2024-01-10 00:00:00")
+      .filter(Analyzers.isMatchKeyword(col("pathUrlEncoded"), "data%2fpart_1*"))
+      .select(col("key"), col("pathUrlEncoded"), col("fileLastModified"))
+      .orderBy(col("key"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "search_ismatch_path" -> (searchIsMatchPath _),
     "search_filter" -> (searchFilter _),
     "search_orderby_page" -> (searchOrderByPage _),
     "search_facets" -> (searchFacets _),
@@ -106,6 +121,12 @@ object Search extends QueryPack {
     "search_score" -> (searchScore _))
 
   val oracles: Map[String, String] = Map(
+    "search_ismatch_path" ->
+      s"""SELECT key, pathUrlEncoded, strftime(ts, '%Y-%m-%d %H:%M:%S') AS fileLastModified
+         |FROM (${PathIndexOps.stateSql(PathIndexOps.logSql)})
+         |WHERE strftime(ts, '%Y-%m-%d %H:%M:%S') >= '2024-01-10 00:00:00'
+         | AND starts_with(lower(pathUrlEncoded), 'data%2fpart_1')
+         |ORDER BY key""".stripMargin,
     "search_filter" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE (lang = 'en' AND n_chars >= 200) OR (source = 'src3' AND NOT (lang = 'zh'))
