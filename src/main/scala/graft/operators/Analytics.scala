@@ -25,13 +25,13 @@ object Analytics extends QueryPack {
     l.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
-        round(avg(col("l_quantity")), 2).as("avg_qty"),
-        round(avg(col("l_extendedprice")), 2).as("avg_price"),
-        round(avg(col("l_discount")), 4).as("avg_disc"),
+        round(lit(1e-9) + sum(col("l_quantity")), 2).as("sum_qty"),
+        round(lit(1e-9) + sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(lit(1e-9) + sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(lit(1e-9) + sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(lit(1e-9) + avg(col("l_quantity")), 2).as("avg_qty"),
+        round(lit(1e-9) + avg(col("l_extendedprice")), 2).as("avg_price"),
+        round(lit(1e-9) + avg(col("l_discount")), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
@@ -43,7 +43,7 @@ object Analytics extends QueryPack {
     l.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(round(lit(1e-9) + sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
       .select(
         col("l_orderkey"),
         col("revenue"),
@@ -69,7 +69,7 @@ object Analytics extends QueryPack {
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(round(lit(1e-9) + sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
@@ -79,7 +79,7 @@ object Analytics extends QueryPack {
       .filter(col("l_shipdate") < lit("1995-01-01").cast("timestamp"))
       .filter(col("l_discount").between(0.05, 0.07))
       .filter(col("l_quantity") < 24)
-      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+      .agg(round(lit(1e-9) + sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
 
   def windowTopN(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
@@ -113,7 +113,7 @@ object Analytics extends QueryPack {
         count(lit(1)).as("n_events"),
         date_format(min(col("ts")), TsFmt).as("session_start"),
         date_format(max(col("ts")), TsFmt).as("session_end"),
-        round(sum(col("value")), 2).as("session_value"))
+        round(lit(1e-9) + sum(col("value")), 2).as("session_value"))
       .orderBy(col("user_id"), col("session_id"))
   }
 
@@ -122,7 +122,7 @@ object Analytics extends QueryPack {
       .groupBy(
         date_format(date_trunc("hour", col("ts")), TsFmt).as("hour"),
         col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .agg(count(lit(1)).as("n"), round(lit(1e-9) + sum(col("value")), 2).as("total_value"))
       .orderBy(col("hour"), col("event_type"))
 
   /** Q4 analog (no l_commitdate in the schema): per-priority count of
@@ -153,7 +153,7 @@ object Analytics extends QueryPack {
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(round(lit(1e-9) + sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(20)
   }
@@ -196,7 +196,7 @@ object Analytics extends QueryPack {
   def q18(spark: SparkSession, dir: String): DataFrame = {
     val big = Tables.lineitem(spark, dir)
       .groupBy(col("l_orderkey"))
-      .agg(round(sum(col("l_quantity")), 2).as("total_qty"))
+      .agg(round(lit(1e-9) + sum(col("l_quantity")), 2).as("total_qty"))
       .filter(col("total_qty") > 150)
     val o = Tables.orders(spark, dir)
     val c = Tables.customer(spark, dir)
@@ -238,7 +238,111 @@ object Analytics extends QueryPack {
         count(lit(1)).as("n"))
       .orderBy(col("event_type"))
 
+  /** Q7 analog: shipping volume between nation pairs per year. */
+  def q7(spark: SparkSession, dir: String): DataFrame = {
+    val n1 = Tables.nation(spark, dir).select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(spark, dir).select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    val s = Tables.supplier(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter(col("supp_nation") < col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
+      .agg(round(lit(1e-9) + sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("volume"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** Q13: distribution of order counts per customer (incl. zero). */
+  def q13(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val perCust = c.join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+    perCust.groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** Q15: top suppliers by quarterly revenue (= max revenue view). */
+  def q15(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp"))
+      .filter(col("l_shipdate") < lit("1995-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(round(lit(1e-9) + sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("total_revenue"))
+    val maxRev = rev.agg(max(col("total_revenue")).as("mx"))
+    rev.crossJoin(broadcast(maxRev)).filter(col("total_revenue") === col("mx"))
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** Q17 analog: revenue of small-quantity lines (below 50% of the
+    * part's average quantity) — a correlated-avg pattern as a join.
+    */
+  def q17(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val avgQty = l.groupBy(col("l_partkey").as("ap"))
+      .agg(avg(col("l_quantity")).as("avg_qty"))
+    l.join(avgQty, col("l_partkey") === col("ap"))
+      .filter(col("l_quantity") < col("avg_qty") * 0.5)
+      .agg(round(lit(1e-9) + sum(col("l_extendedprice")) / 7.0 + 1e-9, 2).as("avg_yearly"))
+  }
+
+  /** Q19 analog: OR-of-ANDs predicate over part attributes. */
+  def q19(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) && col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) && col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) && col("l_quantity").between(20, 30)))
+      .agg(round(lit(1e-9) + sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+  }
+
+  /** Window-function suite: running totals, moving averages, ranks,
+    * lead/lag deltas, ntile buckets — over customer order history.
+    */
+  def windowSuite(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wRange = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wMove = w.rowsBetween(-2, 0)
+    Tables.orders(spark, dir)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        round(lit(1e-9) + sum(col("o_totalprice")).over(wRange), 2).as("running_total"),
+        round(lit(1e-9) + avg(col("o_totalprice")).over(wMove), 2).as("moving_avg3"),
+        rank().over(w).cast("long").as("rk"),
+        dense_rank().over(w).cast("long").as("drk"),
+        round(col("o_totalprice") - coalesce(lag(col("o_totalprice"), 1).over(w), lit(0.0)), 2).as("delta_prev"),
+        ntile(4).over(w).cast("long").as("quartile"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** ROLLUP aggregation: event counts at (type, day), (type), and
+    * grand-total levels in one pass.
+    */
+  def eventsRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .rollup(col("event_type"), date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"), round(lit(1e-9) + sum(col("value")), 2).as("total_value"))
+      .orderBy(col("event_type").asc_nulls_first, col("day").asc_nulls_first)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q7_nations" -> (q7 _),
+    "q13_distribution" -> (q13 _),
+    "q15_maxrev" -> (q15 _),
+    "q17_corravg" -> (q17 _),
+    "q19_orands" -> (q19 _),
+    "window_suite" -> (windowSuite _),
+    "events_rollup" -> (eventsRollup _),
     "events_percentiles" -> (eventPercentiles _),
     "topk_agg" -> (topKAgg _),
     "q1_agg" -> (q1 _),
@@ -256,6 +360,63 @@ object Analytics extends QueryPack {
     "events_windowed_agg" -> (windowedAgg _))
 
   val oracles: Map[String, String] = Map(
+    "q7_nations" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        | CAST(year(l_shipdate) AS INT) AS l_year,
+        | round(1e-9 + sum(l_extendedprice*(1-l_discount)),2) AS volume
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        | JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE n1.n_name < n2.n_name
+        |GROUP BY 1,2,3 ORDER BY 1,2,3""".stripMargin,
+    "q13_distribution" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        | SELECT c_custkey, count(o_orderkey) AS c_count
+        | FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        | GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q15_maxrev" ->
+      """WITH rev AS (
+        | SELECT l_suppkey, round(1e-9 + sum(l_extendedprice*(1-l_discount)),2) AS total_revenue
+        | FROM lineitem
+        | WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1995-04-01 00:00:00'
+        | GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q17_corravg" ->
+      """SELECT round(1e-9 + sum(l_extendedprice) / 7.0 + 1e-9, 2) AS avg_yearly
+        |FROM lineitem l JOIN (
+        | SELECT l_partkey AS ap, avg(l_quantity) AS avg_qty FROM lineitem GROUP BY l_partkey) a
+        | ON l.l_partkey = a.ap
+        |WHERE l.l_quantity < a.avg_qty * 0.5""".stripMargin,
+    "q19_orands" ->
+      """SELECT round(1e-9 + sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+        | OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+        | OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "window_suite" ->
+      """SELECT o_custkey, o_orderkey,
+        | round(1e-9 + sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+        | round(1e-9 + avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS moving_avg3,
+        | CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS rk,
+        | CAST(dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS drk,
+        | round(o_totalprice - coalesce(lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 0.0), 2) AS delta_prev,
+        | CAST(ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS quartile
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "events_rollup" ->
+      """SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        | count(*) AS n, round(1e-9 + sum(value), 2) AS total_value
+        |FROM events GROUP BY ROLLUP (event_type, day)
+        |ORDER BY event_type ASC NULLS FIRST, day ASC NULLS FIRST""".stripMargin,
     "events_percentiles" ->
       """SELECT event_type,
         | round(quantile_cont(value, 0.5) + 1e-9, 4) AS p50,
@@ -277,7 +438,7 @@ object Analytics extends QueryPack {
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q10_topn" ->
       """SELECT c_custkey, c_name, n_name,
-        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        | round(1e-9 + sum(l_extendedprice*(1-l_discount)),2) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         | JOIN customer ON o_custkey = c_custkey
         | JOIN nation ON c_nationkey = n_nationkey
@@ -306,8 +467,8 @@ object Analytics extends QueryPack {
         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
     "q18_having" ->
       """WITH big AS (
-        | SELECT l_orderkey, round(sum(l_quantity),2) AS total_qty
-        | FROM lineitem GROUP BY l_orderkey HAVING round(sum(l_quantity),2) > 150)
+        | SELECT l_orderkey, round(1e-9 + sum(l_quantity),2) AS total_qty
+        | FROM lineitem GROUP BY l_orderkey HAVING round(1e-9 + sum(l_quantity),2) > 150)
         |SELECT c_custkey, c_name, o_orderkey,
         | strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS orderdate,
         | round(o_totalprice,2) AS totalprice, total_qty
@@ -316,19 +477,19 @@ object Analytics extends QueryPack {
         |ORDER BY total_qty DESC, o_orderkey LIMIT 100""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        | round(sum(l_quantity),2) AS sum_qty,
-        | round(sum(l_extendedprice),2) AS sum_base_price,
-        | round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
-        | round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
-        | round(avg(l_quantity),2) AS avg_qty,
-        | round(avg(l_extendedprice),2) AS avg_price,
-        | round(avg(l_discount),4) AS avg_disc,
+        | round(1e-9 + sum(l_quantity),2) AS sum_qty,
+        | round(1e-9 + sum(l_extendedprice),2) AS sum_base_price,
+        | round(1e-9 + sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+        | round(1e-9 + sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
+        | round(1e-9 + avg(l_quantity),2) AS avg_qty,
+        | round(1e-9 + avg(l_extendedprice),2) AS avg_price,
+        | round(1e-9 + avg(l_discount),4) AS avg_disc,
         | count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "q3_join" ->
       """SELECT l_orderkey,
-        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+        | round(1e-9 + sum(l_extendedprice*(1-l_discount)),2) AS revenue,
         | strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS orderdate,
         | o_orderpriority
         |FROM customer JOIN orders ON c_custkey = o_custkey
@@ -340,7 +501,7 @@ object Analytics extends QueryPack {
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
     "q5_join" ->
       """SELECT n_name,
-        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        | round(1e-9 + sum(l_extendedprice*(1-l_discount)),2) AS revenue
         |FROM lineitem
         | JOIN orders ON l_orderkey = o_orderkey
         | JOIN customer ON o_custkey = c_custkey
@@ -352,7 +513,7 @@ object Analytics extends QueryPack {
         | AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
     "q6_filter" ->
-      """SELECT round(sum(l_extendedprice*l_discount),2) AS revenue
+      """SELECT round(1e-9 + sum(l_extendedprice*l_discount),2) AS revenue
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
         | AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
@@ -380,11 +541,11 @@ object Analytics extends QueryPack {
         |SELECT user_id, session_id, count(*) AS n_events,
         | strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
         | strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
-        | round(sum(value),2) AS session_value
+        | round(1e-9 + sum(value),2) AS session_value
         |FROM sess GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
     "events_windowed_agg" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
-        | event_type, count(*) AS n, round(sum(value),2) AS total_value
+        | event_type, count(*) AS n, round(1e-9 + sum(value),2) AS total_value
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin)
 }

@@ -110,7 +110,7 @@ object StreamingOps extends QueryPack {
     eventRows(spark, dir).toDF()
       .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
       .groupBy(window(col("ts"), "15 minutes"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .agg(count(lit(1)).as("n"), round(lit(1e-9) + sum(col("value")), 2).as("total_value"))
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
         col("event_type"), col("n"), col("total_value"))
       .orderBy(col("wstart"), col("event_type"))
@@ -131,6 +131,6 @@ object StreamingOps extends QueryPack {
         |FROM ranked WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "stream_window" ->
       """SELECT strftime(to_timestamp((epoch_ns(ts) // 900000000000) * 900), '%Y-%m-%d %H:%M:%S') AS wstart,
-        | event_type, count(*) AS n, round(sum(value), 2) AS total_value
+        | event_type, count(*) AS n, round(1e-9 + sum(value), 2) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin)
 }
