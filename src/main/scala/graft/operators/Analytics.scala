@@ -335,7 +335,19 @@ object Analytics extends QueryPack {
       .agg(count(lit(1)).as("n"), round(lit(1e-9) + sum(col("value")), 2).as("total_value"))
       .orderBy(col("event_type").asc_nulls_first, col("day").asc_nulls_first)
 
+  /** Pivot: event types become per-user count columns (reshaping op;
+    * Spark's pivot = groupBy + pivot, oracle = CASE aggregation).
+    */
+  def eventsPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .pivot(col("event_type"), Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("user_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_pivot" -> (eventsPivot _),
     "q7_nations" -> (q7 _),
     "q13_distribution" -> (q13 _),
     "q15_maxrev" -> (q15 _),
@@ -360,6 +372,14 @@ object Analytics extends QueryPack {
     "events_windowed_agg" -> (windowedAgg _))
 
   val oracles: Map[String, String] = Map(
+    "events_pivot" ->
+      """SELECT user_id,
+        | sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+        | sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+        | sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+        | sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+        | sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q7_nations" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         | CAST(year(l_shipdate) AS INT) AS l_year,
