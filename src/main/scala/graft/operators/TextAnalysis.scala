@@ -147,7 +147,54 @@ object TextAnalysis extends QueryPack {
       .orderBy(col("lang"), col("rk"))
   }
 
+  /** PII scrubbing: regex redaction of email-like and long-digit
+    * (phone/ID) spans, with counts of what was redacted. The patterns
+    * are deliberately simple/portable; a production pass would chain
+    * more recognizers through the same shape.
+    */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[a-zA-Z0-9._]+@[a-zA-Z0-9.]+\\.[a-zA-Z]+"
+    val digitsRe = "[0-9]{7,}"
+    val d = Tables.documents(spark, dir)
+    d.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(emailRe)).cast("long").as("n_emails"),
+      regexp_count(col("text"), lit(digitsRe)).cast("long").as("n_longdigits"),
+      regexp_replace(regexp_replace(col("text"), emailRe, "<EMAIL>"), digitsRe, "<NUM>").as("scrubbed"))
+      .withColumn("was_redacted", (col("n_emails") + col("n_longdigits")) > 0)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Benchmark decontamination: flag docs sharing any word-5-gram with
+    * a held-out benchmark set (here: doc_id < 10). The join is on the
+    * 5-gram hash — at scale the benchmark side is a broadcast set of
+    * fingerprints, so the corpus scan stays shuffle-free.
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    def grams(df: DataFrame) = df
+      .select(col("doc_id"), toks.as("t"))
+      .filter(size(col("t")) >= 5)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(col("t")) - 5),
+        i => md5(concat_ws(" ",
+          element_at(col("t"), i + 1), element_at(col("t"), i + 2), element_at(col("t"), i + 3),
+          element_at(col("t"), i + 4), element_at(col("t"), i + 5)).cast("binary"))))
+        .as("g"))
+    val d = Tables.documents(spark, dir)
+    val bench = grams(d.filter(col("doc_id") < 10)).select(col("g")).distinct()
+    val hits = grams(d.filter(col("doc_id") >= 10))
+      .join(broadcast(bench), Seq("g"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated_grams"))
+    d.filter(col("doc_id") >= 10).select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left").na.fill(0L, Seq("n_contaminated_grams"))
+      .withColumn("contaminated", col("n_contaminated_grams") > 0)
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pii_scrub" -> (piiScrub _),
+    "decontaminate" -> (decontaminate _),
     "sample_deterministic" -> (sampleDeterministic _),
     "sample_stratified" -> (sampleStratified _),
     "text_chunk" -> (chunk _),
@@ -161,6 +208,28 @@ object TextAnalysis extends QueryPack {
     s"len(list_filter(string_split(text,' '), t -> t IN (${ms.map(m => s"'$m'").mkString(",")})))"
 
   val oracles: Map[String, String] = Map(
+    "pii_scrub" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+\.[a-zA-Z]+')) AS BIGINT) AS n_emails,
+        | CAST(len(regexp_extract_all(text, '[0-9]{7,}')) AS BIGINT) AS n_longdigits,
+        | regexp_replace(regexp_replace(text, '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+\.[a-zA-Z]+', '<EMAIL>', 'g'), '[0-9]{7,}', '<NUM>', 'g') AS scrubbed,
+        | (len(regexp_extract_all(text, '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+\.[a-zA-Z]+'))
+        |  + len(regexp_extract_all(text, '[0-9]{7,}'))) > 0 AS was_redacted
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "decontaminate" ->
+      """WITH grams AS (
+        | SELECT doc_id, unnest(list_transform(generate_series(0, len(t)-5),
+        |   i -> md5(t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] || ' ' || t[i+5]))) AS g
+        | FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents)
+        | WHERE len(t) >= 5),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < 10),
+        |hits AS (
+        | SELECT doc_id, count(*) AS n_contaminated_grams
+        | FROM grams JOIN bench USING (g) WHERE doc_id >= 10 GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(h.n_contaminated_grams, 0) AS n_contaminated_grams,
+        | coalesce(h.n_contaminated_grams, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        |WHERE d.doc_id >= 10 ORDER BY d.doc_id""".stripMargin,
     "sample_deterministic" ->
       """SELECT doc_id, lang,
         | ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 AS bucket
