@@ -23,7 +23,8 @@ import org.apache.spark.sql.functions._
   */
 final case class MergeResult(created: Long, modified: Long, version: Long)
 
-class IndexStore(spark: SparkSession, root: String, keyCol: String) {
+class IndexStore(spark: SparkSession, root: String, keyCol: String,
+                 partitionCol: Option[String] = None) {
 
   private val fs = new java.io.File(root)
 
@@ -56,7 +57,10 @@ class IndexStore(spark: SparkSession, root: String, keyCol: String) {
           .filter(col("_rn") === 1).drop("_rn", "_seq")
     }
 
-    deduped.write.mode(SaveMode.Overwrite).parquet(s"$root/v=$nextV")
+    val writer = deduped.write.mode(SaveMode.Overwrite)
+    // hive-partitioned layout → partition pruning for filtered reads
+    // (the "filesystem eq 'x'" listing pattern never scans other partitions)
+    partitionCol.fold(writer)(c => writer.partitionBy(c)).parquet(s"$root/v=$nextV")
 
     val result = existing match {
       case None => MergeResult(batch.dropDuplicates(keyCol).count(), 0L, nextV)

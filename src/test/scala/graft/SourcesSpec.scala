@@ -36,6 +36,27 @@ class SourcesSpec extends SparkSpec {
       .sameElements(Array("a", "c")))
   }
 
+  test("partitioned IndexStore prunes partitions on filtered reads") {
+    val root = Files.createTempDirectory("graft_idx3").toString
+    val store = new IndexStore(spark, root, "key", partitionCol = Some("fs"))
+    import spark.implicits._
+    store.mergeOrUpload(Seq(
+      ("k1", "fs0", 1), ("k2", "fs0", 2), ("k3", "fs1", 3), ("k4", "fs2", 4))
+      .toDF("key", "fs", "n"))
+    // hive layout on disk
+    val dirs = new java.io.File(s"$root/v=0").listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.sameElements(Array("fs=fs0", "fs=fs1", "fs=fs2")))
+    // filtered read prunes to one partition
+    val df = store.read().get.filter(col("fs") === "fs1")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("fs1"), s"plan:\n$plan")
+    assert(df.count() == 1)
+    // merge keeps partitioning across versions
+    store.mergeOrUpload(Seq(("k5", "fs1", 5)).toDF("key", "fs", "n"))
+    assert(store.read().get.filter(col("fs") === "fs1").count() == 2)
+  }
+
   test("json source tolerates corrupt records and reports them") {
     val dir = Files.createTempDirectory("graft_json")
     Files.writeString(dir.resolve("docs.json"),
