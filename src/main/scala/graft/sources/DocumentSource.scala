@@ -44,4 +44,31 @@ object DocumentSource {
       .option("pathGlobFilter", glob)
       .load(path)
       .select(col("path"), col("modificationTime"), col("length"), col("content"))
+
+  /** Recursive lake listing → DataFrame(path, length, mtime) — the
+    * rebuild entry point (reference: PathIndexClient.RebuildPathsIndexAsync
+    * consumes ListPathsParallelAsync's recursive listing the same way;
+    * directories are skipped there too, PathIndexClient.cs:110).
+    *
+    * Uses the Hadoop FileSystem recursive iterator (one listing call
+    * per directory server-side, streamed); the result is parallelized
+    * so downstream keying/upserting is distributed.
+    */
+  def listFilesRecursive(spark: SparkSession, root: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import scala.collection.mutable.ArrayBuffer
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(new Path(root), true)
+    val rows = ArrayBuffer[(String, Long, Long)]()
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile)
+        rows += ((st.getPath.toUri.getPath, st.getLen, st.getModificationTime))
+    }
+    import spark.implicits._
+    spark.createDataset(rows.toSeq)
+      .toDF("path", "length", "mtime_ms")
+      .withColumn("modificationTime", timestamp_millis(col("mtime_ms")))
+      .drop("mtime_ms")
+  }
 }

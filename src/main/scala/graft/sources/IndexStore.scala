@@ -50,8 +50,10 @@ class IndexStore(spark: SparkSession, root: String, keyCol: String,
     val deduped = existing match {
       case None => batch.dropDuplicates(keyCol)
       case Some(cur) =>
+        // allowMissingColumns: batches may add columns over time
+        // (schema evolution); absent columns null-fill on either side
         val tagged = cur.withColumn("_seq", lit(0))
-          .unionByName(batch.withColumn("_seq", lit(1)))
+          .unionByName(batch.withColumn("_seq", lit(1)), allowMissingColumns = true)
         val w = Window.partitionBy(col(keyCol)).orderBy(col("_seq").desc)
         tagged.withColumn("_rn", row_number().over(w))
           .filter(col("_rn") === 1).drop("_rn", "_seq")
@@ -71,6 +73,23 @@ class IndexStore(spark: SparkSession, root: String, keyCol: String,
         MergeResult(batchKeys.count() - modified, modified, nextV)
     }
     result
+  }
+
+  /** Drop all but the newest `keepLast` snapshot versions (vacuum).
+    * Returns the number of versions removed. Readers of the live
+    * snapshot are unaffected — only superseded `v=N` dirs are deleted.
+    */
+  def compact(keepLast: Int = 1): Int = {
+    require(keepLast >= 1, "must keep at least the live snapshot")
+    val old = versions.dropRight(keepLast)
+    old.foreach { v =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(new java.io.File(s"$root/v=$v"))
+    }
+    old.length
   }
 
   /** Delete-by-key (the deleted-paths flow): next snapshot excludes the

@@ -73,6 +73,37 @@ class SourcesSpec extends SparkSpec {
     assert(good.collect().map(_.getAs[Long]("id")).sorted.sameElements(Array(1L, 2L)))
   }
 
+  test("recursive listing finds nested files and skips directories") {
+    val dir = Files.createTempDirectory("graft_ls")
+    Files.createDirectories(dir.resolve("a/b"))
+    Files.write(dir.resolve("root.txt"), Array[Byte](1))
+    Files.write(dir.resolve("a/mid.txt"), Array[Byte](1, 2))
+    Files.write(dir.resolve("a/b/leaf.txt"), Array[Byte](1, 2, 3))
+    val df = DocumentSource.listFilesRecursive(spark, dir.toString)
+    val rows = df.collect()
+    assert(rows.length == 3)
+    val byName = rows.map(r => r.getString(0).split('/').last -> r.getLong(1)).toMap
+    assert(byName == Map("root.txt" -> 1L, "mid.txt" -> 2L, "leaf.txt" -> 3L))
+  }
+
+  test("IndexStore schema evolution and compaction") {
+    val root = Files.createTempDirectory("graft_idx4").toString
+    val store = new IndexStore(spark, root, "key")
+    import spark.implicits._
+    store.mergeOrUpload(Seq(("a", 1)).toDF("key", "n"))
+    // evolved batch adds a column
+    store.mergeOrUpload(Seq(("b", 2, "extra")).toDF("key", "n", "tag"))
+    val state = store.read().get
+    assert(state.columns.sorted.sameElements(Array("key", "n", "tag")))
+    assert(state.filter(col("key") === "a").collect().head.getAs[String]("tag") == null)
+    // three versions exist? (v0, v1); add one more then compact
+    store.mergeOrUpload(Seq(("c", 3, "t")).toDF("key", "n", "tag"))
+    assert(store.currentVersion.contains(2L))
+    val removed = store.compact(keepLast = 1)
+    assert(removed == 2)
+    assert(store.read().get.count() == 3) // live snapshot intact
+  }
+
   test("binary source reads payload bytes with metadata") {
     val dir = Files.createTempDirectory("graft_bin")
     Files.write(dir.resolve("a.bin"), Array[Byte](1, 2, 3))
