@@ -94,9 +94,33 @@ object Multimodal extends QueryPack {
         explode(sequence(lit(0), col("duration_s"), lit(2))).as("frame_t"))
       .orderBy(col("doc_id"), col("frame_t"))
 
+  /** Aspect-preserving resize planning: compute the (w, h) a decoder
+    * would scale each asset to for a max-512 long edge, plus the scale
+    * factor — the pure-metadata half of an image resize stage (the
+    * pixel work happens in the stubbed decoder).
+    */
+  def mmResize(spark: SparkSession, dir: String): DataFrame = {
+    val a = assets(spark, dir).toDF()
+    val longEdge = greatest(col("width"), col("height"))
+    val needs = longEdge > 512
+    // integer `div` keeps it engine-exact (matches DuckDB's `//`);
+    // double division could land at x.9999… and truncate off-by-one
+    val newW = when(needs,
+      expr("CAST(width AS BIGINT) * 512 div CAST(greatest(width, height) AS BIGINT)"))
+      .otherwise(col("width").cast("long"))
+    val newH = when(needs,
+      expr("CAST(height AS BIGINT) * 512 div CAST(greatest(width, height) AS BIGINT)"))
+      .otherwise(col("height").cast("long"))
+    a.filter(col("mime") === "image/png")
+      .select(col("doc_id"), col("width"), col("height"),
+        newW.as("target_w"), newH.as("target_h"), needs.as("downscaled"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode" -> (mmDecode _),
-    "mm_framesample" -> (mmFrameSample _))
+    "mm_framesample" -> (mmFrameSample _),
+    "mm_resize" -> (mmResize _))
 
   val oracles: Map[String, String] = Map(
     "mm_decode" ->
@@ -111,5 +135,18 @@ object Multimodal extends QueryPack {
       """SELECT doc_id, CAST(n_chars % 120 AS INT) AS duration_s, f.f AS frame_t
         |FROM documents, LATERAL (SELECT unnest(generate_series(0, CAST(n_chars % 120 AS INT), 2)) AS f) f
         |WHERE doc_id % 3 = 2 AND n_chars % 120 > 0
-        |ORDER BY doc_id, frame_t""".stripMargin)
+        |ORDER BY doc_id, frame_t""".stripMargin,
+    "mm_resize" ->
+      """WITH dims AS (
+        | SELECT doc_id,
+        |  CAST((doc_id % 64) * 10 + 16 AS INT) AS width,
+        |  CAST((doc_id % 48) * 10 + 16 AS INT) AS height
+        | FROM documents WHERE doc_id % 3 = 0)
+        |SELECT doc_id, width, height,
+        | CASE WHEN greatest(width, height) > 512
+        |  THEN width * 512 // greatest(width, height) ELSE width END AS target_w,
+        | CASE WHEN greatest(width, height) > 512
+        |  THEN height * 512 // greatest(width, height) ELSE height END AS target_h,
+        | greatest(width, height) > 512 AS downscaled
+        |FROM dims ORDER BY doc_id""".stripMargin)
 }
