@@ -1,0 +1,54 @@
+package graft
+
+import graft.functions.Keys
+import graft.sources.{DocumentSource, IndexStore}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Full rebuild flow against a real directory tree: recursive listing →
+  * url-encode + key derivation → merge into the path index — the
+  * RebuildPathsIndexAsync loop (reference: PathIndexClient.cs:99) on
+  * actual files.
+  */
+class RebuildE2ESpec extends SparkSpec {
+
+  test("rebuild path index from a real directory tree") {
+    val lake = Files.createTempDirectory("graft_lake")
+    Files.createDirectories(lake.resolve("fsA/data/part_1"))
+    Files.createDirectories(lake.resolve("fsA/data/part_2"))
+    Files.writeString(lake.resolve("fsA/data/part_1/f1.json"), """{"a":1}""")
+    Files.writeString(lake.resolve("fsA/data/part_1/f2.json"), """{"a":2}""")
+    Files.writeString(lake.resolve("fsA/data/part_2/f3.json"), """{"a":3}""")
+
+    val idxDir = Files.createTempDirectory("graft_rebuild_idx").toString
+    val store = new IndexStore(spark, idxDir, "key")
+
+    val listing = DocumentSource.listFilesRecursive(spark, lake.toString)
+    val prefix = lake.toString + "/"
+    val pathIndex = listing
+      .withColumn("rel", expr(s"substring(path, ${prefix.length + 1})"))
+      .withColumn("filesystem", split(col("rel"), "/").getItem(0))
+      .withColumn("relpath", expr("substring(rel, length(filesystem) + 2)"))
+      .withColumn("pathUrlEncoded", Keys.pathUrlEncode(col("relpath")))
+      .withColumn("key", Keys.pathKey(col("filesystem"), col("pathUrlEncoded")))
+      .select(col("key"), col("filesystem"), col("pathUrlEncoded"), col("length"),
+        date_format(col("modificationTime"), "yyyy-MM-dd HH:mm:ss").as("fileLastModified"))
+
+    val r = store.mergeOrUpload(pathIndex)
+    assert(r.created == 3 && r.modified == 0)
+
+    val state = store.read().get.collect()
+    assert(state.length == 3)
+    // keys decode to filesystem%2fpath
+    val decoded = state.map(row => new String(
+      java.util.Base64.getDecoder.decode(row.getAs[String]("key")), "UTF-8")).sorted
+    assert(decoded.sameElements(Array(
+      "fsA%2fdata%2fpart_1%2ff1.json",
+      "fsA%2fdata%2fpart_1%2ff2.json",
+      "fsA%2fdata%2fpart_2%2ff3.json")))
+
+    // a rebuild over the same tree is all-modified (idempotent contents)
+    val r2 = store.mergeOrUpload(pathIndex)
+    assert(r2.created == 0 && r2.modified == 3)
+  }
+}
