@@ -346,7 +346,50 @@ object Analytics extends QueryPack {
       .na.fill(0L)
       .orderBy(col("user_id"))
 
+  /** Q8 analog: a nation's share of regional revenue per year
+    * (conditional-sum ratio over a 6-way join).
+    */
+  def q8(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val n1 = Tables.nation(spark, dir).select(col("n_nationkey").as("c_nk"), col("n_regionkey"))
+    val n2 = Tables.nation(spark, dir).select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val c = Tables.customer(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("c_nationkey") === col("c_nk"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n2), col("s_nationkey") === col("s_nk"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(round(lit(1e-9) +
+        sum(when(col("supp_nation") === "CHINA", col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(0.0)) /
+        sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  /** Q20 analog: suppliers whose shipped quantity of PROMO parts
+    * exceeds half their total shipped quantity (nested-agg semi join).
+    */
+  def q20(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir)
+    val promoQty = l.join(broadcast(p.filter(col("p_type") === "PROMO")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey")).agg(round(lit(1e-9) + sum(col("l_quantity")), 2).as("promo_qty"))
+    val totalQty = l.groupBy(col("l_suppkey")).agg(round(lit(1e-9) + sum(col("l_quantity")), 2).as("total_qty"))
+    promoQty.join(totalQty, Seq("l_suppkey"))
+      .filter(col("promo_qty") > col("total_qty") * 0.08)
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("promo_qty"), col("total_qty"))
+      .orderBy(col("s_suppkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q8_mktshare" -> (q8 _),
+    "q20_nestedagg" -> (q20 _),
     "events_pivot" -> (eventsPivot _),
     "q7_nations" -> (q7 _),
     "q13_distribution" -> (q13 _),
@@ -372,6 +415,33 @@ object Analytics extends QueryPack {
     "events_windowed_agg" -> (windowedAgg _))
 
   val oracles: Map[String, String] = Map(
+    "q8_mktshare" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        | round(1e-9 +
+        |  sum(CASE WHEN n2.n_name = 'CHINA' THEN l_extendedprice*(1-l_discount) ELSE 0 END) /
+        |  sum(l_extendedprice*(1-l_discount)), 4) AS mkt_share
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        | JOIN region ON n1.n_regionkey = r_regionkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY 1 ORDER BY o_year""".stripMargin,
+    "q20_nestedagg" ->
+      """WITH promo AS (
+        | SELECT l_suppkey, round(1e-9 + sum(l_quantity), 2) AS promo_qty
+        | FROM lineitem JOIN part ON l_partkey = p_partkey
+        | WHERE p_type = 'PROMO' GROUP BY l_suppkey),
+        |total AS (
+        | SELECT l_suppkey, round(1e-9 + sum(l_quantity), 2) AS total_qty
+        | FROM lineitem GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, promo_qty, total_qty
+        |FROM promo JOIN total USING (l_suppkey)
+        | JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE promo_qty > total_qty * 0.08
+        |ORDER BY s_suppkey""".stripMargin,
     "events_pivot" ->
       """SELECT user_id,
         | sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
