@@ -80,6 +80,55 @@ object Dedup extends QueryPack {
       .select(col("a"), col("b")).distinct()
   }
 
+  /** Incremental dedup: at 100 TB you never re-minhash the corpus — the
+    * LSH band index lives in an [[graft.sources.IndexStore]]; new docs
+    * are shingled/hashed alone and joined against the stored bands.
+    *
+    * @param newDocs   (doc_id, text) of the incoming batch
+    * @param bandStore persisted band index (key = doc_id:band, cols
+    *                  doc_id/band/sig); updated with the batch's bands
+    * @return candidate pairs (new_doc, existing_doc) sharing a band
+    */
+  def incrementalCandidates(spark: SparkSession, newDocs: DataFrame,
+                            bandStore: graft.sources.IndexStore): DataFrame = {
+    val toks = split(col("text"), " ")
+    val sh = newDocs
+      .select(col("doc_id"), toks.as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(col("t")) - 3),
+        i => concat_ws(" ", element_at(col("t"), i + 1), element_at(col("t"), i + 2), element_at(col("t"), i + 3))))
+        .as("sh"))
+    val aggs = (0 until NumPerms).map(p =>
+      min(md5(concat(lit(s"$p:"), col("sh")).cast("binary"))).as(s"m$p"))
+    val mh = sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val bandSigs = (0 until Bands).map { b =>
+      val ms = (0 until 3).map(r => col(s"m${b * 3 + r}"))
+      struct(lit(b).as("band"), md5(concat(ms: _*).cast("binary")).as("sig"))
+    }
+    val newBands = mh.select(col("doc_id"), explode(array(bandSigs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      .withColumn("key", concat(col("doc_id").cast("string"), lit(":"), col("band").cast("string")))
+      .persist()
+
+    val existing = bandStore.read()
+    val candidates = existing match {
+      case None => newBands.limit(0)
+        .select(col("doc_id").as("new_doc"), col("doc_id").as("existing_doc"))
+      case Some(idx) =>
+        newBands.select(col("doc_id").as("new_doc"), col("band"), col("sig"))
+          .join(idx.select(col("doc_id").as("existing_doc"), col("band"), col("sig")),
+            Seq("band", "sig"))
+          .filter(col("new_doc") =!= col("existing_doc"))
+          .select(col("new_doc"), col("existing_doc")).distinct()
+    }
+    val out = candidates.persist()
+    out.count() // materialize before the store advances
+    bandStore.mergeOrUpload(newBands)
+    newBands.unpersist()
+    out
+  }
+
   // ---- queries ----
 
   def dedupExact(spark: SparkSession, dir: String): DataFrame =

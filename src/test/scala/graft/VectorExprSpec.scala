@@ -41,6 +41,23 @@ class VectorExprSpec extends SparkSpec {
     assert(viaSql.forall(r => !r.isNullAt(1) && !r.isNullAt(2)))
   }
 
+  test("int8 quantized cosine tracks exact cosine within 3e-2") {
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val quantized = emb.limit(200)
+      .crossJoin(broadcast(q))
+      .withColumn("s_a", Vectors.int8Scale(col("embedding")))
+      .withColumn("s_q", Vectors.int8Scale(col("qv")))
+      .withColumn("qa", Vectors.quantizeInt8(col("embedding"), col("s_a")))
+      .withColumn("qq", Vectors.quantizeInt8(col("qv"), col("s_q")))
+      .select(
+        Vectors.cosine(col("embedding"), col("qv")).as("exact"),
+        Vectors.cosineInt8(col("qa"), col("qq")).as("approx"))
+      .collect()
+    assert(quantized.nonEmpty)
+    val maxErr = quantized.map(r => math.abs(r.getAs[Double]("exact") - r.getAs[Double]("approx"))).max
+    assert(maxErr < 0.03, s"max quantization error $maxErr")
+  }
+
   test("native kernel stays inside whole-stage codegen") {
     val df = emb
       .crossJoin(broadcast(emb.filter(col("vec_id") === 0).select(col("embedding").as("q"))))
