@@ -75,6 +75,22 @@ class IndexStore(spark: SparkSession, root: String, keyCol: String,
     result
   }
 
+  /** Rewrite the live snapshot into `numFiles` part files — the
+    * small-files compaction every lake index needs after many
+    * incremental merges (thousands of tiny parquet files kill scan
+    * throughput; the optimize pass restores fat, scan-friendly files).
+    */
+  def optimize(numFiles: Int = 1): Long = {
+    read() match {
+      case None => 0L
+      case Some(cur) =>
+        val nextV = currentVersion.get + 1
+        val n = cur.count()
+        cur.repartition(numFiles).write.mode(SaveMode.Overwrite).parquet(s"$root/v=$nextV")
+        n
+    }
+  }
+
   /** Drop all but the newest `keepLast` snapshot versions (vacuum).
     * Returns the number of versions removed. Readers of the live
     * snapshot are unaffected — only superseded `v=N` dirs are deleted.

@@ -91,6 +91,19 @@ object StreamingOps extends QueryPack {
       .withColumn(keyCol, col("event_id") % 500)
       .join(index, Seq(keyCol), "left")
 
+  /** Streaming exact dedup: drop events whose content hash was already
+    * seen within the watermark horizon — the streaming form of
+    * dedup_exact for a training-data ingest stream. State is bounded by
+    * the watermark (old hashes age out).
+    */
+  def dedupStream(events: Dataset[EventRow]): DataFrame =
+    events.toDF()
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      .withColumn("content_hash", md5(concat_ws("|",
+        col("user_id"), col("event_type"), col("value")).cast("binary")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("content_hash")
+
   // ---- batch-equivalent registered queries ----
 
   private def eventRows(spark: SparkSession, dir: String): Dataset[EventRow] = {

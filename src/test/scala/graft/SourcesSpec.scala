@@ -104,6 +104,20 @@ class SourcesSpec extends SparkSpec {
     assert(store.read().get.count() == 3) // live snapshot intact
   }
 
+  test("optimize compacts the live snapshot into few files") {
+    val root = Files.createTempDirectory("graft_idx5").toString
+    val store = new IndexStore(spark, root, "key")
+    import spark.implicits._
+    // many merges → many small files
+    (1 to 4).foreach(i => store.mergeOrUpload(Seq((s"k$i", i)).toDF("key", "n")))
+    val rows = store.optimize(numFiles = 1)
+    assert(rows == 4)
+    val files = new java.io.File(s"$root/v=${store.currentVersion.get}")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files == 1)
+    assert(store.read().get.count() == 4)
+  }
+
   test("binary source reads payload bytes with metadata") {
     val dir = Files.createTempDirectory("graft_bin")
     Files.write(dir.resolve("a.bin"), Array[Byte](1, 2, 3))

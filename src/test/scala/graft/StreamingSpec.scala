@@ -65,6 +65,27 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming dedup drops repeated content within the watermark") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+
+    // craft events where the same (user, type, value) repeats
+    val base = Tables.events(spark, sf)
+      .selectExpr("event_id", "ts_ns", "user_id", "event_type", "value")
+      .as[EventRow].collect().take(50)
+    val dupes = base.map(e => e.copy(event_id = e.event_id + 1000000, ts_ns = e.ts_ns + 1000L))
+
+    val input = MemoryStream[EventRow]
+    val query = StreamingOps.dedupStream(input.toDS())
+      .writeStream.format("memory").queryName("deduped").outputMode("append").start()
+    try {
+      input.addData(base.toSeq ++ dupes.toSeq); query.processAllAvailable()
+      val out = spark.table("deduped").collect()
+      val distinctContent = base.map(e => (e.user_id, e.event_type, e.value)).distinct.length
+      assert(out.length == distinctContent)
+    } finally query.stop()
+  }
+
   test("streaming windowed counts equal the batch windowed query") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
