@@ -46,6 +46,15 @@ class SearchSpec extends SparkSpec {
     assert(n == expected && n > 0)
   }
 
+  test("OData literal edge cases: ne, floats, negative numbers") {
+    assert(docs.filter(ODataFilter.compile("lang ne 'en'")).collect()
+      .forall(_.getAs[String]("lang") != "en"))
+    val e = Tables.events(spark, sf)
+    assert(e.filter(ODataFilter.compile("value lt 10.5")).collect()
+      .forall(_.getAs[Double]("value") < 10.5))
+    assert(e.filter(ODataFilter.compile("value gt -1")).count() == e.count())
+  }
+
   test("OData rejects malformed input") {
     intercept[IllegalArgumentException](ODataFilter.compile("lang foo 'en'"))
     intercept[IllegalArgumentException](ODataFilter.compile("lang eq 'en' trailing"))
