@@ -387,7 +387,43 @@ object Analytics extends QueryPack {
       .orderBy(col("s_suppkey"))
   }
 
+  /** Funnel analysis: signup → view → purchase completion per user,
+    * stages must occur in order (min-ts per stage, ordered).
+    */
+  def eventsFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val stages = e.groupBy(col("user_id")).agg(
+      min(when(col("event_type") === "signup", col("ts_ns"))).as("t_signup"),
+      min(when(col("event_type") === "view", col("ts_ns"))).as("t_view"),
+      min(when(col("event_type") === "purchase", col("ts_ns"))).as("t_purchase"))
+    val flags = stages.select(
+      col("user_id"),
+      col("t_signup").isNotNull.as("did_signup"),
+      (col("t_signup").isNotNull && col("t_view").isNotNull && col("t_view") > col("t_signup")).as("viewed_after"),
+      (col("t_signup").isNotNull && col("t_view").isNotNull && col("t_purchase").isNotNull &&
+        col("t_view") > col("t_signup") && col("t_purchase") > col("t_view")).as("purchased_after"))
+    flags.agg(
+      sum(when(col("did_signup"), 1L).otherwise(0L)).as("stage1_signup"),
+      sum(when(col("viewed_after"), 1L).otherwise(0L)).as("stage2_view"),
+      sum(when(col("purchased_after"), 1L).otherwise(0L)).as("stage3_purchase"))
+  }
+
+  /** Cohort retention: users grouped by first-seen week; per (cohort,
+    * week-offset) count of active users.
+    */
+  def eventsRetention(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts_ns div 604800000000000").as("week")) // integer div: ts_ns exceeds double's exact range
+    val cohorts = e.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    e.join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count_distinct(col("user_id")).as("active_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_funnel" -> (eventsFunnel _),
+    "events_retention" -> (eventsRetention _),
     "q8_mktshare" -> (q8 _),
     "q20_nestedagg" -> (q20 _),
     "events_pivot" -> (eventsPivot _),
@@ -415,6 +451,28 @@ object Analytics extends QueryPack {
     "events_windowed_agg" -> (windowedAgg _))
 
   val oracles: Map[String, String] = Map(
+    "events_funnel" ->
+      """WITH stages AS (
+        | SELECT user_id,
+        |  min(CASE WHEN event_type = 'signup' THEN epoch_ns(ts) END) AS t_signup,
+        |  min(CASE WHEN event_type = 'view' THEN epoch_ns(ts) END) AS t_view,
+        |  min(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) END) AS t_purchase
+        | FROM events GROUP BY user_id)
+        |SELECT
+        | sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS stage1_signup,
+        | sum(CASE WHEN t_signup IS NOT NULL AND t_view IS NOT NULL AND t_view > t_signup
+        |  THEN 1 ELSE 0 END) AS stage2_view,
+        | sum(CASE WHEN t_signup IS NOT NULL AND t_view IS NOT NULL AND t_purchase IS NOT NULL
+        |  AND t_view > t_signup AND t_purchase > t_view THEN 1 ELSE 0 END) AS stage3_purchase
+        |FROM stages""".stripMargin,
+    "events_retention" ->
+      """WITH weeks AS (
+        | SELECT user_id, epoch_ns(ts) // 604800000000000 AS week FROM events),
+        |cohorts AS (SELECT user_id, min(week) AS cohort_week FROM weeks GROUP BY user_id)
+        |SELECT cohort_week, (week - cohort_week) AS week_offset,
+        | count(DISTINCT w.user_id) AS active_users
+        |FROM weeks w JOIN cohorts c ON w.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
     "q8_mktshare" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
         | round(1e-9 +
