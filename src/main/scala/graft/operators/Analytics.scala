@@ -459,11 +459,11 @@ object Analytics extends QueryPack {
         |  min(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) END) AS t_purchase
         | FROM events GROUP BY user_id)
         |SELECT
-        | sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS stage1_signup,
-        | sum(CASE WHEN t_signup IS NOT NULL AND t_view IS NOT NULL AND t_view > t_signup
-        |  THEN 1 ELSE 0 END) AS stage2_view,
-        | sum(CASE WHEN t_signup IS NOT NULL AND t_view IS NOT NULL AND t_purchase IS NOT NULL
-        |  AND t_view > t_signup AND t_purchase > t_view THEN 1 ELSE 0 END) AS stage3_purchase
+        | CAST(sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS stage1_signup,
+        | CAST(sum(CASE WHEN t_signup IS NOT NULL AND t_view IS NOT NULL AND t_view > t_signup
+        |  THEN 1 ELSE 0 END) AS BIGINT) AS stage2_view,
+        | CAST(sum(CASE WHEN t_signup IS NOT NULL AND t_view IS NOT NULL AND t_purchase IS NOT NULL
+        |  AND t_view > t_signup AND t_purchase > t_view THEN 1 ELSE 0 END) AS BIGINT) AS stage3_purchase
         |FROM stages""".stripMargin,
     "events_retention" ->
       """WITH weeks AS (
@@ -502,11 +502,11 @@ object Analytics extends QueryPack {
         |ORDER BY s_suppkey""".stripMargin,
     "events_pivot" ->
       """SELECT user_id,
-        | sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-        | sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
-        | sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-        | sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-        | sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+        | CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        | CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        | CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        | CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        | CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q7_nations" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
@@ -597,8 +597,8 @@ object Analytics extends QueryPack {
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
     "q12_caseagg" ->
       """SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
-        | sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_count,
-        | sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_count
+        | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+        | CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_count
         |FROM orders GROUP BY 1 ORDER BY month""".stripMargin,
     "q14_promo" ->
       """SELECT round(
@@ -683,8 +683,8 @@ object Analytics extends QueryPack {
         | FROM events),
         |sess AS (
         | SELECT user_id, ts, value,
-        |  sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         | FROM gapped)
         |SELECT user_id, session_id, count(*) AS n_events,
         | strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,

@@ -125,18 +125,18 @@ object IndexerOps extends QueryPack {
       s"""WITH mapped AS ($mappedSql),
          |kept AS (SELECT *, CAST((row_number() OVER (ORDER BY pathbase64) - 1) // $BatchDocCount AS BIGINT) AS batch_id
          |  FROM mapped WHERE numbervalue <= $TooLargeAbove),
-         |batches AS (SELECT batch_id, count(*) AS n_docs, sum(numbervalue) AS total_bytes
+         |batches AS (SELECT batch_id, count(*) AS n_docs, CAST(sum(numbervalue) AS BIGINT) AS total_bytes
          |  FROM kept GROUP BY batch_id),
-         |toolarge AS (SELECT CAST(-1 AS BIGINT) AS batch_id, count(*) AS n_docs, sum(numbervalue) AS total_bytes
+         |toolarge AS (SELECT CAST(-1 AS BIGINT) AS batch_id, count(*) AS n_docs, CAST(sum(numbervalue) AS BIGINT) AS total_bytes
          |  FROM mapped WHERE numbervalue > $TooLargeAbove)
          |SELECT * FROM (SELECT * FROM batches UNION ALL SELECT * FROM toolarge)
          |WHERE n_docs > 0 ORDER BY batch_id""".stripMargin,
     "indexer_metrics" ->
       s"""SELECT
-         | sum(CASE WHEN n_chars >= $ReadFailBelow THEN 1 ELSE 0 END) AS readCount,
-         | sum(CASE WHEN n_chars < $ReadFailBelow THEN 1 ELSE 0 END) AS readFailedCount,
-         | sum(CASE WHEN n_chars >= $ReadFailBelow AND n_chars <= $TooLargeAbove THEN 1 ELSE 0 END) AS uploadCount,
-         | sum(CASE WHEN n_chars > $TooLargeAbove THEN 1 ELSE 0 END) AS uploadFailedTooLargeCount
+         | CAST(sum(CASE WHEN n_chars >= $ReadFailBelow THEN 1 ELSE 0 END) AS BIGINT) AS readCount,
+         | CAST(sum(CASE WHEN n_chars < $ReadFailBelow THEN 1 ELSE 0 END) AS BIGINT) AS readFailedCount,
+         | CAST(sum(CASE WHEN n_chars >= $ReadFailBelow AND n_chars <= $TooLargeAbove THEN 1 ELSE 0 END) AS BIGINT) AS uploadCount,
+         | CAST(sum(CASE WHEN n_chars > $TooLargeAbove THEN 1 ELSE 0 END) AS BIGINT) AS uploadFailedTooLargeCount
          |FROM documents""".stripMargin,
     "incremental_run" ->
       s"""WITH log AS (

@@ -181,8 +181,8 @@ object PathIndexOps extends QueryPack {
          |existing AS (SELECT DISTINCT key FROM log WHERE ts < TIMESTAMP '2024-01-20 00:00:00'),
          |batch AS (SELECT DISTINCT key FROM log WHERE ts >= TIMESTAMP '2024-01-20 00:00:00')
          |SELECT
-         | sum(CASE WHEN e.key IS NULL THEN 1 ELSE 0 END) AS created,
-         | sum(CASE WHEN e.key IS NOT NULL THEN 1 ELSE 0 END) AS modified,
+         | CAST(sum(CASE WHEN e.key IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS created,
+         | CAST(sum(CASE WHEN e.key IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS modified,
          | count(*) AS batch_total
          |FROM batch b LEFT JOIN existing e ON b.key = e.key""".stripMargin,
     "list_paths_delta" ->

@@ -23,15 +23,40 @@ def norm(v):
         return f"{v:.6g}"
     return str(v)
 
+def canon_arrow(t):
+    s = str(t)
+    if s.startswith("int") or s.startswith("uint"): return "int"
+    if s in ("float", "double", "halffloat"): return "float"
+    if s.startswith("timestamp"): return "timestamp"
+    if s in ("string", "large_string"): return "string"
+    if s == "bool": return "bool"
+    if s.startswith("list"): return "list"
+    if s.startswith("decimal"): return "decimal"
+    return s
+
+def canon_duck(t):
+    s = str(t).upper()
+    if s in ("TINYINT","SMALLINT","INTEGER","BIGINT","UTINYINT","USMALLINT","UINTEGER","UBIGINT"): return "int"
+    if s == "HUGEINT": return "hugeint"   # driver hash is type-sensitive: HUGEINT != BIGINT
+    if s in ("FLOAT","DOUBLE"): return "float"
+    if s.startswith("TIMESTAMP"): return "timestamp"
+    if s == "VARCHAR": return "string"
+    if s == "BOOLEAN": return "bool"
+    if s.endswith("[]"): return "list"
+    if s.startswith("DECIMAL"): return "decimal"
+    return s.lower()
+
 fails = 0
 for name in sorted(oracle):
     files = glob.glob(f"{outdir}/{name}/*.parquet")
     if not files:
         print(f"{name}: MISSING spark output"); fails += 1; continue
-    spark_tbl = pq.read_table(files[0]).to_pydict()
+    spark_pq = pq.read_table(files[0])
+    spark_tbl = spark_pq.to_pydict()
     try:
         duck = con.sql(oracle[name])
         duck_cols = duck.columns
+        duck_types = duck.types
         duck_rows = duck.fetchall()
     except Exception as ex:
         print(f"{name}: ORACLE SQL ERROR {str(ex)[:200]}"); fails += 1; continue
@@ -39,6 +64,11 @@ for name in sorted(oracle):
     dcols = sorted(duck_cols)
     if [c.lower() for c in scols] != [c.lower() for c in dcols]:
         print(f"{name}: SCHEMA MISMATCH spark={scols} duck={dcols}"); fails += 1; continue
+    stypes = {f.name.lower(): canon_arrow(f.type) for f in spark_pq.schema}
+    dtypes = {c.lower(): canon_duck(t) for c, t in zip(duck_cols, duck_types)}
+    badtypes = [(c, stypes[c], dtypes[c]) for c in stypes if stypes[c] != dtypes[c]]
+    if badtypes:
+        print(f"{name}: TYPE MISMATCH {badtypes}"); fails += 1; continue
     n = len(spark_tbl[scols[0]]) if scols else 0
     srows = sorted(tuple(norm(spark_tbl[c][i]) for c in scols) for i in range(n))
     dmap = {c: i for i, c in enumerate(duck_cols)}
