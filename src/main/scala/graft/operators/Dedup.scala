@@ -37,21 +37,18 @@ object Dedup extends QueryPack {
 
   /** doc_id → NumPerms min-hashes (hex-string minima of salted md5).
     *
-    * The salted hashes depend only on the shingle, not the doc — so we
-    * hash the (much smaller) DISTINCT shingle vocabulary once and
-    * broadcast-join it back, instead of re-hashing every (doc, shingle)
-    * occurrence. Real corpora follow Zipf: the vocabulary is orders of
-    * magnitude smaller than the occurrence stream, and the min-agg
-    * still partial-aggregates map-side before the shuffle.
+    * Hashes are computed inline on the shingle stream with a map-side
+    * partial min per (doc, perm) — no materialized shingle vocabulary.
+    * (A broadcast of the distinct vocabulary looks tempting but is a
+    * scale-killer: at 100 TB the 3-gram vocabulary is billions of
+    * entries and cannot live in every executor. md5 is cheap; the
+    * shuffle of per-doc partial minima is the only real cost.)
     */
   def minhashes(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingled(spark, dir)
-    val hashed = sh.select(col("sh")).distinct()
-      .select(col("sh") +: (0 until NumPerms).map(p =>
-        md5(concat(lit(s"$p:"), col("sh")).cast("binary")).as(s"h$p")): _*)
-    val aggs = (0 until NumPerms).map(p => min(col(s"h$p")).as(s"m$p"))
-    sh.join(broadcast(hashed), Seq("sh"))
-      .groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val aggs = (0 until NumPerms).map(p =>
+      min(md5(concat(lit(s"$p:"), col("sh")).cast("binary"))).as(s"m$p"))
+    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** doc_id → (band, sig): LSH band signatures (md5 of each band's row
@@ -68,12 +65,14 @@ object Dedup extends QueryPack {
   }
 
   /** Distinct candidate pairs (a < b) sharing an LSH band. The band
-    * table is persisted for the duration of the query: it feeds both
-    * sides of the self-join (and the Jaccard verify), and recomputing
-    * it means re-running the whole shingle→minhash pipeline.
+    * table feeds both sides of the self-join; both sides shuffle on
+    * (band, sig) with identical subplans, so Catalyst's ReuseExchange
+    * computes the shingle→minhash pipeline once and reads the second
+    * side from the shuffle files — no persist() (whose cached blocks
+    * would leak past the query) and no recompute.
     */
   def candidatePairs(spark: SparkSession, dir: String): DataFrame = {
-    val bands = lshBands(spark, dir).persist()
+    val bands = lshBands(spark, dir)
     val l = bands.select(col("doc_id").as("a"), col("band"), col("sig"))
     val r = bands.select(col("doc_id").as("b"), col("band"), col("sig"))
     l.join(r, Seq("band", "sig")).filter(col("a") < col("b"))
@@ -87,7 +86,10 @@ object Dedup extends QueryPack {
     * @param newDocs   (doc_id, text) of the incoming batch
     * @param bandStore persisted band index (key = doc_id:band, cols
     *                  doc_id/band/sig); updated with the batch's bands
-    * @return candidate pairs (new_doc, existing_doc) sharing a band
+    * @return candidate pairs (new_doc, existing_doc) sharing a band.
+    *         The frame is persisted (it was materialized before the
+    *         store advanced) — the caller must `unpersist()` it once
+    *         consumed.
     */
   def incrementalCandidates(spark: SparkSession, newDocs: DataFrame,
                             bandStore: graft.sources.IndexStore): DataFrame = {
@@ -209,6 +211,10 @@ object Dedup extends QueryPack {
     // (small) subgraph; the untouched majority joins back at the end
     val nodes = edges.select(col("a").as("doc_id")).distinct()
     var labels = nodes.select(col("doc_id"), col("doc_id").as("cluster_id")).persist()
+    // `labels` is re-derived from the persisted `next` each round;
+    // unpersist must target the frame that actually owns the cache entry
+    // (unpersist on a derived projection is a silent no-op).
+    var cached = labels
     var changed = 1L
     var iters = 0
     while (changed > 0 && iters < 50) {
@@ -223,13 +229,22 @@ object Dedup extends QueryPack {
           col("cluster_id").as("old_label"))
         .persist()
       changed = next.filter(col("new_label") =!= col("old_label")).count()
-      labels.unpersist()
+      cached.unpersist()
+      cached = next
       labels = next.select(col("doc_id"), col("new_label").as("cluster_id"))
       iters += 1
     }
     if (sys.env.contains("GRAFT_DEBUG")) println(s"[dedup_clusters] converged in $iters rounds")
+    // Truncate the iterative lineage: the label table is tiny (one row
+    // per edge-touching doc), so checkpoint it locally and release every
+    // cached frame the loop accumulated — across a 69-query session the
+    // leaked blocks would otherwise evict useful cache.
+    val finalLabels = labels.localCheckpoint(true)
+    cached.unpersist()
+    edges.unpersist()
+    pairs.unpersist()
     val all = Tables.documents(spark, dir).select(col("doc_id"))
-      .join(labels, Seq("doc_id"), "left")
+      .join(finalLabels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
     all
       .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy(col("cluster_id"))))

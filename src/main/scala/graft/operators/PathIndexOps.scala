@@ -29,7 +29,7 @@ import org.apache.spark.sql.functions._
   */
 object PathIndexOps extends QueryPack {
 
-  private val TsFmt = "yyyy-MM-dd HH:mm:ss"
+  private[operators] val TsFmt = "yyyy-MM-dd HH:mm:ss"
 
   /** Delta cutoff (2024-01-20T00:00Z) as epoch nanos: filtering on the
     * raw ts_ns long (not the derived timestamp) lets the comparison
@@ -96,11 +96,23 @@ object PathIndexOps extends QueryPack {
       count(lit(1)).as("batch_total"))
   }
 
+  /** List-delta cutoff (2024-01-25T00:00Z) as epoch nanos. */
+  private[operators] val DeltaCutoffNs: Long =
+    java.time.Instant.parse("2024-01-25T00:00:00Z").getEpochSecond * 1000000000L
+
+  /** Delta listing. The filesystem predicate is key-stable (the key
+    * embeds the filesystem), so it is pushed BELOW the upsert's
+    * per-key shuffle — on a 4-filesystem lake that is a 4× smaller
+    * shuffle; on a real lake it is the difference between shuffling one
+    * tenant and shuffling the corpus. The time cutoff must see the
+    * post-dedup latest version, so it stays above — but compares the
+    * raw int64 `ts_ns`, not a formatted string.
+    */
   def listPathsDelta(spark: SparkSession, dir: String): DataFrame =
-    upsertPaths(spark, dir)
-      .filter(col("fileLastModified") >= "2024-01-25 00:00:00")
-      .filter(col("filesystem") === "fs1")
-      .select(col("key"), col("pathUrlEncoded"), col("fileLastModified"))
+    upsertState(changeLog(spark, dir).filter(col("filesystem") === "fs1"))
+      .filter(col("ts_ns") >= DeltaCutoffNs)
+      .select(col("key"), col("pathUrlEncoded"),
+        date_format(col("ts"), TsFmt).as("fileLastModified"))
       .orderBy(col("key"))
       .limit(5000)
 

@@ -105,10 +105,17 @@ object Search extends QueryPack {
     */
   def searchIsMatchPath(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Analyzers
-    PathIndexOps.upsertPaths(spark, dir)
-      .filter(col("fileLastModified") >= "2024-01-10 00:00:00")
-      .filter(Analyzers.isMatchKeyword(col("pathUrlEncoded"), "data%2fpart_1*"))
-      .select(col("key"), col("pathUrlEncoded"), col("fileLastModified"))
+    // The wildcard prefix is a function of the key (key embeds the
+    // encoded path), so it prunes the change-log BEFORE the upsert's
+    // per-key shuffle; the modified-since cutoff needs the post-dedup
+    // latest version, so it stays above and compares raw int64 ns.
+    val cutoffNs = java.time.Instant.parse("2024-01-10T00:00:00Z").getEpochSecond * 1000000000L
+    PathIndexOps.upsertState(
+      PathIndexOps.changeLog(spark, dir)
+        .filter(Analyzers.isMatchKeyword(col("pathUrlEncoded"), "data%2fpart_1*")))
+      .filter(col("ts_ns") >= cutoffNs)
+      .select(col("key"), col("pathUrlEncoded"),
+        date_format(col("ts"), PathIndexOps.TsFmt).as("fileLastModified"))
       .orderBy(col("key"))
   }
 
