@@ -30,10 +30,21 @@ abstract class VectorBinaryExpression extends BinaryExpression {
   }
 }
 
-/** cosine(a, b) = dot / (‖a‖·‖b‖), accumulated in double. */
+/** cosine(a, b) = dot / (‖a‖·‖b‖), accumulated in double.
+  *
+  * A zero vector has no direction, so cosine against it is undefined:
+  * this returns NULL (never NaN — a NaN would silently poison top-k
+  * orderings, since NaN sorts above every real similarity). Mismatched
+  * lengths compare the common prefix (documented truncation; the
+  * engine's embedding columns are fixed-width so this never triggers in
+  * practice).
+  */
 case class CosineSimilarity(left: Expression, right: Expression) extends VectorBinaryExpression {
 
   override def prettyName: String = "cosine_sim"
+
+  // nullable even over non-null inputs: zero-norm yields NULL
+  override def nullable: Boolean = true
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -47,7 +58,8 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorB
       dot += xi * yi; na += xi * xi; nb += yi * yi
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    val den = math.sqrt(na) * math.sqrt(nb)
+    if (den == 0.0) null else dot / den
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -55,6 +67,7 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorB
       val n = ctx.freshName("n"); val i = ctx.freshName("i")
       val dot = ctx.freshName("dot"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
       val xi = ctx.freshName("xi"); val yi = ctx.freshName("yi")
+      val den = ctx.freshName("den")
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0, $na = 0.0, $nb = 0.0;
@@ -63,7 +76,12 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorB
          |  double $yi = (double) $b.getFloat($i);
          |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |double $den = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |if ($den == 0.0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $dot / $den;
+         |}
        """.stripMargin
     })
 

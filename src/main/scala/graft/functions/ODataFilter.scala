@@ -123,7 +123,17 @@ object ODataFilter {
     private def parseCmp(): Column = {
       val field = col(next())
       val op = next()
-      val lit0 = parseLiteral(next())
+      val tok = next()
+      // OData null comparisons are IS [NOT] NULL, not three-valued
+      // equality: `field eq null` via `=== lit(null)` would evaluate to
+      // NULL and filter out EVERY row. Ordering against null is an error.
+      if (tok == "null") return op match {
+        case "eq" => field.isNull
+        case "ne" => field.isNotNull
+        case other => throw new IllegalArgumentException(
+          s"operator '$other' is not supported with null (only eq/ne)")
+      }
+      val lit0 = parseLiteral(tok)
       op match {
         case "eq" => field === lit0
         case "ne" => field =!= lit0
@@ -139,7 +149,6 @@ object ODataFilter {
       case t if t.startsWith("'") => lit(t.drop(1))
       case "true" => lit(true)
       case "false" => lit(false)
-      case "null" => lit(null)
       case t if t.matches("-?\\d+") => lit(t.toLong)
       case t if t.matches("-?\\d*\\.\\d+([eE][+-]?\\d+)?") => lit(t.toDouble)
       case t if t.matches("\\d{4}-\\d{2}-\\d{2}T[\\d:.]+(Z|[+-]\\d{2}:\\d{2})?") =>

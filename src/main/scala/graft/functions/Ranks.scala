@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -11,25 +11,49 @@ import org.apache.spark.sql.functions._
   * computes the identical global row_number in three scalable steps:
   * range-repartition on the order key, rank within each partition,
   * then offset by the cumulative counts of the preceding partitions
-  * (a tiny driver-side prefix sum over ≤ numPartitions values).
+  * (a tiny ≤`partitions`-row prefix sum, computed in-plan and
+  * broadcast back onto the ranked rows).
   *
   * The result is identical to the single-task formulation whenever the
   * order key is unique (range partitioning preserves global order
   * across partitions).
+  *
+  * Determinism: `repartitionByRange` picks its boundaries by SAMPLING,
+  * so two separate executions of the same plan can place boundary rows
+  * in different partitions. Computing the offsets in one action and the
+  * result in another (the round-1 formulation) therefore risked stale
+  * offsets — duplicate or skipped sequence numbers at scale. The fix:
+  * the range-partitioned frame is persisted so every consumer reads the
+  * SAME materialized placement, the offsets join keeps the whole
+  * computation in one action, and the result is eagerly materialized
+  * (localCheckpoint) before the scratch cache is released — callers can
+  * re-execute the returned frame any number of times without ever
+  * re-running the sampled partitioner.
   */
 object Ranks {
 
   def globalRowNumber(df: DataFrame, orderCol: String, outCol: String = "rn", partitions: Int = 32): DataFrame = {
-    val parted = df.repartitionByRange(partitions, col(orderCol))
-      .withColumn("_pid", spark_partition_id())
-    val local = parted.withColumn("_lrn",
-      row_number().over(Window.partitionBy(col("_pid")).orderBy(col(orderCol))))
-    val counts = local.groupBy(col("_pid")).agg(count(lit(1)).as("_cnt"))
-      .collect().map(r => r.getAs[Int]("_pid") -> r.getAs[Long]("_cnt")).sortBy(_._1)
-    val offsets = counts.scanLeft(0L)(_ + _._2).zip(counts).map { case (off, (pid, _)) => (pid, off) }.toMap
-    val offsetExpr = offsets.foldLeft(lit(0L)) { case (acc, (pid, off)) =>
-      when(col("_pid") === pid, lit(off)).otherwise(acc)
-    }
-    local.withColumn(outCol, col("_lrn").cast("long") + offsetExpr).drop("_pid", "_lrn")
+    val parted = df.repartitionByRange(partitions, col(orderCol)).persist()
+    try {
+      val local = parted
+        .withColumn("_pid", spark_partition_id())
+        .withColumn("_lrn",
+          row_number().over(Window.partitionBy(col("_pid")).orderBy(col(orderCol))))
+      // prefix-sum of partition counts: ≤`partitions` rows, so the
+      // unpartitioned window is a single task over a tiny frame
+      val offsets = local.groupBy(col("_pid")).agg(count(lit(1)).as("_cnt"))
+        .withColumn("_off", coalesce(
+          sum(col("_cnt")).over(
+            Window.orderBy(col("_pid")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .select(col("_pid"), col("_off"))
+      // one action: both the offsets agg and the join probe read the one
+      // persisted placement; localCheckpoint(eager) freezes the result so
+      // later actions replay blocks, not the sampled partitioner
+      local.join(broadcast(offsets), Seq("_pid"))
+        .withColumn(outCol, col("_lrn").cast("long") + col("_off"))
+        .drop("_pid", "_lrn", "_off")
+        .localCheckpoint(true)
+    } finally parted.unpersist()
   }
 }

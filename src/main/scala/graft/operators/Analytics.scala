@@ -131,8 +131,8 @@ object Analytics extends QueryPack {
     */
   def q4(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
-      .filter(col("o_orderdate") >= lit("1994-07-01").cast("timestamp"))
-      .filter(col("o_orderdate") < lit("1994-10-01").cast("timestamp"))
+      .filter(col("o_orderdate") >= lit("1995-07-01").cast("timestamp"))
+      .filter(col("o_orderdate") < lit("1995-10-01").cast("timestamp"))
     val l = Tables.lineitem(spark, dir)
     o.join(l, o("o_orderkey") === l("l_orderkey") &&
         l("l_shipdate") > o("o_orderdate"), "left_semi")
@@ -146,8 +146,8 @@ object Analytics extends QueryPack {
     val c = Tables.customer(spark, dir)
     val n = Tables.nation(spark, dir)
     val o = Tables.orders(spark, dir)
-      .filter(col("o_orderdate") >= lit("1994-01-01").cast("timestamp"))
-      .filter(col("o_orderdate") < lit("1994-07-01").cast("timestamp"))
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp"))
+      .filter(col("o_orderdate") < lit("1995-07-01").cast("timestamp"))
     val l = Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R")
     l.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))
@@ -580,8 +580,8 @@ object Analytics extends QueryPack {
         |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
     "q4_semijoin" ->
       """SELECT o_orderpriority, count(*) AS order_count
-        |FROM orders WHERE o_orderdate >= TIMESTAMP '1994-07-01 00:00:00'
-        | AND o_orderdate < TIMESTAMP '1994-10-01 00:00:00'
+        |FROM orders WHERE o_orderdate >= TIMESTAMP '1995-07-01 00:00:00'
+        | AND o_orderdate < TIMESTAMP '1995-10-01 00:00:00'
         | AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q10_topn" ->
@@ -591,8 +591,8 @@ object Analytics extends QueryPack {
         | JOIN customer ON o_custkey = c_custkey
         | JOIN nation ON c_nationkey = n_nationkey
         |WHERE l_returnflag = 'R'
-        | AND o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
-        | AND o_orderdate < TIMESTAMP '1994-07-01 00:00:00'
+        | AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        | AND o_orderdate < TIMESTAMP '1995-07-01 00:00:00'
         |GROUP BY c_custkey, c_name, n_name
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
     "q12_caseagg" ->

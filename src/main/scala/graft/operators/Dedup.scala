@@ -23,11 +23,23 @@ object Dedup extends QueryPack {
   private val NumPerms = 9  // 3 bands × 3 rows
   private val Bands = 3
 
+  /** Redistribute a scan that collapsed to fewer splits than cores (a
+    * tiny local file = one split; a real lake scan = thousands, where
+    * this is a no-op) so the CPU-bound shingle/hash kernels engage
+    * every core. Hash-partitioning on the group key keeps the
+    * downstream per-doc aggregation exchange-free, so the redistribute
+    * replaces (not adds to) that shuffle when it fires.
+    */
+  private def parallelized(spark: SparkSession, df: DataFrame, key: String): DataFrame = {
+    val cores = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores) df.repartition(cores, col(key)) else df
+  }
+
   /** Word 3-gram shingles per doc (docs with <3 tokens drop out). */
   def shingled(spark: SparkSession, dir: String): DataFrame = {
     val toks = split(col("text"), " ")
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), toks.as("t"))
+    val base = Tables.documents(spark, dir).select(col("doc_id"), toks.as("t"))
+    parallelized(spark, base, "doc_id")
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), explode(transform(
         sequence(lit(0), size(col("t")) - 3),
@@ -64,15 +76,24 @@ object Dedup extends QueryPack {
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
 
-  /** Distinct candidate pairs (a < b) sharing an LSH band. The band
-    * table feeds both sides of the self-join; both sides shuffle on
-    * (band, sig) with identical subplans, so Catalyst's ReuseExchange
-    * computes the shingle→minhash pipeline once and reads the second
-    * side from the shuffle files — no persist() (whose cached blocks
-    * would leak past the query) and no recompute.
+  /** Distinct candidate pairs (a < b) sharing an LSH band.
+    *
+    * The band table feeds both sides of the self-join, so it is staged
+    * through an eager localCheckpoint first: the shingle→minhash
+    * pipeline provably runs ONCE, and both join sides replay the
+    * materialized blocks. (Round 2 relied on Catalyst's ReuseExchange
+    * deduping the identical subplans; reuse depends on plan
+    * canonicalization and silently regressed to computing the pipeline
+    * twice — a 9× slowdown at sf0.1. The checkpoint makes the
+    * single-computation guarantee structural, not best-effort.) The
+    * band table is 3 small rows per doc — orders of magnitude lighter
+    * than the shingle stream it truncates. localCheckpoint is
+    * executor-local storage: an executor loss mid-query recomputes
+    * nothing and fails the query — acceptable for a batch dedup pass,
+    * use a reliable checkpoint dir if fault-tolerance matters.
     */
   def candidatePairs(spark: SparkSession, dir: String): DataFrame = {
-    val bands = lshBands(spark, dir)
+    val bands = lshBands(spark, dir).localCheckpoint(true)
     val l = bands.select(col("doc_id").as("a"), col("band"), col("sig"))
     val r = bands.select(col("doc_id").as("b"), col("band"), col("sig"))
     l.join(r, Seq("band", "sig")).filter(col("a") < col("b"))
@@ -162,7 +183,9 @@ object Dedup extends QueryPack {
     */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val pairs = candidatePairs(spark, dir)
-    val sh = shingled(spark, dir).distinct()
+    // the distinct shingle set feeds three consumers (two intersection
+    // joins + the per-doc sizes); materialize it once
+    val sh = shingled(spark, dir).distinct().localCheckpoint(true)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
     val inter = pairs
       .join(sh.select(col("doc_id").as("a"), col("sh")), Seq("a"))

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.model.RunMetrics
 import graft.sources.IndexStore
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Paths}
 
@@ -32,10 +32,26 @@ object Indexer {
     Files.writeString(Paths.get(stateDir, "last_run_ns"), ns.toString)
   }
 
-  /** One incremental run against the synthetic change-log + documents. */
-  def runIncremental(spark: SparkSession, dir: String, store: IndexStore, stateDir: String): IncrementalResult = {
+  /** One incremental run against the synthetic change-log + documents.
+    *
+    * @param odataFilter optional OData partition filter applied to the
+    *   change-log BEFORE the watermark cutoff — the reference's
+    *   scheduled runs each pass one
+    *   (`"filesystem eq 'x' and search.ismatch('partition_N*')"`,
+    *   DatalakeIndexerFunc.cs:44-49). `search.ismatch` patterns match
+    *   against the url-encoded path (keyword-analyzer prefix).
+    * @param uploadReject failure-injection predicate forwarded to the
+    *   store: matching rows are not uploaded and are counted in
+    *   `uploadFailedCount` (DataLakeIndexer.cs:120-141).
+    */
+  def runIncremental(spark: SparkSession, dir: String, store: IndexStore, stateDir: String,
+                     odataFilter: Option[String] = None,
+                     uploadReject: Option[Column] = None): IncrementalResult = {
     val since = readWatermark(stateDir)
-    val log = PathIndexOps.changeLog(spark, dir).filter(col("ts_ns") > since).persist()
+    val partitioned = odataFilter.fold(PathIndexOps.changeLog(spark, dir))(f =>
+      PathIndexOps.changeLog(spark, dir)
+        .filter(graft.functions.ODataFilter.compile(f, searchField = "pathUrlEncoded")))
+    val log = partitioned.filter(col("ts_ns") > since).persist()
 
     val maxNsRow = log.agg(max(col("ts_ns"))).collect().head
     if (maxNsRow.isNullAt(0)) {
@@ -62,7 +78,7 @@ object Indexer {
     val tooLarge = mapped.filter(col("numbervalue") > 512L).count()
     val uploadable = mapped.filter(col("numbervalue") <= 512L)
 
-    val merge = store.mergeOrUpload(uploadable)
+    val merge = store.mergeOrUpload(uploadable, reject = uploadReject)
     log.unpersist()
 
     val metrics = RunMetrics(
@@ -71,9 +87,31 @@ object Indexer {
       processedCount = merge.created + merge.modified,
       uploadCreatedCount = merge.created,
       uploadModifiedCount = merge.modified,
-      uploadFailedCount = 0L,
+      uploadFailedCount = merge.failed,
       uploadFailedTooLargeCount = tooLarge)
     writeWatermark(stateDir, newWatermark)
     IncrementalResult(metrics, newWatermark)
   }
+
+  /** The reference's actual operating mode: N staggered scheduled
+    * indexer runs, each filtered to one partition of the lake by an
+    * OData `search.ismatch('<prefix>*')` over the path, each with its
+    * OWN watermark state so partitions progress (and fail, and retry)
+    * independently (reference:
+    * DatalakePathIndexerFunc/DatalakeIndexerFunc.cs:21-49 — five
+    * functions, `partition_{0..4}*`, separate schedules).
+    *
+    * The synthetic lake's folders are `data/part_0..49`, so the decimal
+    * prefixes `part_0*`..`part_9*` partition them exactly (disjoint,
+    * complete). All partitions merge into the SAME store — exactly like
+    * the reference's five indexers writing one search index.
+    */
+  def runPartitioned(spark: SparkSession, dir: String, store: IndexStore, stateRoot: String,
+                     partitions: Seq[Int] = 0 until 10,
+                     uploadReject: Option[Column] = None): Map[Int, IncrementalResult] =
+    partitions.map { p =>
+      val filter = s"search.ismatch('data%2fpart_$p*')"
+      p -> runIncremental(spark, dir, store, s"$stateRoot/part_$p",
+        odataFilter = Some(filter), uploadReject = uploadReject)
+    }.toMap
 }

@@ -31,6 +31,7 @@ object IndexerOps extends QueryPack {
   private val ReadFailBelow = 60L
   private val TooLargeAbove = 512L
   private val BatchDocCount = 100L
+  private[graft] val MaxBatchBytes = 8192L
 
   /** documents mapped to the index model (IndexMapper.cs analog). */
   def mappedDocs(spark: SparkSession, dir: String): DataFrame = {
@@ -51,20 +52,42 @@ object IndexerOps extends QueryPack {
   def docReadMap(spark: SparkSession, dir: String): DataFrame =
     mappedDocs(spark, dir).orderBy(col("doc_id"))
 
-  /** Upload batch assignment: count-capped batches over upload order
-    * (key order, like the reference's stable channel order); too-large
-    * docs are excluded and grouped under batch_id -1.
+  /** Byte-accurate upload size of one index document: the octet length
+    * of its JSON serialization — the reference sizes every doc by
+    * serializing through a counting stream rather than guessing from
+    * field lengths (reference: AzureSearchIndexer/BatchingUploader.cs:66-99,
+    * CountingStream.cs:1-46).
+    */
+  private def uploadDocBytes: org.apache.spark.sql.Column =
+    octet_length(to_json(struct(
+      col("pathbase64"), col("stringvalue"), col("numbervalue"), col("booleanvalue")))).cast("long")
+
+  /** Upload batch assignment over upload order (key order, like the
+    * reference's stable channel order), capped by doc count AND by
+    * serialized batch bytes (BatchingUploader's dual caps): each
+    * count-capped run is sub-split whenever the running byte total
+    * crosses `MaxBatchBytes`. Too-large docs are excluded and grouped
+    * under batch_id -1 (FailedTooLargeCount analog).
     */
   def batchAssign(spark: SparkSession, dir: String): DataFrame = {
-    val docs = mappedDocs(spark, dir)
+    val docs = mappedDocs(spark, dir).withColumn("doc_bytes", uploadDocBytes)
     val kept = docs.filter(col("numbervalue") <= TooLargeAbove)
-    // distributed global sequence (no single-task window) → count-capped batches
+    // distributed global sequence (no single-task window) → count-capped runs
     val assigned = graft.functions.Ranks.globalRowNumber(kept, "pathbase64")
-      .withColumn("batch_id", ((col("rn") - 1) / BatchDocCount).cast("long"))
-    val batches = assigned.groupBy(col("batch_id"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("numbervalue")).as("total_bytes"))
+      .withColumn("cb", ((col("rn") - 1) / BatchDocCount).cast("long"))
+    // bytes cap: cumulative serialized size BEFORE each doc, within the
+    // count bucket; crossing the cap opens a new sub-batch (distributed:
+    // the window partitions by count bucket, never one global task)
+    val wb = Window.partitionBy(col("cb")).orderBy(col("rn"))
+    val sub = assigned
+      .withColumn("cum_before", coalesce(
+        sum(col("doc_bytes")).over(wb.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("sub_id", (col("cum_before") / MaxBatchBytes).cast("long"))
+    val batches = sub.groupBy(col("cb"), col("sub_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_bytes")).as("total_bytes"))
+      .select((col("cb") * 100 + col("sub_id")).as("batch_id"), col("n_docs"), col("total_bytes"))
     val tooLarge = docs.filter(col("numbervalue") > TooLargeAbove)
-      .agg(count(lit(1)).as("n_docs"), sum(col("numbervalue")).as("total_bytes"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_bytes")).as("total_bytes"))
       .select(lit(-1L).as("batch_id"), col("n_docs"), col("total_bytes"))
     batches.unionByName(tooLarge).filter(col("n_docs") > 0).orderBy(col("batch_id"))
   }
@@ -122,12 +145,20 @@ object IndexerOps extends QueryPack {
   val oracles: Map[String, String] = Map(
     "doc_read_map" -> (mappedSql + " ORDER BY doc_id"),
     "batch_assign" ->
-      s"""WITH mapped AS ($mappedSql),
-         |kept AS (SELECT *, CAST((row_number() OVER (ORDER BY pathbase64) - 1) // $BatchDocCount AS BIGINT) AS batch_id
+      s"""WITH mapped AS (
+         |  SELECT *, CAST(octet_length(encode(to_json(struct_pack(
+         |    pathbase64 := pathbase64, stringvalue := stringvalue,
+         |    numbervalue := numbervalue, booleanvalue := booleanvalue))::VARCHAR)) AS BIGINT) AS doc_bytes
+         |  FROM ($mappedSql)),
+         |kept AS (SELECT *, row_number() OVER (ORDER BY pathbase64) AS rn
          |  FROM mapped WHERE numbervalue <= $TooLargeAbove),
-         |batches AS (SELECT batch_id, count(*) AS n_docs, CAST(sum(numbervalue) AS BIGINT) AS total_bytes
-         |  FROM kept GROUP BY batch_id),
-         |toolarge AS (SELECT CAST(-1 AS BIGINT) AS batch_id, count(*) AS n_docs, CAST(sum(numbervalue) AS BIGINT) AS total_bytes
+         |cb AS (SELECT *, CAST((rn - 1) // $BatchDocCount AS BIGINT) AS cb FROM kept),
+         |sub AS (SELECT *, CAST(coalesce(sum(doc_bytes) OVER (
+         |    PARTITION BY cb ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    // $MaxBatchBytes AS BIGINT) AS sub_id FROM cb),
+         |batches AS (SELECT cb * 100 + sub_id AS batch_id, count(*) AS n_docs, CAST(sum(doc_bytes) AS BIGINT) AS total_bytes
+         |  FROM sub GROUP BY cb, sub_id),
+         |toolarge AS (SELECT CAST(-1 AS BIGINT) AS batch_id, count(*) AS n_docs, CAST(sum(doc_bytes) AS BIGINT) AS total_bytes
          |  FROM mapped WHERE numbervalue > $TooLargeAbove)
          |SELECT * FROM (SELECT * FROM batches UNION ALL SELECT * FROM toolarge)
          |WHERE n_docs > 0 ORDER BY batch_id""".stripMargin,

@@ -144,6 +144,79 @@ object PathIndexOps extends QueryPack {
       .orderBy(col("event_id"))
   }
 
+  /** Spark schema of the full EventGrid blob-event envelope the
+    * reference deserializes (reference:
+    * DatalakePathIndexerFunc/BlobEventModel.cs:1-102 — topic / subject /
+    * eventType / eventTime / id / data{api, eTag, contentType,
+    * contentLength, blobType, url, sequencer} / dataVersion /
+    * metadataVersion).
+    */
+  val BlobEventSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "topic STRING, subject STRING, eventType STRING, eventTime STRING, id STRING, " +
+        "data STRUCT<api: STRING, clientRequestId: STRING, requestId: STRING, eTag: STRING, " +
+        "contentType: STRING, contentLength: BIGINT, blobType: STRING, url: STRING, sequencer: STRING>, " +
+        "dataVersion STRING, metadataVersion STRING")
+
+  /** Synthesize the full EventGrid envelope JSON per change-log event —
+    * the wire format the reference's function host receives on its
+    * service-bus trigger (PathIndexerFunc.cs:18-25 deserializes exactly
+    * this shape before dispatching).
+    */
+  def blobEventEnvelopes(spark: SparkSession, dir: String): DataFrame = {
+    val log = changeLog(spark, dir)
+    val url = concat(lit("https://acct.dfs.core.windows.net/"), col("filesystem"), lit("/"), col("path"))
+    val eventType = when(col("is_delete"), lit("Microsoft.Storage.BlobDeleted"))
+      .otherwise(lit("Microsoft.Storage.BlobCreated"))
+    val api = when(col("is_delete"), lit("DeleteFile")).otherwise(lit("CreateFile"))
+    val eventTime = date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    val contentLength = ((col("event_id") % 1000) + 100).cast("string")
+    val eTag = md5(url.cast("binary"))
+    val sequencer = lpad(conv(col("event_id").cast("string"), 10, 16), 16, "0")
+    val envelope = concat(
+      lit("{\"topic\":\"/subscriptions/sub0/resourceGroups/rg/providers/Microsoft.Storage/storageAccounts/acct\"," +
+        "\"subject\":\"/blobServices/default/containers/"),
+      col("filesystem"), lit("/blobs/"), col("path"),
+      lit("\",\"eventType\":\""), eventType,
+      lit("\",\"eventTime\":\""), eventTime,
+      lit("\",\"id\":\""), col("event_id").cast("string"),
+      lit("\",\"data\":{\"api\":\""), api,
+      lit("\",\"eTag\":\""), eTag,
+      lit("\",\"contentType\":\"application/json\",\"contentLength\":"), contentLength,
+      lit(",\"blobType\":\"BlockBlob\",\"url\":\""), url,
+      lit("\",\"sequencer\":\""), sequencer,
+      lit("\"},\"dataVersion\":\"1\",\"metadataVersion\":\"1\"}"))
+    log.select(col("event_id"), envelope.as("envelope"))
+  }
+
+  /** Parse full envelopes and dispatch on eventType exactly like the
+    * reference function (PathIndexerFunc.cs:18-60): BlobCreated →
+    * upsert into the path index, BlobDeleted → tombstone into the
+    * deleted-paths index; data.url splits into (filesystem, path) via
+    * Utils.UrlToFilesystemAndPath and the path model key is derived
+    * from the encoded path.
+    */
+  def parseBlobEnvelopes(envelopes: DataFrame): DataFrame = {
+    val ev = from_json(col("envelope"), BlobEventSchema)
+    envelopes
+      .select(col("event_id"), ev.as("ev"))
+      .select(
+        col("event_id"),
+        col("ev.eventType").as("eventType"),
+        when(col("ev.eventType") === "Microsoft.Storage.BlobDeleted", lit("tombstone"))
+          .otherwise(lit("upsert")).as("action"),
+        Keys.urlFilesystem(col("ev.data.url")).as("filesystem"),
+        Keys.pathUrlEncode(Keys.urlPath(col("ev.data.url"))).as("pathUrlEncoded"),
+        Keys.pathKey(Keys.urlFilesystem(col("ev.data.url")),
+          Keys.pathUrlEncode(Keys.urlPath(col("ev.data.url")))).as("key"),
+        col("ev.data.eTag").as("eTag"),
+        col("ev.data.contentLength").as("contentLength"),
+        col("ev.eventTime").as("eventTime"))
+  }
+
+  def blobEventEnvelopeQ(spark: SparkSession, dir: String): DataFrame =
+    parseBlobEnvelopes(blobEventEnvelopes(spark, dir)).orderBy(col("event_id"))
+
   def deletedPaths(spark: SparkSession, dir: String): DataFrame =
     upsertState(changeLog(spark, dir))
       .filter(col("is_delete"))
@@ -159,6 +232,7 @@ object PathIndexOps extends QueryPack {
     "list_paths_delta" -> (listPathsDelta _),
     "rebuild_index" -> (rebuildIndex _),
     "blob_events_to_paths" -> (blobEventsToPaths _),
+    "blob_event_envelope" -> (blobEventEnvelopeQ _),
     "deleted_paths" -> (deletedPaths _))
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -223,5 +297,37 @@ object PathIndexOps extends QueryPack {
          |FROM urls ORDER BY event_id""".stripMargin,
     "deleted_paths" ->
       s"""SELECT key, filesystem, pathUrlEncoded, strftime(ts, '%Y-%m-%d %H:%M:%S') AS deletedAt
-         |FROM (${stateSql(logSql)}) WHERE is_delete ORDER BY key""".stripMargin)
+         |FROM (${stateSql(logSql)}) WHERE is_delete ORDER BY key""".stripMargin,
+    "blob_event_envelope" ->
+      s"""WITH log AS ($logSql),
+         |env AS (SELECT event_id,
+         |  '{"topic":"/subscriptions/sub0/resourceGroups/rg/providers/Microsoft.Storage/storageAccounts/acct","subject":"/blobServices/default/containers/'
+         |  || filesystem || '/blobs/' || path
+         |  || '","eventType":"' || (CASE WHEN is_delete THEN 'Microsoft.Storage.BlobDeleted' ELSE 'Microsoft.Storage.BlobCreated' END)
+         |  || '","eventTime":"' || strftime(ts, '%Y-%m-%dT%H:%M:%SZ')
+         |  || '","id":"' || event_id
+         |  || '","data":{"api":"' || (CASE WHEN is_delete THEN 'DeleteFile' ELSE 'CreateFile' END)
+         |  || '","eTag":"' || md5('https://acct.dfs.core.windows.net/' || filesystem || '/' || path)
+         |  || '","contentType":"application/json","contentLength":' || ((event_id % 1000) + 100)
+         |  || ',"blobType":"BlockBlob","url":"' || 'https://acct.dfs.core.windows.net/' || filesystem || '/' || path
+         |  || '","sequencer":"' || lpad(hex(event_id), 16, '0')
+         |  || '"},"dataVersion":"1","metadataVersion":"1"}' AS envelope
+         | FROM log),
+         |parsed AS (SELECT event_id,
+         |  json_extract_string(envelope, '$$.eventType') AS eventType,
+         |  json_extract_string(envelope, '$$.data.url') AS url,
+         |  json_extract_string(envelope, '$$.data.eTag') AS eTag,
+         |  CAST(json_extract(envelope, '$$.data.contentLength') AS BIGINT) AS contentLength,
+         |  json_extract_string(envelope, '$$.eventTime') AS eventTime
+         | FROM env),
+         |split AS (SELECT *,
+         |  regexp_extract(url, '^https://[^/]+/([^/]+)/(.*)$$', 1) AS filesystem,
+         |  replace(regexp_extract(url, '^https://[^/]+/([^/]+)/(.*)$$', 2), '/', '%2f') AS pathUrlEncoded
+         | FROM parsed)
+         |SELECT event_id, eventType,
+         | CASE WHEN eventType = 'Microsoft.Storage.BlobDeleted' THEN 'tombstone' ELSE 'upsert' END AS action,
+         | filesystem, pathUrlEncoded,
+         | to_base64(encode(filesystem || '%2f' || pathUrlEncoded)) AS key,
+         | eTag, contentLength, eventTime
+         |FROM split ORDER BY event_id""".stripMargin)
 }

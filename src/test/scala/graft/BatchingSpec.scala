@@ -51,6 +51,22 @@ class BatchingSpec extends SparkSpec {
     assert(none.isEmpty) // TestEmptyPathsResult: terminates, 0 created
   }
 
+  test("batch_assign sizes docs by serialized JSON bytes and the bytes cap binds") {
+    val rows = graft.operators.IndexerOps.batchAssign(spark, sf).collect()
+    val real = rows.filter(_.getAs[Long]("batch_id") >= 0)
+    assert(real.forall(_.getAs[Long]("n_docs") <= 100L), "count cap")
+    val keptDocs = real.map(_.getAs[Long]("n_docs")).sum
+    val countOnlyBatches = math.ceil(keptDocs.toDouble / 100).toLong
+    // more batches than the count cap alone would produce ⇒ the bytes
+    // cap split at least one count-capped run
+    assert(real.length > countOnlyBatches,
+      s"bytes cap never bound: ${real.length} batches for $keptDocs docs")
+    // a batch's serialized payload stays within cap + one doc overshoot
+    // (the cap closes a batch when the running total crosses it)
+    val maxDoc = 600L // upload docs are ≤ ~350 serialized bytes at this SF
+    assert(real.forall(_.getAs[Long]("total_bytes") <= graft.operators.IndexerOps.MaxBatchBytes + maxDoc))
+  }
+
   test("distributed assignment respects both caps within every partition") {
     val df = Tables.documents(spark, sf)
       .select(col("doc_id"), col("n_chars").cast("long").as("bytes"))

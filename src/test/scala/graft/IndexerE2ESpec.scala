@@ -37,4 +37,46 @@ class IndexerE2ESpec extends SparkSpec {
     assert(r3.metrics.uploadModifiedCount > 0) // overlapping keys merged, not duplicated
     assert(store.read().get.select("key").distinct().count() == store.read().get.count())
   }
+
+  test("partitioned scheduled runs progress independently with per-partition watermarks") {
+    val idxDir = Files.createTempDirectory("graft_part_idx").toString
+    val stateRoot = Files.createTempDirectory("graft_part_state").toString
+    val store = new IndexStore(spark, idxDir, "key")
+
+    // run ONLY partition 1 first: its watermark advances, others untouched
+    val first = Indexer.runPartitioned(spark, sf, store, stateRoot, partitions = Seq(1))
+    val r1 = first(1)
+    assert(r1.metrics.uploadCreatedCount > 0)
+    assert(Indexer.readWatermark(s"$stateRoot/part_1") == r1.newWatermarkNs)
+    assert(Indexer.readWatermark(s"$stateRoot/part_2") == Long.MinValue)
+    // everything indexed so far is partition-1 paths (data%2fpart_1…)
+    val keys1 = store.read().get.select("key").collect().map(_.getString(0))
+    val decoded = keys1.map(k => new String(java.util.Base64.getDecoder.decode(k), "UTF-8"))
+    assert(decoded.nonEmpty && decoded.forall(_.contains("%2fdata%2fpart_1")))
+
+    // partition 2 then runs against the same store without disturbing p1
+    val second = Indexer.runPartitioned(spark, sf, store, stateRoot, partitions = Seq(2))
+    val r2 = second(2)
+    assert(r2.metrics.uploadCreatedCount > 0)
+    assert(r2.metrics.uploadModifiedCount == 0) // disjoint prefixes never collide
+    assert(store.read().get.count() ==
+      r1.metrics.uploadCreatedCount + r2.metrics.uploadCreatedCount)
+
+    // idempotent: rerunning both with no new events is a complete no-op
+    val rerun = Indexer.runPartitioned(spark, sf, store, stateRoot, partitions = Seq(1, 2))
+    assert(rerun.values.forall(r => r.metrics.readCount == 0 && r.metrics.processedCount == 0))
+    assert(store.read().get.count() ==
+      r1.metrics.uploadCreatedCount + r2.metrics.uploadCreatedCount)
+  }
+
+  test("upload failure injection surfaces in uploadFailedCount") {
+    import org.apache.spark.sql.functions.col
+    val idxDir = Files.createTempDirectory("graft_fail_idx").toString
+    val stateDir = Files.createTempDirectory("graft_fail_state").toString
+    val store = new IndexStore(spark, idxDir, "key")
+    val r = Indexer.runIncremental(spark, sf, store, stateDir,
+      uploadReject = Some(col("numbervalue") % 10 === 3))
+    assert(r.metrics.uploadFailedCount > 0)
+    assert(store.read().get.filter(col("numbervalue") % 10 === 3).count() == 0)
+  }
 }

@@ -59,6 +59,26 @@ class PathIndexSpec extends SparkSpec {
     assert(rows.forall(r => r.getAs[String]("pathUrlEncoded").startsWith("data%2f")))
   }
 
+  test("full EventGrid envelope parse dispatches created/deleted and feeds the change-log flow") {
+    val parsed = PathIndexOps.parseBlobEnvelopes(PathIndexOps.blobEventEnvelopes(spark, sf))
+    val rows = parsed.collect()
+    assert(rows.nonEmpty)
+    // every envelope parsed cleanly (from_json yields null structs on failure)
+    assert(rows.forall(r => r.getAs[String]("eventType") != null && r.getAs[String]("key") != null))
+    assert(rows.forall(r => Set("upsert", "tombstone")(r.getAs[String]("action"))))
+    // dispatch agrees with the change-log's is_delete and the derived key
+    // matches the change-log's key derivation — the envelope path can
+    // drive the same upsert/tombstone flow
+    val log = PathIndexOps.changeLog(spark, sf)
+      .select(col("event_id"), col("key"), col("is_delete")).collect()
+      .map(r => r.getAs[Long]("event_id") -> (r.getAs[String]("key"), r.getAs[Boolean]("is_delete"))).toMap
+    rows.foreach { r =>
+      val (k, del) = log(r.getAs[Long]("event_id"))
+      assert(r.getAs[String]("key") == k)
+      assert((r.getAs[String]("action") == "tombstone") == del)
+    }
+  }
+
   test("rebuild skips directories and assigns 1000-doc batches") {
     val rows = PathIndexOps.rebuildIndex(spark, sf).collect()
     assert(rows.forall(_.getAs[Long]("doc_id") % 17 != 0))

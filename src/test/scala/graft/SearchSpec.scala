@@ -55,6 +55,16 @@ class SearchSpec extends SparkSpec {
     assert(e.filter(ODataFilter.compile("value gt -1")).count() == e.count())
   }
 
+  test("OData null comparisons are IS NULL / IS NOT NULL") {
+    import spark.implicits._
+    val df = Seq(("a", Some("x")), ("b", None), ("c", Some("y")))
+      .toDF("id", "v")
+    // `eq null` must match the null row (=== lit(null) would match NOTHING)
+    assert(df.filter(ODataFilter.compile("v eq null")).collect().map(_.getString(0)).toSeq == Seq("b"))
+    assert(df.filter(ODataFilter.compile("v ne null")).collect().map(_.getString(0)).sorted.toSeq == Seq("a", "c"))
+    intercept[IllegalArgumentException](ODataFilter.compile("v gt null"))
+  }
+
   test("OData rejects malformed input") {
     intercept[IllegalArgumentException](ODataFilter.compile("lang foo 'en'"))
     intercept[IllegalArgumentException](ODataFilter.compile("lang eq 'en' trailing"))

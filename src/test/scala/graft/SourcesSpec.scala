@@ -14,7 +14,7 @@ class SourcesSpec extends SparkSpec {
 
     val b1 = Seq(("k1", "v1"), ("k2", "v2")).toDF("key", "value")
     val r1 = store.mergeOrUpload(b1)
-    assert(r1 == graft.sources.MergeResult(2, 0, 0))
+    assert(r1 == graft.sources.MergeResult(2, 0, 0, 0))
 
     // second batch: one update, one insert
     val b2 = Seq(("k2", "v2b"), ("k3", "v3")).toDF("key", "value")
@@ -55,6 +55,49 @@ class SourcesSpec extends SparkSpec {
     // merge keeps partitioning across versions
     store.mergeOrUpload(Seq(("k5", "fs1", 5)).toDF("key", "fs", "n"))
     assert(store.read().get.filter(col("fs") === "fs1").count() == 2)
+  }
+
+  test("IndexStore within-batch duplicate keys resolve by the caller's sequence column") {
+    val root = Files.createTempDirectory("graft_idx_seq").toString
+    val store = new IndexStore(spark, root, "key", seqCol = Some("ts"))
+    import spark.implicits._
+    // same key twice in ONE batch: highest ts must win, deterministically
+    store.mergeOrUpload(Seq(("k1", 5L, "old"), ("k1", 9L, "new"), ("k2", 1L, "x"))
+      .toDF("key", "ts", "v"))
+    val s1 = store.read().get.collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(s1 == Map("k1" -> "new", "k2" -> "x"))
+    // merge path (snapshot exists): batch-internal tie again, and batch
+    // beats snapshot even when the snapshot ts is higher
+    store.mergeOrUpload(Seq(("k1", 2L, "later-a"), ("k1", 3L, "later-b"))
+      .toDF("key", "ts", "v"))
+    val s2 = store.read().get.collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(s2 == Map("k1" -> "later-b", "k2" -> "x"))
+  }
+
+  test("IndexStore works through the Hadoop FileSystem API (file: URI root)") {
+    // an explicit scheme'd URI exercises the same code path an
+    // hdfs:///abfs:// root would take (no java.io.File assumptions)
+    val root = "file://" + Files.createTempDirectory("graft_idx_uri").toString
+    val store = new IndexStore(spark, root, "key")
+    import spark.implicits._
+    store.mergeOrUpload(Seq(("a", 1), ("b", 2)).toDF("key", "n"))
+    store.mergeOrUpload(Seq(("b", 20), ("c", 3)).toDF("key", "n"))
+    assert(store.currentVersion.contains(1L))
+    assert(store.read().get.count() == 3)
+    assert(store.compact(keepLast = 1) == 1)
+    assert(store.read().get.count() == 3)
+  }
+
+  test("IndexStore failure injection counts rejected rows as failed uploads") {
+    val root = Files.createTempDirectory("graft_idx_fail").toString
+    val store = new IndexStore(spark, root, "key")
+    import spark.implicits._
+    val r = store.mergeOrUpload(
+      Seq(("a", 1), ("b", -2), ("c", 3)).toDF("key", "n"),
+      reject = Some(col("n") < 0))
+    assert(r.failed == 1 && r.created == 2)
+    assert(store.read().get.select("key").collect().map(_.getString(0)).sorted
+      .sameElements(Array("a", "c")))
   }
 
   test("json source tolerates corrupt records and reports them") {

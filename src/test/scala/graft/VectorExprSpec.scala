@@ -58,6 +58,27 @@ class VectorExprSpec extends SparkSpec {
     assert(maxErr < 0.03, s"max quantization error $maxErr")
   }
 
+  test("cosine of a zero vector is NULL, not NaN (interpreted + codegen)") {
+    import spark.implicits._
+    val df = Seq(
+      (1, Array(0f, 0f, 0f), Array(1f, 2f, 3f)),
+      (2, Array(1f, 0f, 0f), Array(0f, 0f, 0f)),
+      (3, Array(1f, 2f, 2f), Array(1f, 2f, 2f))
+    ).toDF("id", "a", "b")
+    // codegen path
+    val rows = df.select(col("id"), Vectors.cosine(col("a"), col("b")).as("c"))
+      .orderBy(col("id")).collect()
+    assert(rows(0).isNullAt(1) && rows(1).isNullAt(1))
+    assert(math.abs(rows(2).getDouble(1) - 1.0) < 1e-12)
+    // interpreted path: eval the expression directly on literal children
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    def litVec(v: Array[Float]) = Literal.create(v, ArrayType(FloatType, containsNull = false))
+    assert(graft.expressions.CosineSimilarity(litVec(Array(0f, 0f)), litVec(Array(1f, 2f))).eval(null) == null)
+    val ok = graft.expressions.CosineSimilarity(litVec(Array(1f, 0f)), litVec(Array(1f, 0f))).eval(null)
+    assert(math.abs(ok.asInstanceOf[Double] - 1.0) < 1e-12)
+  }
+
   test("native kernel stays inside whole-stage codegen") {
     val df = emb
       .crossJoin(broadcast(emb.filter(col("vec_id") === 0).select(col("embedding").as("q"))))
