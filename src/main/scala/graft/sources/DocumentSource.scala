@@ -45,29 +45,65 @@ object DocumentSource {
       .load(path)
       .select(col("path"), col("modificationTime"), col("length"), col("content"))
 
-  /** Recursive lake listing → DataFrame(path, length, mtime) — the
-    * rebuild entry point (reference: PathIndexClient.RebuildPathsIndexAsync
-    * consumes ListPathsParallelAsync's recursive listing the same way;
-    * directories are skipped there too, PathIndexClient.cs:110).
+  /** Distributed recursive lake listing → DataFrame(path, length,
+    * modificationTime) — the rebuild entry point (reference:
+    * PathIndexClient.RebuildPathsIndexAsync consumes
+    * ListPathsParallelAsync's recursive listing,
+    * DataLakePathClientExtension.cs:24-50: a frontier of directories
+    * drained by up-to-256 concurrent one-level listings).
     *
-    * Uses the Hadoop FileSystem recursive iterator (one listing call
-    * per directory server-side, streamed); the result is parallelized
-    * so downstream keying/upserting is distributed.
+    * Same design, Spark-shaped: each level distributes the directory
+    * frontier across executors, every executor lists its directories
+    * one level deep, FILE entries stay on the executors (eagerly
+    * materialized per level), and only the next level's DIRECTORY names
+    * return to the driver — the driver holds the frontier (as the
+    * reference does), never the file list. A billion-file lake with a
+    * few thousand directories per level works; the round-2 driver-side
+    * `fs.listFiles(recursive=true)` walk would OOM the driver.
     */
-  def listFilesRecursive(spark: SparkSession, root: String): DataFrame = {
+  def listFilesRecursive(spark: SparkSession, root: String, maxParallelLists: Int = 256): DataFrame = {
     import org.apache.hadoop.fs.Path
-    import scala.collection.mutable.ArrayBuffer
-    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val it = fs.listFiles(new Path(root), true)
-    val rows = ArrayBuffer[(String, Long, Long)]()
-    while (it.hasNext) {
-      val st = it.next()
-      if (st.isFile)
-        rows += ((st.getPath.toUri.getPath, st.getLen, st.getModificationTime))
-    }
     import spark.implicits._
-    spark.createDataset(rows.toSeq)
+    // Hadoop Configuration is not Serializable: ship the flattened
+    // entries (defaults included — Configuration.iterator() walks the
+    // merged view) and rebuild per executor partition
+    val confEntries: Array[(String, String)] = {
+      import scala.jdk.CollectionConverters._
+      spark.sparkContext.hadoopConfiguration.iterator().asScala
+        .map(e => (e.getKey, e.getValue)).toArray
+    }
+
+    val empty = spark.emptyDataset[(String, Long, Long)]
       .toDF("path", "length", "mtime_ms")
+    var result = empty
+    var frontier: Seq[String] = Seq(root)
+    var depth = 0
+    while (frontier.nonEmpty && depth < 1000) {
+      val slices = math.max(1, math.min(maxParallelLists, frontier.size))
+      val listed = spark.createDataset(frontier).repartition(slices)
+        .mapPartitions { dirs =>
+          val conf = new org.apache.hadoop.conf.Configuration(false)
+          confEntries.foreach { case (k, v) => conf.set(k, v) }
+          dirs.flatMap { d =>
+            val p = new Path(d)
+            p.getFileSystem(conf).listStatus(p).iterator.map(st =>
+              (st.getPath.toUri.getPath, st.isDirectory, st.getLen, st.getModificationTime))
+          }
+        }
+        .toDF("path", "is_dir", "length", "mtime_ms")
+        .persist()
+      // only directory NAMES come back; this action also materializes the
+      // persisted level so files are never re-listed
+      val dirs = listed.filter(col("is_dir")).select(col("path")).as[String].collect().toSeq
+      val files = listed.filter(!col("is_dir"))
+        .select(col("path"), col("length"), col("mtime_ms"))
+        .localCheckpoint(true) // level pinned on executors; release the scratch cache
+      listed.unpersist()
+      result = result.unionByName(files)
+      frontier = dirs
+      depth += 1
+    }
+    result
       .withColumn("modificationTime", timestamp_millis(col("mtime_ms")))
       .drop("mtime_ms")
   }

@@ -32,9 +32,33 @@ class DedupSpec extends SparkSpec {
     assert(rows.forall { r => val s = r.getAs[Long]("simhash"); s >= 0 && s < 65536 })
   }
 
-  test("embedding near-dup pairs stay within label buckets") {
+  test("embedding near-dup pairs stay within cells and respect the threshold") {
     val rows = Dedup.dedupEmbedding(spark, sf).collect()
+    assert(rows.nonEmpty)
     assert(rows.forall(_.getAs[Double]("cos") >= 0.3))
+  }
+
+  test("cell-bucketed near-dup recall vs the label formulation") {
+    import graft.functions.Vectors
+    import org.apache.spark.sql.functions._
+    // the label column is ground-truth-ish coarse structure the corpus
+    // won't have at scale; k-means cells must recover most of the
+    // high-similarity pairs the label buckets find
+    val e = Tables.embeddings(spark, sf)
+      .select(col("label"), col("vec_id"), col("embedding"), Vectors.norm(col("embedding")).as("nrm"))
+    val l = e.select(col("label"), col("vec_id").as("a"), col("embedding").as("va"), col("nrm").as("na"))
+    val r = e.select(col("label"), col("vec_id").as("b"), col("embedding").as("vb"), col("nrm").as("nb"))
+    val labelPairs = l.join(r, Seq("label")).filter(col("a") < col("b"))
+      .withColumn("cos", Vectors.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= 0.3)
+      .select(col("a"), col("b")).collect()
+      .map(row => (row.getAs[Long]("a"), row.getAs[Long]("b"))).toSet
+    val cellPairs = Dedup.dedupEmbedding(spark, sf)
+      .select(col("a"), col("b")).collect()
+      .map(row => (row.getAs[Long]("a"), row.getAs[Long]("b"))).toSet
+    assert(labelPairs.nonEmpty)
+    val recall = cellPairs.intersect(labelPairs).size.toDouble / labelPairs.size
+    assert(recall >= 0.6, s"cell bucketing recall $recall over ${labelPairs.size} label pairs")
   }
 
   test("brute-force topk is a superset-match for IVF probe results") {

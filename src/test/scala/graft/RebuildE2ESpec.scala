@@ -51,4 +51,30 @@ class RebuildE2ESpec extends SparkSpec {
     val r2 = store.mergeOrUpload(pathIndex)
     assert(r2.created == 0 && r2.modified == 3)
   }
+
+  test("distributed listing walks a deep wide tree without a driver-side file list") {
+    // 4 levels deep, branching 3 — 81 leaf dirs, 2 files each, plus a
+    // file at every intermediate level: exercises multi-level frontier
+    // iteration and empty-dir handling
+    val lake = Files.createTempDirectory("graft_deep")
+    var expected = 0
+    def build(dir: java.nio.file.Path, depth: Int): Unit = {
+      Files.writeString(dir.resolve(s"at_depth$depth.json"), s"""{"d":$depth}""")
+      expected += 1
+      if (depth < 4) (0 until 3).foreach { i =>
+        val child = dir.resolve(s"d${depth}_$i")
+        Files.createDirectories(child)
+        build(child, depth + 1)
+      }
+    }
+    build(lake, 0)
+    Files.createDirectories(lake.resolve("empty/also_empty")) // no files
+
+    val listing = DocumentSource.listFilesRecursive(spark, lake.toString)
+    assert(listing.count() == expected)
+    // depth-4 leaves present, every entry is a file path with its size
+    val rows = listing.collect()
+    assert(rows.forall(_.getAs[Long]("length") > 0))
+    assert(rows.count(_.getAs[String]("path").contains("at_depth4")) == 81)
+  }
 }
