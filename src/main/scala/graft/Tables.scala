@@ -43,6 +43,18 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Redistribute a scan that collapsed to fewer splits than cores (a
+    * tiny local file = one split; a real lake scan = thousands, where
+    * this is a no-op) so CPU-bound per-row kernels engage every core.
+    * Hash-partitioning on the group key keeps a downstream per-key
+    * aggregation exchange-free, so when the redistribute fires it
+    * replaces (not adds to) that shuffle.
+    */
+  def parallelized(spark: SparkSession, df: DataFrame, key: String): DataFrame = {
+    val cores = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores) df.repartition(cores, col(key)) else df
+  }
 }
 
 /** A family of operators: named queries plus (where SQL-expressible)

@@ -27,6 +27,12 @@ object Keys {
     * Spark's base64 MIME-chunks outputs longer than 76 chars (CRLF
     * inserts) depending on the legacy conf; keys must be unchunked like
     * java.util.Base64 / DuckDB to_base64, so strip any line breaks.
+    *
+    * INVARIANT (relied upon by plan rewrites): the key embeds
+    * `filesystem` and `pathUrlEncoded` verbatim, so any predicate on
+    * those columns is key-stable and may be pushed below a per-key
+    * shuffle (Search.searchIsMatchPath, PathIndexOps.listPathsDelta).
+    * SearchSpec's "pushdown invariant" test pins this contract.
     */
   def pathKey(filesystem: Column, pathUrlEncoded: Column): Column =
     regexp_replace(

@@ -23,23 +23,16 @@ object Dedup extends QueryPack {
   private val NumPerms = 9  // 3 bands × 3 rows
   private val Bands = 3
 
-  /** Redistribute a scan that collapsed to fewer splits than cores (a
-    * tiny local file = one split; a real lake scan = thousands, where
-    * this is a no-op) so the CPU-bound shingle/hash kernels engage
-    * every core. Hash-partitioning on the group key keeps the
-    * downstream per-doc aggregation exchange-free, so the redistribute
-    * replaces (not adds to) that shuffle when it fires.
+  /** Word 3-gram shingles per doc (docs with <3 tokens drop out).
+    * The scan is redistributed when it collapses to few splits (see
+    * [[Tables.parallelized]]) so the shingle/md5 kernels engage every
+    * core; partitioning on doc_id keeps the minhash groupBy
+    * exchange-free.
     */
-  private def parallelized(spark: SparkSession, df: DataFrame, key: String): DataFrame = {
-    val cores = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < cores) df.repartition(cores, col(key)) else df
-  }
-
-  /** Word 3-gram shingles per doc (docs with <3 tokens drop out). */
   def shingled(spark: SparkSession, dir: String): DataFrame = {
     val toks = split(col("text"), " ")
     val base = Tables.documents(spark, dir).select(col("doc_id"), toks.as("t"))
-    parallelized(spark, base, "doc_id")
+    Tables.parallelized(spark, base, "doc_id")
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), explode(transform(
         sequence(lit(0), size(col("t")) - 3),
@@ -107,10 +100,10 @@ object Dedup extends QueryPack {
     * @param newDocs   (doc_id, text) of the incoming batch
     * @param bandStore persisted band index (key = doc_id:band, cols
     *                  doc_id/band/sig); updated with the batch's bands
-    * @return candidate pairs (new_doc, existing_doc) sharing a band.
-    *         The frame is persisted (it was materialized before the
-    *         store advanced) — the caller must `unpersist()` it once
-    *         consumed.
+    * @return candidate pairs (new_doc, existing_doc) sharing a band,
+    *         eagerly materialized BEFORE the store advances (reading
+    *         lazily afterwards would join against the already-updated
+    *         index); nothing for the caller to unpersist.
     */
   def incrementalCandidates(spark: SparkSession, newDocs: DataFrame,
                             bandStore: graft.sources.IndexStore): DataFrame = {
@@ -132,7 +125,7 @@ object Dedup extends QueryPack {
     val newBands = mh.select(col("doc_id"), explode(array(bandSigs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
       .withColumn("key", concat(col("doc_id").cast("string"), lit(":"), col("band").cast("string")))
-      .persist()
+      .localCheckpoint(true) // one shingle pass feeds both the join and the store merge
 
     val existing = bandStore.read()
     val candidates = existing match {
@@ -145,10 +138,8 @@ object Dedup extends QueryPack {
           .filter(col("new_doc") =!= col("existing_doc"))
           .select(col("new_doc"), col("existing_doc")).distinct()
     }
-    val out = candidates.persist()
-    out.count() // materialize before the store advances
+    val out = candidates.localCheckpoint(true) // materialize before the store advances
     bandStore.mergeOrUpload(newBands)
-    newBands.unpersist()
     out
   }
 

@@ -77,11 +77,14 @@ object TextAnalysis extends QueryPack {
     * final min in the combine).
     */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.parallelized(spark,
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")), "doc_id")
       .filter(length(col("text")) >= 5)
-      .select(col("doc_id"), explode(sequence(lit(1), length(col("text")) - 4, lit(3))).as("p"))
-      .join(Tables.documents(spark, dir).select(col("doc_id"), col("text")), Seq("doc_id"))
-      .select(col("doc_id"), expr("substring(text, p, 5)").as("gram"))
+      // grams in one pass: the position sequence maps straight to
+      // substrings inside the same row — no self-join to re-attach text
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), length(col("text")) - 4, lit(3)),
+        p => col("text").substr(p, lit(5)))).as("gram"))
       .groupBy(col("doc_id"))
       .agg(
         min(md5(col("gram").cast("binary"))).as("fingerprint"),

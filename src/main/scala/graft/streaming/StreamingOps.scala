@@ -91,6 +91,41 @@ object StreamingOps extends QueryPack {
       .withColumn(keyCol, col("event_id") % 500)
       .join(index, Seq(keyCol), "left")
 
+  /** The reference's event-driven indexing loop in Structured Streaming
+    * form: EventGrid envelope JSON streams in as (event_id, envelope);
+    * each micro-batch parses the full envelope schema, reduces to the
+    * LATEST action per key (a create and a delete of the same path in
+    * one batch resolve by eventTime, then event_id), and dispatches —
+    * BlobCreated/Modified upserts the path index, BlobDeleted
+    * tombstones it (reference:
+    * DatalakePathIndexerFunc/PathIndexerFunc.cs:18-60, the service-bus
+    * trigger doing exactly this per message batch).
+    */
+  def indexBlobEventStream(envelopes: DataFrame, store: graft.sources.IndexStore,
+                           checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    envelopes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val parsed = graft.operators.PathIndexOps.parseBlobEnvelopes(batch).persist()
+          try {
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(col("key")).orderBy(col("eventTime").desc, col("event_id").desc)
+            val latest = parsed.withColumn("_rn",
+                org.apache.spark.sql.functions.row_number().over(w))
+              .filter(col("_rn") === 1).drop("_rn")
+            val ups = latest.filter(col("action") === "upsert")
+              .select(col("key"), col("filesystem"), col("pathUrlEncoded"),
+                col("eTag"), col("contentLength"), col("eventTime"))
+            val dels = latest.filter(col("action") === "tombstone").select(col("key"))
+            if (!ups.isEmpty) { store.mergeOrUpload(ups); () }
+            if (!dels.isEmpty) { store.deleteKeys(dels); () }
+          } finally { parsed.unpersist(); () }
+        }
+        ()
+      }
+      .start()
+
   /** Streaming exact dedup: drop events whose content hash was already
     * seen within the watermark horizon — the streaming form of
     * dedup_exact for a training-data ingest stream. State is bounded by

@@ -55,6 +55,22 @@ class SearchSpec extends SparkSpec {
     assert(e.filter(ODataFilter.compile("value gt -1")).count() == e.count())
   }
 
+  test("pushdown invariant: key always embeds filesystem%2fpathUrlEncoded") {
+    // searchIsMatchPath / listPathsDelta push filesystem- and
+    // path-prefix predicates BELOW the upsert's per-key shuffle; that is
+    // sound only because the key is exactly
+    // base64(filesystem + '%2f' + pathUrlEncoded) — same row, same
+    // derivation (Keys.pathKey). If key construction ever changes, this
+    // test pins the contract the pushdowns rely on.
+    val rows = graft.operators.PathIndexOps.changeLog(spark, sf)
+      .select(col("key"), col("filesystem"), col("pathUrlEncoded")).limit(200).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val decoded = new String(java.util.Base64.getDecoder.decode(r.getAs[String]("key")), "UTF-8")
+      assert(decoded == r.getAs[String]("filesystem") + "%2f" + r.getAs[String]("pathUrlEncoded"))
+    }
+  }
+
   test("OData null comparisons are IS NULL / IS NOT NULL") {
     import spark.implicits._
     val df = Seq(("a", Some("x")), ("b", None), ("c", Some("y")))

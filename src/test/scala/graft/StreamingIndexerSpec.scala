@@ -47,4 +47,46 @@ class StreamingIndexerSpec extends SparkSpec {
       assert(store.currentVersion.contains(1L))
     } finally query.stop()
   }
+
+  test("EventGrid envelope stream dispatches upserts and tombstones per micro-batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ckDir = Files.createTempDirectory("graft_env_ck").toString
+    val idxDir = Files.createTempDirectory("graft_env_idx").toString
+    val store = new IndexStore(spark, idxDir, "key")
+
+    def env(id: Long, fs: String, path: String, evType: String, t: String): (Long, String) =
+      id -> (s"""{"topic":"/subscriptions/s/resourceGroups/r/providers/Microsoft.Storage/storageAccounts/a",""" +
+        s""""subject":"/blobServices/default/containers/$fs/blobs/$path","eventType":"Microsoft.Storage.$evType",""" +
+        s""""eventTime":"$t","id":"$id","data":{"api":"x","eTag":"etag$id","contentType":"application/json",""" +
+        s""""contentLength":${id * 10},"blobType":"BlockBlob","url":"https://acct.dfs.core.windows.net/$fs/$path",""" +
+        s""""sequencer":"s$id"},"dataVersion":"1","metadataVersion":"1"}""")
+
+    val input = MemoryStream[(Long, String)]
+    val query = graft.streaming.StreamingOps.indexBlobEventStream(
+      input.toDF().toDF("event_id", "envelope"), store, ckDir)
+    try {
+      // batch 1: two creates, plus a create+delete of the same path —
+      // the delete is later, so the key must NOT survive
+      input.addData(
+        env(1, "fsA", "data/a.json", "BlobCreated", "2024-01-01T00:00:01Z"),
+        env(2, "fsA", "data/b.json", "BlobCreated", "2024-01-01T00:00:02Z"),
+        env(3, "fsA", "data/c.json", "BlobCreated", "2024-01-01T00:00:03Z"),
+        env(4, "fsA", "data/c.json", "BlobDeleted", "2024-01-01T00:00:04Z"))
+      query.processAllAvailable()
+      val keys1 = store.read().get.collect().map(r =>
+        new String(java.util.Base64.getDecoder.decode(r.getAs[String]("key")), "UTF-8")).sorted
+      assert(keys1.sameElements(Array("fsA%2fdata%2fa.json", "fsA%2fdata%2fb.json")))
+
+      // batch 2: modify a, delete b
+      input.addData(
+        env(5, "fsA", "data/a.json", "BlobCreated", "2024-01-01T01:00:00Z"),
+        env(6, "fsA", "data/b.json", "BlobDeleted", "2024-01-01T01:00:01Z"))
+      query.processAllAvailable()
+      val state = store.read().get.collect()
+      assert(state.length == 1)
+      assert(state.head.getAs[String]("eTag") == "etag5") // modified, latest wins
+    } finally query.stop()
+  }
 }

@@ -30,8 +30,10 @@ def canon_arrow(t):
     if s.startswith("timestamp"): return "timestamp"
     if s in ("string", "large_string"): return "string"
     if s == "bool": return "bool"
-    if s.startswith("list"): return "list"
+    if s.startswith("list") or s.startswith("large_list") or s.startswith("fixed_size_list"): return "list"
     if s.startswith("decimal"): return "decimal"
+    if s.startswith("date"): return "date"
+    if s in ("binary", "large_binary") or s.startswith("fixed_size_binary"): return "binary"
     return s
 
 def canon_duck(t):
@@ -44,6 +46,8 @@ def canon_duck(t):
     if s == "BOOLEAN": return "bool"
     if s.endswith("[]"): return "list"
     if s.startswith("DECIMAL"): return "decimal"
+    if s == "DATE": return "date"
+    if s == "BLOB": return "binary"
     return s.lower()
 
 fails = 0
