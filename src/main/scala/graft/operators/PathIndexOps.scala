@@ -194,7 +194,10 @@ object PathIndexOps extends QueryPack {
     * upsert into the path index, BlobDeleted → tombstone into the
     * deleted-paths index; data.url splits into (filesystem, path) via
     * Utils.UrlToFilesystemAndPath and the path model key is derived
-    * from the encoded path.
+    * from the encoded path. A malformed envelope (from_json → null
+    * struct, or no url) gets action `dead-letter` instead of being
+    * mistaken for an upsert with a null key — callers route those to a
+    * failure count, like the reference's caught deserialization errors.
     */
   def parseBlobEnvelopes(envelopes: DataFrame): DataFrame = {
     val ev = from_json(col("envelope"), BlobEventSchema)
@@ -203,7 +206,8 @@ object PathIndexOps extends QueryPack {
       .select(
         col("event_id"),
         col("ev.eventType").as("eventType"),
-        when(col("ev.eventType") === "Microsoft.Storage.BlobDeleted", lit("tombstone"))
+        when(col("ev").isNull || col("ev.data.url").isNull, lit("dead-letter"))
+          .when(col("ev.eventType") === "Microsoft.Storage.BlobDeleted", lit("tombstone"))
           .otherwise(lit("upsert")).as("action"),
         Keys.urlFilesystem(col("ev.data.url")).as("filesystem"),
         Keys.pathUrlEncode(Keys.urlPath(col("ev.data.url"))).as("pathUrlEncoded"),

@@ -60,6 +60,15 @@ class IndexStore(spark: SparkSession, root: String, keyCol: String,
   /** Footer-only row count of a snapshot (no data scan). */
   private def snapshotCount(v: Long): Long = spark.read.parquet(s"$root/v=$v").count()
 
+  /** Every snapshot writer goes through here so the hive-partitioned
+    * layout (→ partition pruning for "filesystem eq 'x'" reads)
+    * survives merges, compactions and deletes alike.
+    */
+  private def writeSnapshot(df: DataFrame, v: Long): Unit = {
+    val writer = df.write.mode(SaveMode.Overwrite)
+    partitionCol.fold(writer)(c => writer.partitionBy(c)).parquet(s"$root/v=$v")
+  }
+
   /** Within-batch then batch-vs-snapshot precedence for the merge
     * window: highest `_seq` first (batch=1 beats snapshot=0), then the
     * caller's sequence column descending when configured.
@@ -101,10 +110,7 @@ class IndexStore(spark: SparkSession, root: String, keyCol: String,
           .filter(col("_rn") === 1).drop("_rn", "_seq")
     }
 
-    val writer = deduped.write.mode(SaveMode.Overwrite)
-    // hive-partitioned layout → partition pruning for filtered reads
-    // (the "filesystem eq 'x'" listing pattern never scans other partitions)
-    partitionCol.fold(writer)(c => writer.partitionBy(c)).parquet(s"$root/v=$nextV")
+    writeSnapshot(deduped, nextV)
 
     // metrics without re-joining batch and snapshot: a merge never drops
     // keys, so created = |new snapshot| - |old snapshot| (footer-only
@@ -125,7 +131,7 @@ class IndexStore(spark: SparkSession, root: String, keyCol: String,
       case Some(cur) =>
         val nextV = currentVersion.get + 1
         val n = cur.count()
-        cur.repartition(numFiles).write.mode(SaveMode.Overwrite).parquet(s"$root/v=$nextV")
+        writeSnapshot(cur.repartition(numFiles), nextV)
         n
     }
   }
@@ -151,7 +157,7 @@ class IndexStore(spark: SparkSession, root: String, keyCol: String,
       case Some(cur) =>
         val nextV = currentVersion.get + 1
         val remaining = cur.join(keys.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
-        remaining.write.mode(SaveMode.Overwrite).parquet(s"$root/v=$nextV")
+        writeSnapshot(remaining, nextV)
         snapshotCount(nextV - 1) - snapshotCount(nextV)
     }
   }

@@ -55,6 +55,17 @@ class SourcesSpec extends SparkSpec {
     // merge keeps partitioning across versions
     store.mergeOrUpload(Seq(("k5", "fs1", 5)).toDF("key", "fs", "n"))
     assert(store.read().get.filter(col("fs") === "fs1").count() == 2)
+    // ...and so do delete-by-key and optimize (pruning must survive
+    // vacuum/compaction, not just merges)
+    store.deleteKeys(Seq("k1").toDF("key"))
+    val afterDelete = new java.io.File(s"$root/v=${store.currentVersion.get}")
+      .listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(afterDelete.forall(_.startsWith("fs=")) && afterDelete.nonEmpty)
+    store.optimize(numFiles = 1)
+    val afterOptimize = new java.io.File(s"$root/v=${store.currentVersion.get}")
+      .listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(afterOptimize.forall(_.startsWith("fs=")) && afterOptimize.nonEmpty)
+    assert(store.read().get.filter(col("fs") === "fs1").count() == 2)
   }
 
   test("IndexStore within-batch duplicate keys resolve by the caller's sequence column") {

@@ -73,7 +73,9 @@ class StreamingIndexerSpec extends SparkSpec {
         env(1, "fsA", "data/a.json", "BlobCreated", "2024-01-01T00:00:01Z"),
         env(2, "fsA", "data/b.json", "BlobCreated", "2024-01-01T00:00:02Z"),
         env(3, "fsA", "data/c.json", "BlobCreated", "2024-01-01T00:00:03Z"),
-        env(4, "fsA", "data/c.json", "BlobDeleted", "2024-01-01T00:00:04Z"))
+        env(4, "fsA", "data/c.json", "BlobDeleted", "2024-01-01T00:00:04Z"),
+        // malformed envelope: must dead-letter, not upsert a null key
+        99L -> "{not an envelope at all")
       query.processAllAvailable()
       val keys1 = store.read().get.collect().map(r =>
         new String(java.util.Base64.getDecoder.decode(r.getAs[String]("key")), "UTF-8")).sorted
