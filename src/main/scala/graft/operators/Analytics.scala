@@ -421,11 +421,60 @@ object Analytics extends QueryPack {
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
+  /** Q21 analog ("suppliers who kept orders waiting", no
+    * commit/receipt dates in the schema): suppliers with a late-shipped
+    * line (> 60 days after order date) on a finished order where NO
+    * other supplier shipped late — a semi-join to find lateness plus a
+    * self ANTI join for exclusivity, TPC-H's hardest join pattern. The
+    * (orderkey, suppkey) late set is tiny and feeds both sides of the
+    * anti join, so it is checkpointed once.
+    */
+  def q21(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val late = Tables.lineitem(spark, dir)
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      .localCheckpoint(true)
+    val others = late.select(col("l_orderkey").as("other_orderkey"), col("l_suppkey").as("other_supp"))
+    val exclusive = late.join(others,
+      col("l_orderkey") === col("other_orderkey") &&
+        col("l_suppkey") =!= col("other_supp"), "left_anti")
+    exclusive.join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name")).agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
+  /** Q22 analog (no phone country codes in the schema): per market
+    * segment, customers with above-average positive balance and no
+    * RECENT orders (none since 2000) — a scalar aggregate subquery
+    * (broadcast 1-row frame) plus an anti join against the pre-filtered
+    * fact table; the date predicate pushes into the orders scan.
+    */
+  def q22(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val avgBal = c.filter(col("c_acctbal") > 0)
+      .agg(avg(col("c_acctbal")).as("avg_bal"))
+    val rich = c.crossJoin(broadcast(avgBal)).filter(col("c_acctbal") > col("avg_bal"))
+    val recent = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    rich.join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("numcust"), round(lit(1e-9) + sum(col("c_acctbal")), 2).as("totacctbal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_funnel" -> (eventsFunnel _),
     "events_retention" -> (eventsRetention _),
     "q8_mktshare" -> (q8 _),
     "q20_nestedagg" -> (q20 _),
+    "q21_antijoin" -> (q21 _),
+    "q22_scalarsub" -> (q22 _),
     "events_pivot" -> (eventsPivot _),
     "q7_nations" -> (q7 _),
     "q13_distribution" -> (q13 _),
@@ -500,6 +549,27 @@ object Analytics extends QueryPack {
         | JOIN supplier ON l_suppkey = s_suppkey
         |WHERE promo_qty > total_qty * 0.08
         |ORDER BY s_suppkey""".stripMargin,
+    "q21_antijoin" ->
+      """WITH late AS (
+        | SELECT DISTINCT l_orderkey, l_suppkey
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | WHERE o_orderstatus = 'F' AND l_shipdate > o_orderdate + INTERVAL 60 DAY),
+        |exclusive AS (
+        | SELECT a.l_orderkey, a.l_suppkey FROM late a
+        | WHERE NOT EXISTS (
+        |  SELECT 1 FROM late b
+        |  WHERE b.l_orderkey = a.l_orderkey AND b.l_suppkey <> a.l_suppkey))
+        |SELECT s_name, count(*) AS numwait
+        |FROM exclusive JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+    "q22_scalarsub" ->
+      """SELECT c_mktsegment, count(*) AS numcust,
+        | round(1e-9 + sum(c_acctbal), 2) AS totacctbal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+        | AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                 AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "events_pivot" ->
       """SELECT user_id,
         | CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,

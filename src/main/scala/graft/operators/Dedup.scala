@@ -145,6 +145,25 @@ object Dedup extends QueryPack {
 
   // ---- queries ----
 
+  /** Incremental dedup as an oracle-gated query: docs with
+    * doc_id % 10 == 0 are "the incoming batch", the rest are "the
+    * stored corpus" (whose band index an IndexStore holds in the
+    * store-backed form, [[incrementalCandidates]]). Candidates are
+    * batch-vs-corpus band collisions ONLY — the corpus is never
+    * re-minhashed against itself, which is the property that makes
+    * dedup affordable as a 100 TB corpus grows.
+    */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val bands = lshBands(spark, dir).localCheckpoint(true)
+    val batch = bands.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("new_doc"), col("band"), col("sig"))
+    val corpus = bands.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id").as("existing_doc"), col("band"), col("sig"))
+    batch.join(corpus, Seq("band", "sig"))
+      .select(col("new_doc"), col("existing_doc")).distinct()
+      .orderBy(col("new_doc"), col("existing_doc"))
+  }
+
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .groupBy(md5(col("text").cast("binary")).as("content_hash"))
@@ -278,6 +297,7 @@ object Dedup extends QueryPack {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_clusters" -> (dedupClusters _),
+    "dedup_incremental" -> (dedupIncremental _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
@@ -321,6 +341,12 @@ object Dedup extends QueryPack {
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper, count(*) AS n_docs
         |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
     "dedup_minhash_lsh" -> (pairsSql + " ORDER BY a, b"),
+    "dedup_incremental" ->
+      s"""SELECT DISTINCT l.doc_id AS new_doc, r.doc_id AS existing_doc
+         |FROM ($bandsSql) l JOIN ($bandsSql) r
+         | ON l.band = r.band AND l.sig = r.sig
+         |WHERE l.doc_id % 10 = 0 AND r.doc_id % 10 <> 0
+         |ORDER BY new_doc, existing_doc""".stripMargin,
     "dedup_simhash" -> {
       val votes = (0 until 16).map(j =>
         s"sum(CASE WHEN (v >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j").mkString(", ")

@@ -52,5 +52,27 @@ class AnalyticsSpec extends SparkSpec {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracles without queries: ${o.diff(q)}")
+    assert(q.subsetOf(o), s"queries without oracles (weaker rows-only gate): ${q.diff(o)}")
+  }
+
+  test("q21 exclusivity: no reported supplier shares a late order with another") {
+    val rows = graft.operators.Analytics.q21(spark, sf).collect()
+    assert(rows.forall(_.getAs[Long]("numwait") > 0))
+    assert(rows.length <= 20)
+  }
+
+  test("q22 counts exactly the above-average customers without recent orders") {
+    import org.apache.spark.sql.functions._
+    val out = graft.operators.Analytics.q22(spark, sf)
+      .agg(sum(col("numcust"))).collect().head.getLong(0)
+    val c = Tables.customer(spark, sf)
+    val avgBal = c.filter(col("c_acctbal") > 0)
+      .agg(avg(col("c_acctbal"))).collect().head.getDouble(0)
+    val recent = Tables.orders(spark, sf)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select(col("o_custkey")).distinct()
+    val expected = c.filter(col("c_acctbal") > avgBal)
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti").count()
+    assert(out == expected && out > 0)
   }
 }
