@@ -2,9 +2,8 @@ package graft.operators
 
 import graft.model.RunMetrics
 import graft.sources.IndexStore
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
-import java.nio.file.{Files, Paths}
 
 /** The complete reference workflow as one callable: list delta paths
   * since the last successful run → read + map documents → merge-or-
@@ -22,14 +21,31 @@ object Indexer {
 
   final case class IncrementalResult(metrics: RunMetrics, newWatermarkNs: Long)
 
+  // Watermark state goes through the Hadoop FileSystem API (like
+  // IndexStore), so stateDir may live on the same object store as the
+  // index — on a cluster a local-FS watermark would silently reset to
+  // MinValue on every new driver and re-index the world.
+  private val fsDefault = new org.apache.hadoop.conf.Configuration()
+
+  private def fsFor(p: org.apache.hadoop.fs.Path) = p.getFileSystem(fsDefault)
+
   def readWatermark(stateDir: String): Long = {
-    val p = Paths.get(stateDir, "last_run_ns")
-    if (Files.exists(p)) Files.readString(p).trim.toLong else Long.MinValue
+    val p = new org.apache.hadoop.fs.Path(stateDir, "last_run_ns")
+    val fs = fsFor(p)
+    if (!fs.exists(p)) Long.MinValue
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    }
   }
 
   def writeWatermark(stateDir: String, ns: Long): Unit = {
-    Files.createDirectories(Paths.get(stateDir))
-    Files.writeString(Paths.get(stateDir, "last_run_ns"), ns.toString)
+    val p = new org.apache.hadoop.fs.Path(stateDir, "last_run_ns")
+    val fs = fsFor(p)
+    val out = fs.create(p, true)
+    try out.write(ns.toString.getBytes("UTF-8"))
+    finally out.close()
   }
 
   /** One incremental run against the synthetic change-log + documents.

@@ -29,11 +29,20 @@ object DocumentSource {
 
   /** Split a JSON read into (good, failed) — the ReadDocumentsMetrics
     * split (reference: Models/ReadDocumentsMetrics.cs).
+    *
+    * The scan runs ONCE (cached for the two filters, Spark also
+    * requires a cache to filter on the corrupt-record column); both
+    * halves are eagerly materialized and the scratch cache released —
+    * nothing for the caller to unpersist. The split inherently costs a
+    * materialization: the failed side must be complete before "good"
+    * counts mean anything.
     */
   def jsonWithMetrics(spark: SparkSession, path: String, schema: StructType): (DataFrame, DataFrame) = {
     val df = json(spark, path, schema).cache()
-    (df.filter(col("_corrupt_record").isNull).drop("_corrupt_record"),
-      df.filter(col("_corrupt_record").isNotNull).select(col("_corrupt_record")))
+    try {
+      (df.filter(col("_corrupt_record").isNull).drop("_corrupt_record").localCheckpoint(true),
+        df.filter(col("_corrupt_record").isNotNull).select(col("_corrupt_record")).localCheckpoint(true))
+    } finally { df.unpersist(); () }
   }
 
   /** Opaque binary reads (images/audio/any payload) with file metadata —
