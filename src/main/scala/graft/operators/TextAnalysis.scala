@@ -195,7 +195,31 @@ object TextAnalysis extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** Unigram log-probability quality score — the cheap stand-in for a
+    * KenLM-style perplexity filter every large corpus pipeline runs:
+    * token frequencies over the whole corpus (one shuffle on token),
+    * then each doc scored by the mean negative log-probability of its
+    * tokens. High scores = rare-token-heavy docs (gibberish, boilerplate
+    * explosions); low = stopword soup. At 100 TB the frequency table is
+    * the interesting part: it shuffles (token, count) partials, never
+    * the text, and the scoring join is on the exploded token stream.
+    */
+  def unigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.parallelized(spark,
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")), "doc_id")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val total = freq.agg(sum(col("c")).as("n"))
+    toks.join(freq, Seq("tok"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(round(lit(1e-9) + avg(-log(col("c") / col("n"))), 4).as("mean_neg_logprob"),
+        count(lit(1)).as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_unigram_logprob" -> (unigramLogprob _),
     "pii_scrub" -> (piiScrub _),
     "decontaminate" -> (decontaminate _),
     "sample_deterministic" -> (sampleDeterministic _),
@@ -211,6 +235,16 @@ object TextAnalysis extends QueryPack {
     s"len(list_filter(string_split(text,' '), t -> t IN (${ms.map(m => s"'$m'").mkString(",")})))"
 
   val oracles: Map[String, String] = Map(
+    "text_unigram_logprob" ->
+      """WITH toks AS (
+        | SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+        |total AS (SELECT sum(c) AS n FROM freq)
+        |SELECT doc_id,
+        | round(1e-9 + avg(-ln(c / n)), 4) AS mean_neg_logprob,
+        | count(*) AS n_tokens
+        |FROM toks JOIN freq USING (tok), total
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "pii_scrub" ->
       """SELECT doc_id,
         | CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+\.[a-zA-Z]+')) AS BIGINT) AS n_emails,

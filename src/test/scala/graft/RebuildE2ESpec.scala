@@ -77,4 +77,26 @@ class RebuildE2ESpec extends SparkSpec {
     assert(rows.forall(_.getAs[Long]("length") > 0))
     assert(rows.count(_.getAs[String]("path").contains("at_depth4")) == 81)
   }
+
+  test("distributed listing matches the Hadoop recursive iterator on random trees") {
+    val rnd = new scala.util.Random(7)
+    val lake = Files.createTempDirectory("graft_rand")
+    def build(dir: java.nio.file.Path, depth: Int): Unit = {
+      (0 until rnd.nextInt(4)).foreach(i =>
+        Files.write(dir.resolve(s"f${depth}_$i.bin"), Array.fill(rnd.nextInt(9) + 1)(1.toByte)))
+      if (depth < 3) (0 until rnd.nextInt(3)).foreach { i =>
+        val c = dir.resolve(s"d${depth}_$i"); Files.createDirectories(c); build(c, depth + 1)
+      }
+    }
+    build(lake, 0)
+    val dist = DocumentSource.listFilesRecursive(spark, lake.toString)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("length")).toMap
+    // ground truth: the driver-side Hadoop recursive iterator
+    val fs = new org.apache.hadoop.fs.Path(lake.toString)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(lake.toString), true)
+    val truth = scala.collection.mutable.Map[String, Long]()
+    while (it.hasNext) { val st = it.next(); if (st.isFile) truth += st.getPath.toUri.getPath -> st.getLen }
+    assert(dist == truth.toMap)
+  }
 }
