@@ -94,11 +94,12 @@ object Indexer {
     val tooLarge = mapped.filter(col("numbervalue") > 512L).count()
     val uploadable = mapped.filter(col("numbervalue") <= 512L)
 
+    val readTotal = delta.count() // while the log is still cached
     val merge = store.mergeOrUpload(uploadable, reject = uploadReject)
     log.unpersist()
 
     val metrics = RunMetrics(
-      readCount = delta.count() - readFailed,
+      readCount = readTotal - readFailed,
       readFailedCount = readFailed,
       processedCount = merge.created + merge.modified,
       uploadCreatedCount = merge.created,

@@ -128,13 +128,13 @@ object Similarity extends QueryPack {
           Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cell"))))
         .filter(col("rk") === 1)
     try {
-      // init: first k vectors (deterministic). Each centroid table is a
-      // tiny k×d frame; eager localCheckpoints truncate the per-iteration
-      // lineage so the final plans don't re-run every Lloyd round.
+      // init: first k vectors (deterministic), read straight off the
+      // persisted input. Each UPDATED centroid table is a tiny k×d
+      // frame, eagerly checkpointed so per-iteration lineage never
+      // compounds and the final plans don't re-run every Lloyd round.
       var centroids = e.filter(col("vec_id") < k)
         .select(col("vec_id").cast("int").as("cell"),
           transform(col("embedding"), x => x.cast("double")).as("centroid"))
-        .localCheckpoint(true)
       for (_ <- 1 to iters) {
         // update: per-dimension means
         centroids = assign(centroids)
@@ -154,7 +154,10 @@ object Similarity extends QueryPack {
         .filter(col("rk") <= probes)
         .select(col("vec_id"), col("cell"), col("rk"))
         .localCheckpoint(true)
-      (finalAssign, centroids)
+      // with zero iterations the centroid frame is still lazy over the
+      // about-to-be-released input — pin it so both outputs are safe
+      val outCentroids = if (iters == 0) centroids.localCheckpoint(true) else centroids
+      (finalAssign, outCentroids)
     } finally e.unpersist() // both outputs are materialized: safe to release
   }
 
