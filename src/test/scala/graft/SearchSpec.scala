@@ -81,6 +81,22 @@ class SearchSpec extends SparkSpec {
     intercept[IllegalArgumentException](ODataFilter.compile("v gt null"))
   }
 
+  test("OData parser handles nesting, double negation, and spaced strings") {
+    import spark.implicits._
+    val df = Seq(("a", "hello world", 5L), ("b", "plain", 50L), ("c", "hello there", 500L))
+      .toDF("id", "s", "n")
+    // string literal containing a space
+    assert(df.filter(ODataFilter.compile("s eq 'hello world'")).collect()
+      .map(_.getString(0)).toSeq == Seq("a"))
+    // double negation cancels
+    assert(df.filter(ODataFilter.compile("not not (n ge 50)")).collect()
+      .map(_.getString(0)).sorted.toSeq == Seq("b", "c"))
+    // nested parens with mixed precedence
+    val got = df.filter(ODataFilter.compile("(n lt 10 or (n ge 50 and not (id eq 'c')))"))
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(got == Seq("a", "b"))
+  }
+
   test("OData rejects malformed input") {
     intercept[IllegalArgumentException](ODataFilter.compile("lang foo 'en'"))
     intercept[IllegalArgumentException](ODataFilter.compile("lang eq 'en' trailing"))

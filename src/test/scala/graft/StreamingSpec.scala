@@ -109,4 +109,22 @@ class StreamingSpec extends SparkSpec {
       assert(streamed.map(_._3).sum == batch.map(_._3).sum)
     } finally query.stop()
   }
+
+  test("native session_window agrees with the lag/cumsum sessionization") {
+    import org.apache.spark.sql.functions._
+    // the streaming-capable formulation (session_window works under
+    // watermarks in a stream) must produce the same per-user session
+    // structure as the batch lag/cumsum query
+    val native = Tables.events(spark, sf)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
+      .collect().map(r => r.getAs[Long]("user_id") -> (r.getAs[Long]("n_sessions"), r.getAs[Long]("n_events"))).toMap
+    val viaLag = graft.operators.Analytics.sessionize(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
+      .collect().map(r => r.getAs[Long]("user_id") -> (r.getAs[Long]("n_sessions"), r.getAs[Long]("n_events"))).toMap
+    assert(native == viaLag)
+  }
 }
