@@ -24,14 +24,14 @@ object Indexer {
   // Watermark state goes through the Hadoop FileSystem API (like
   // IndexStore), so stateDir may live on the same object store as the
   // index — on a cluster a local-FS watermark would silently reset to
-  // MinValue on every new driver and re-index the world.
-  private val fsDefault = new org.apache.hadoop.conf.Configuration()
-
-  private def fsFor(p: org.apache.hadoop.fs.Path) = p.getFileSystem(fsDefault)
-
-  def readWatermark(stateDir: String): Long = {
+  // MinValue on every new driver and re-index the world. The
+  // Configuration must be the session's (spark.hadoop.* carries the
+  // store credentials/impl classes); the no-arg default only serves
+  // host-configured callers.
+  def readWatermark(stateDir: String,
+                    conf: org.apache.hadoop.conf.Configuration = new org.apache.hadoop.conf.Configuration()): Long = {
     val p = new org.apache.hadoop.fs.Path(stateDir, "last_run_ns")
-    val fs = fsFor(p)
+    val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) Long.MinValue
     else {
       val in = fs.open(p)
@@ -40,12 +40,20 @@ object Indexer {
     }
   }
 
-  def writeWatermark(stateDir: String, ns: Long): Unit = {
-    val p = new org.apache.hadoop.fs.Path(stateDir, "last_run_ns")
-    val fs = fsFor(p)
-    val out = fs.create(p, true)
+  /** Write-temp-then-rename: a crash mid-write can never leave a
+    * truncated watermark that poisons every later run's parse.
+    */
+  def writeWatermark(stateDir: String, ns: Long,
+                     conf: org.apache.hadoop.conf.Configuration = new org.apache.hadoop.conf.Configuration()): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = dir.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(dir, s"last_run_ns.tmp")
+    val dst = new org.apache.hadoop.fs.Path(dir, "last_run_ns")
+    val out = fs.create(tmp, true)
     try out.write(ns.toString.getBytes("UTF-8"))
     finally out.close()
+    if (fs.exists(dst)) fs.delete(dst, false)
+    require(fs.rename(tmp, dst), s"watermark rename failed: $tmp -> $dst")
   }
 
   /** One incremental run against the synthetic change-log + documents.
@@ -63,7 +71,7 @@ object Indexer {
   def runIncremental(spark: SparkSession, dir: String, store: IndexStore, stateDir: String,
                      odataFilter: Option[String] = None,
                      uploadReject: Option[Column] = None): IncrementalResult = {
-    val since = readWatermark(stateDir)
+    val since = readWatermark(stateDir, spark.sparkContext.hadoopConfiguration)
     val partitioned = odataFilter.fold(PathIndexOps.changeLog(spark, dir))(f =>
       PathIndexOps.changeLog(spark, dir)
         .filter(graft.functions.ODataFilter.compile(f, searchField = "pathUrlEncoded")))
@@ -106,7 +114,7 @@ object Indexer {
       uploadModifiedCount = merge.modified,
       uploadFailedCount = merge.failed,
       uploadFailedTooLargeCount = tooLarge)
-    writeWatermark(stateDir, newWatermark)
+    writeWatermark(stateDir, newWatermark, spark.sparkContext.hadoopConfiguration)
     IncrementalResult(metrics, newWatermark)
   }
 

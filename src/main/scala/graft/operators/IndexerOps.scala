@@ -83,9 +83,13 @@ object IndexerOps extends QueryPack {
       .withColumn("cum_before", coalesce(
         sum(col("doc_bytes")).over(wb.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("sub_id", (col("cum_before") / MaxBatchBytes).cast("long"))
+    // composite id: sub_id is bounded by bucket_bytes / MaxBatchBytes;
+    // with the reference's own 63 MiB single-doc cap a 100-doc bucket
+    // tops out at ~6.3 GiB ⇒ sub_id < 1e6 provably, so the encoding
+    // cannot collide across count buckets
     val batches = sub.groupBy(col("cb"), col("sub_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("doc_bytes")).as("total_bytes"))
-      .select((col("cb") * 100 + col("sub_id")).as("batch_id"), col("n_docs"), col("total_bytes"))
+      .select((col("cb") * 1000000L + col("sub_id")).as("batch_id"), col("n_docs"), col("total_bytes"))
     val tooLarge = docs.filter(col("numbervalue") > TooLargeAbove)
       .agg(count(lit(1)).as("n_docs"), sum(col("doc_bytes")).as("total_bytes"))
       .select(lit(-1L).as("batch_id"), col("n_docs"), col("total_bytes"))
@@ -156,7 +160,7 @@ object IndexerOps extends QueryPack {
          |sub AS (SELECT *, CAST(coalesce(sum(doc_bytes) OVER (
          |    PARTITION BY cb ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
          |    // $MaxBatchBytes AS BIGINT) AS sub_id FROM cb),
-         |batches AS (SELECT cb * 100 + sub_id AS batch_id, count(*) AS n_docs, CAST(sum(doc_bytes) AS BIGINT) AS total_bytes
+         |batches AS (SELECT cb * 1000000 + sub_id AS batch_id, count(*) AS n_docs, CAST(sum(doc_bytes) AS BIGINT) AS total_bytes
          |  FROM sub GROUP BY cb, sub_id),
          |toolarge AS (SELECT CAST(-1 AS BIGINT) AS batch_id, count(*) AS n_docs, CAST(sum(doc_bytes) AS BIGINT) AS total_bytes
          |  FROM mapped WHERE numbervalue > $TooLargeAbove)

@@ -205,6 +205,11 @@ object TextAnalysis extends QueryPack {
     * the text, and the scoring join is on the exploded token stream.
     */
   def unigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    // `toks` deliberately feeds both consumers UN-staged (unlike the
+    // checkpointed dedup band tables): tokenizing is a cheap codegen'd
+    // projection, while materializing the exploded token stream would
+    // cost shuffle-scale storage — two cheap scans beat one expensive
+    // checkpoint here
     val toks = Tables.parallelized(spark,
       Tables.documents(spark, dir).select(col("doc_id"), col("text")), "doc_id")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))

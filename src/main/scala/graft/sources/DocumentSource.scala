@@ -96,14 +96,20 @@ object DocumentSource {
           dirs.flatMap { d =>
             val p = new Path(d)
             p.getFileSystem(conf).listStatus(p).iterator.map(st =>
-              (st.getPath.toUri.getPath, st.isDirectory, st.getLen, st.getModificationTime))
+              // frontier entries keep the FULL URI (scheme + authority):
+              // stripping to the bare path would re-resolve level-2+
+              // listings against fs.defaultFS instead of the root's
+              // store (s3a://, abfs://…). Only the emitted file rows
+              // drop to the bare path (the path-model keying input).
+              (st.getPath.toString, st.getPath.toUri.getPath,
+                st.isDirectory, st.getLen, st.getModificationTime))
           }
         }
-        .toDF("path", "is_dir", "length", "mtime_ms")
+        .toDF("uri", "path", "is_dir", "length", "mtime_ms")
         .persist()
       // only directory NAMES come back; this action also materializes the
       // persisted level so files are never re-listed
-      val dirs = listed.filter(col("is_dir")).select(col("path")).as[String].collect().toSeq
+      val dirs = listed.filter(col("is_dir")).select(col("uri")).as[String].collect().toSeq
       val files = listed.filter(!col("is_dir"))
         .select(col("path"), col("length"), col("mtime_ms"))
         .localCheckpoint(true) // level pinned on executors; release the scratch cache

@@ -91,8 +91,12 @@ class IndexStore(spark: SparkSession, root: String, keyCol: String,
     val prevV = currentVersion
     val nextV = prevV.getOrElse(-1L) + 1
 
-    val failed = reject.map(p => batch.filter(p).count()).getOrElse(0L)
-    val accepted = reject.map(p => batch.filter(!p)).getOrElse(batch)
+    // a NULL predicate result counts as rejected: under three-valued
+    // logic filter(p) and filter(!p) would BOTH drop the row — it would
+    // vanish from the merge and the failure count alike
+    val rejectedPred = reject.map(p => coalesce(p, lit(true)))
+    val failed = rejectedPred.map(p => batch.filter(p).count()).getOrElse(0L)
+    val accepted = rejectedPred.map(p => batch.filter(!p)).getOrElse(batch)
 
     val deduped = existing match {
       case None =>

@@ -101,16 +101,28 @@ object StreamingOps extends QueryPack {
     * DatalakePathIndexerFunc/PathIndexerFunc.cs:18-60, the service-bus
     * trigger doing exactly this per message batch).
     */
+  /** @param deadLetters optional accumulator incremented per malformed
+    *   envelope (the reference's caught deserialization failures) —
+    *   without it corrupt events would vanish untraceably.
+    */
   def indexBlobEventStream(envelopes: DataFrame, store: graft.sources.IndexStore,
-                           checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+                           checkpointDir: String,
+                           deadLetters: Option[org.apache.spark.util.LongAccumulator] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     envelopes.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           val parsed = graft.operators.PathIndexOps.parseBlobEnvelopes(batch).persist()
           try {
+            deadLetters.foreach(acc =>
+              acc.add(parsed.filter(col("action") === "dead-letter").count()))
+            // eventTime compares as a TIMESTAMP: lexicographic strings
+            // misorder mixed fractional precision ("…01Z" vs "…01.5Z")
+            // and non-Z offsets, which could resurrect a deleted blob
             val w = org.apache.spark.sql.expressions.Window
-              .partitionBy(col("key")).orderBy(col("eventTime").desc, col("event_id").desc)
+              .partitionBy(col("key"))
+              .orderBy(to_timestamp(col("eventTime")).desc, col("event_id").desc)
             val latest = parsed.withColumn("_rn",
                 org.apache.spark.sql.functions.row_number().over(w))
               .filter(col("_rn") === 1).drop("_rn")

@@ -64,8 +64,9 @@ class StreamingIndexerSpec extends SparkSpec {
         s""""sequencer":"s$id"},"dataVersion":"1","metadataVersion":"1"}""")
 
     val input = MemoryStream[(Long, String)]
+    val deadLetters = spark.sparkContext.longAccumulator("dead_letters")
     val query = graft.streaming.StreamingOps.indexBlobEventStream(
-      input.toDF().toDF("event_id", "envelope"), store, ckDir)
+      input.toDF().toDF("event_id", "envelope"), store, ckDir, Some(deadLetters))
     try {
       // batch 1: two creates, plus a create+delete of the same path —
       // the delete is later, so the key must NOT survive
@@ -80,6 +81,7 @@ class StreamingIndexerSpec extends SparkSpec {
       val keys1 = store.read().get.collect().map(r =>
         new String(java.util.Base64.getDecoder.decode(r.getAs[String]("key")), "UTF-8")).sorted
       assert(keys1.sameElements(Array("fsA%2fdata%2fa.json", "fsA%2fdata%2fb.json")))
+      assert(deadLetters.value == 1L) // the malformed envelope was counted, not lost
 
       // batch 2: modify a, delete b
       input.addData(
