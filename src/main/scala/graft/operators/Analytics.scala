@@ -468,9 +468,30 @@ object Analytics extends QueryPack {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Z-score anomaly detection per event type: per-type mean/stddev in
+    * one partial-aggregated pass (a k-row stats table, broadcast back),
+    * then a scan-level filter |z| > 3 — the monitoring query every
+    * event pipeline runs. At 100 TB the stats table is still k rows;
+    * the only full-data cost is the two scans (stats + score), both
+    * codegen'd projections.
+    */
+  def eventsAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val stats = e.groupBy(col("event_type"))
+      .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sigma"))
+    e.join(broadcast(stats), Seq("event_type"))
+      .withColumn("z", (col("value") - col("mu")) / col("sigma"))
+      .filter(abs(col("z")) > 3)
+      .select(col("event_id"), col("event_type"),
+        round(col("value"), 2).as("value"),
+        round(lit(1e-9) + col("z"), 3).as("zscore"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_funnel" -> (eventsFunnel _),
     "events_retention" -> (eventsRetention _),
+    "events_anomaly" -> (eventsAnomaly _),
     "q8_mktshare" -> (q8 _),
     "q20_nestedagg" -> (q20 _),
     "q21_antijoin" -> (q21 _),
@@ -514,6 +535,15 @@ object Analytics extends QueryPack {
         | CAST(sum(CASE WHEN t_signup IS NOT NULL AND t_view IS NOT NULL AND t_purchase IS NOT NULL
         |  AND t_view > t_signup AND t_purchase > t_view THEN 1 ELSE 0 END) AS BIGINT) AS stage3_purchase
         |FROM stages""".stripMargin,
+    "events_anomaly" ->
+      """WITH stats AS (
+        | SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+        | FROM events GROUP BY event_type)
+        |SELECT event_id, event_type, round(value, 2) AS value,
+        | round(1e-9 + (value - mu) / sigma, 3) AS zscore
+        |FROM events JOIN stats USING (event_type)
+        |WHERE abs((value - mu) / sigma) > 3
+        |ORDER BY event_id""".stripMargin,
     "events_retention" ->
       """WITH weeks AS (
         | SELECT user_id, epoch_ns(ts) // 604800000000000 AS week FROM events),
