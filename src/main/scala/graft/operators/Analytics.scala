@@ -9,10 +9,16 @@ import org.apache.spark.sql.functions._
   * indexer. TPC-H-shaped group-aggs and joins double as the bench
   * headliners.
   *
-  * Scale notes: dimension tables (region/nation/supplier/customer/part)
-  * are broadcast explicitly so the fact scan never shuffles for them;
-  * group-aggs rely on Spark's partial (map-side) aggregation; all
-  * filters are simple column predicates that push to the parquet scan.
+  * Scale notes: explicit `broadcast()` hints appear ONLY on tables whose
+  * cardinality is independent of scale factor — region (5), nation (25),
+  * and scalar/k-row aggregate frames. customer/supplier/part grow
+  * linearly with SF, so hinting them would override AQE's size check and
+  * make the plan attempt a multi-TB broadcast at 100×; they are left
+  * unhinted and AQE auto-broadcasts them while they fit under
+  * spark.sql.autoBroadcastJoinThreshold, degrading gracefully to a
+  * shuffle join beyond it. Group-aggs rely on Spark's partial (map-side)
+  * aggregation; all filters are simple column predicates that push to
+  * the parquet scan.
   */
 object Analytics extends QueryPack {
 
@@ -41,7 +47,7 @@ object Analytics extends QueryPack {
     val o = Tables.orders(spark, dir).filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
     val l = Tables.lineitem(spark, dir).filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(round(lit(1e-9) + sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
       .select(
@@ -63,8 +69,8 @@ object Analytics extends QueryPack {
       .filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
     val l = Tables.lineitem(spark, dir)
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(s),
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(s,
         col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
@@ -150,7 +156,7 @@ object Analytics extends QueryPack {
       .filter(col("o_orderdate") < lit("1995-07-01").cast("timestamp"))
     val l = Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R")
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
       .agg(round(lit(1e-9) + sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
@@ -173,7 +179,7 @@ object Analytics extends QueryPack {
       .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp"))
       .filter(col("l_shipdate") < lit("1995-04-01").cast("timestamp"))
     val p = Tables.part(spark, dir)
-    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    l.join(p, col("l_partkey") === col("p_partkey"))
       .agg(round(
         sum(when(col("p_type") === "PROMO", col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(0.0)) * 100.0 /
           sum(col("l_extendedprice") * (lit(1) - col("l_discount"))) + 1e-9, 4).as("promo_revenue_pct"))
@@ -186,7 +192,7 @@ object Analytics extends QueryPack {
     val p = Tables.part(spark, dir)
       .filter(col("p_brand") =!= "Brand#1").filter(col("p_size").isin(1, 2, 3, 4, 5))
     Tables.lineitem(spark, dir)
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(p, col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"), col("p_type"), col("p_size"))
       .agg(count_distinct(col("l_suppkey")).as("supplier_cnt"))
       .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
@@ -201,7 +207,7 @@ object Analytics extends QueryPack {
     val o = Tables.orders(spark, dir)
     val c = Tables.customer(spark, dir)
     big.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
         date_format(col("o_orderdate"), TsFmt).as("orderdate"),
         round(col("o_totalprice"), 2).as("totalprice"), col("total_qty"))
@@ -247,8 +253,8 @@ object Analytics extends QueryPack {
     val o = Tables.orders(spark, dir)
     val l = Tables.lineitem(spark, dir)
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
       .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
       .filter(col("supp_nation") < col("cust_nation"))
@@ -278,7 +284,7 @@ object Analytics extends QueryPack {
       .agg(round(lit(1e-9) + sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("total_revenue"))
     val maxRev = rev.agg(max(col("total_revenue")).as("mx"))
     rev.crossJoin(broadcast(maxRev)).filter(col("total_revenue") === col("mx"))
-      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
       .orderBy(col("s_suppkey"))
   }
@@ -299,7 +305,7 @@ object Analytics extends QueryPack {
   def q19(spark: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(spark, dir)
     val l = Tables.lineitem(spark, dir)
-    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    l.join(p, col("l_partkey") === col("p_partkey"))
       .filter(
         (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) && col("l_quantity").between(1, 11)) ||
         (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) && col("l_quantity").between(10, 20)) ||
@@ -358,10 +364,10 @@ object Analytics extends QueryPack {
     val o = Tables.orders(spark, dir)
     val l = Tables.lineitem(spark, dir)
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n1), col("c_nationkey") === col("c_nk"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
-      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(n2), col("s_nationkey") === col("s_nk"))
       .groupBy(year(col("o_orderdate")).as("o_year"))
       .agg(round(lit(1e-9) +
@@ -376,13 +382,13 @@ object Analytics extends QueryPack {
   def q20(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(spark, dir)
     val p = Tables.part(spark, dir)
-    val promoQty = l.join(broadcast(p.filter(col("p_type") === "PROMO")),
+    val promoQty = l.join(p.filter(col("p_type") === "PROMO"),
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("l_suppkey")).agg(round(lit(1e-9) + sum(col("l_quantity")), 2).as("promo_qty"))
     val totalQty = l.groupBy(col("l_suppkey")).agg(round(lit(1e-9) + sum(col("l_quantity")), 2).as("total_qty"))
     promoQty.join(totalQty, Seq("l_suppkey"))
       .filter(col("promo_qty") > col("total_qty") * 0.08)
-      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("promo_qty"), col("total_qty"))
       .orderBy(col("s_suppkey"))
   }
@@ -442,7 +448,7 @@ object Analytics extends QueryPack {
     val exclusive = late.join(others,
       col("l_orderkey") === col("other_orderkey") &&
         col("l_suppkey") =!= col("other_supp"), "left_anti")
-    exclusive.join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+    exclusive.join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("s_name")).agg(count(lit(1)).as("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))
       .limit(20)
@@ -479,6 +485,10 @@ object Analytics extends QueryPack {
     val e = Tables.events(spark, dir)
     val stats = e.groupBy(col("event_type"))
       .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sigma"))
+      // sigma = 0 (all values equal) would divide to NULL here but NaN in
+      // IEEE-default engines (which sort NaN above all numbers, passing
+      // |z| > 3) — guard both sides identically.
+      .filter(col("sigma") > 0)
     e.join(broadcast(stats), Seq("event_type"))
       .withColumn("z", (col("value") - col("mu")) / col("sigma"))
       .filter(abs(col("z")) > 3)
@@ -542,7 +552,7 @@ object Analytics extends QueryPack {
         |SELECT event_id, event_type, round(value, 2) AS value,
         | round(1e-9 + (value - mu) / sigma, 3) AS zscore
         |FROM events JOIN stats USING (event_type)
-        |WHERE abs((value - mu) / sigma) > 3
+        |WHERE sigma > 0 AND abs((value - mu) / sigma) > 3
         |ORDER BY event_id""".stripMargin,
     "events_retention" ->
       """WITH weeks AS (

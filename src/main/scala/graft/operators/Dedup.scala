@@ -221,8 +221,13 @@ object Dedup extends QueryPack {
     import graft.functions.Vectors
     // multi-probe (2 nearest cells per vector): boundary pairs still
     // meet in a shared bucket — measured 0.73 recall of the label-
-    // formulation's pairs vs 0.27 single-probe (DedupSpec recall test)
-    val (cells, _) = Similarity.kmeans(spark, dir, k = 8, iters = 1, probes = 2)
+    // formulation's pairs vs 0.27 single-probe (DedupSpec recall test).
+    // k derives from corpus size (Similarity.cellCount ≈ sqrt(n/16),
+    // floor 8) so cell population — and the pairwise join it bounds —
+    // grows ~sqrt(n) instead of linearly; at the recall-spec SF the
+    // derived k is still 8, so the measured 0.73 stands.
+    val n = Tables.embeddings(spark, dir).count()
+    val (cells, _) = Similarity.kmeans(spark, dir, k = Similarity.cellCount(n), iters = 1, probes = 2)
     val cand = cells.select(col("cell"), col("vec_id").as("a"))
       .join(cells.select(col("cell"), col("vec_id").as("b")), Seq("cell"))
       .filter(col("a") < col("b"))
@@ -376,25 +381,7 @@ object Dedup extends QueryPack {
          | JOIN sizes cb ON cb.doc_id = p.b
          |ORDER BY p.a, p.b""".stripMargin,
     "dedup_embedding" ->
-      """WITH seeds AS (
-        |  SELECT vec_id AS cell, embedding FROM embeddings WHERE vec_id < 8),
-        |a0 AS (
-        |  SELECT e.vec_id, s.cell, e.embedding,
-        |   row_number() OVER (PARTITION BY e.vec_id
-        |     ORDER BY list_distance(e.embedding::DOUBLE[], s.embedding::DOUBLE[]), s.cell) AS rk
-        |  FROM embeddings e, seeds s),
-        |asg0 AS (SELECT vec_id, cell, embedding FROM a0 WHERE rk = 1),
-        |dims AS (
-        |  SELECT cell, i.i AS dim, avg(embedding[i.i + 1]::DOUBLE) AS m
-        |  FROM asg0, (SELECT unnest(generate_series(0, 63)) AS i) i
-        |  GROUP BY cell, i.i),
-        |cents AS (SELECT cell, list(m ORDER BY dim) AS centroid FROM dims GROUP BY cell),
-        |a1 AS (
-        |  SELECT e.vec_id, c.cell,
-        |   row_number() OVER (PARTITION BY e.vec_id
-        |     ORDER BY list_distance(e.embedding::DOUBLE[], c.centroid), c.cell) AS rk
-        |  FROM embeddings e, cents c),
-        |cells AS (SELECT vec_id, cell FROM a1 WHERE rk <= 2),
+      s"""WITH ${Similarity.kmeansCellsSql(probes = 2)},
         |cand AS (
         |  SELECT DISTINCT ca.vec_id AS a, cb.vec_id AS b
         |  FROM cells ca JOIN cells cb ON cb.cell = ca.cell AND ca.vec_id < cb.vec_id)

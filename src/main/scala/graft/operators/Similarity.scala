@@ -34,29 +34,36 @@ object Similarity extends QueryPack {
       .limit(10)
   }
 
-  /** IVF: coarse cells = per-label centroids; probe the 2 nearest
-    * cells, then exact-rank only within them.
+  /** Cell count for the k-means coarse quantizer, derived from corpus
+    * size (≈ sqrt(n / 16), floor 8): cell population grows ~sqrt(n), so
+    * the bounded-pairwise stages stay subquadratic as the corpus grows —
+    * a constant k would let per-cell population (and the candidate join)
+    * grow linearly. The DuckDB twin lives in [[kmeansCellsSql]].
+    */
+  def cellCount(n: Long): Int =
+    math.max(8, math.ceil(math.sqrt(n / 16.0)).toInt)
+
+  /** IVF with a label-free coarse quantizer: cells come from
+    * [[kmeans]] (deterministic first-k seeds + one Lloyd round, k from
+    * corpus size) — no dependence on the synthetic `label` column,
+    * which does not exist at corpus scale. Vectors carry a single-probe
+    * assignment; the QUERY probes its 2 nearest cells (classic IVF
+    * nprobe), then exact-ranks only inside them.
     */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-    // per-dimension centroid means (explode dims → avg per (label, dim))
-    val dims = e.select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
-      .groupBy(col("label"), col("dim")).agg(avg(col("x").cast("double")).as("m"))
-    val q = e.filter(col("vec_id") === QueryVecId)
-      .select(posexplode(col("embedding")).as(Seq("dim", "qx")))
-    // cosine(query, centroid) per label, in exact dim order
-    val parts = dims.join(broadcast(q), Seq("dim"))
-      .groupBy(col("label"))
-      .agg(
-        sum(col("m") * col("qx").cast("double")).as("dotqc"),
-        sum(col("m") * col("m")).as("nc2"),
-        sum(col("qx").cast("double") * col("qx").cast("double")).as("nq2"))
-      .select(col("label"), (col("dotqc") / (sqrt(col("nc2")) * sqrt(col("nq2")))).as("ccos"))
-    val probed = parts.orderBy(col("ccos").desc, col("label")).limit(2).select(col("label"))
-    Tables.embeddings(spark, dir)
-      .join(broadcast(probed), Seq("label"))
+    val n = Tables.embeddings(spark, dir).count()
+    val (cells, centroids) = kmeans(spark, dir, k = cellCount(n), iters = 1, probes = 1)
+    val q = queryVec(spark, dir)
+    // centroid-vs-query cosine over the k-row centroid frame (array
+    // types differ — double centroids vs float embeddings — so use the
+    // casting Column formulation, not the native kernel)
+    val probed = centroids.crossJoin(broadcast(q))
+      .select(col("cell"), Vectors.cosineExpr(col("centroid"), col("qv")).as("ccos"))
+      .orderBy(col("ccos").desc, col("cell")).limit(2).select(col("cell"))
+    cells.join(broadcast(probed), Seq("cell"))
       .filter(col("vec_id") =!= QueryVecId)
-      .crossJoin(broadcast(queryVec(spark, dir)))
+      .join(Tables.embeddings(spark, dir), Seq("vec_id"))
+      .crossJoin(broadcast(q))
       .select(col("vec_id"), col("label"),
         round(Vectors.cosine(col("embedding"), col("qv")), 4).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
@@ -84,17 +91,27 @@ object Similarity extends QueryPack {
       .orderBy(col("vec_id"))
   }
 
-  /** k-NN join: for probe vectors (vec_id < 20), top-5 same-label
-    * neighbors by cosine — the bucketed pairwise pattern.
+  /** k-NN join with label-free buckets: for probe vectors (vec_id < 20),
+    * top-5 neighbors by cosine among candidates sharing ANY of each
+    * side's 2 nearest k-means cells (multi-probe assignment — the same
+    * boundary-recall trick as dedup_embedding). The pairwise stage is
+    * bounded by cell population (~sqrt(n) via [[cellCount]]), never the
+    * full cross join.
     */
   def knnJoin(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.embeddings(spark, dir).count()
+    val (cells, _) = kmeans(spark, dir, k = cellCount(n), iters = 1, probes = 2)
+    val pc = cells.filter(col("vec_id") < 20).select(col("vec_id").as("q"), col("cell"))
+    val nc = cells.select(col("vec_id").as("n"), col("cell"))
+    val cand = pc.join(nc, Seq("cell")).filter(col("q") =!= col("n"))
+      .select(col("q"), col("n")).distinct()
+    // norms once per vector; pairwise does only the dot
     val e = Tables.embeddings(spark, dir)
-      .select(col("label"), col("vec_id"), col("embedding"), Vectors.norm(col("embedding")).as("nrm"))
-    val probes = e.filter(col("vec_id") < 20)
-      .select(col("label"), col("vec_id").as("q"), col("embedding").as("qv"), col("nrm").as("qn"))
-    val cands = e.select(col("label"), col("vec_id").as("n"), col("embedding").as("nv"), col("nrm").as("nn"))
-    val scored = probes.join(cands, Seq("label")).filter(col("q") =!= col("n"))
-      .select(col("q"), col("n"), col("label"),
+      .select(col("vec_id"), col("embedding"), Vectors.norm(col("embedding")).as("nrm"))
+    val scored = cand
+      .join(e.select(col("vec_id").as("q"), col("embedding").as("qv"), col("nrm").as("qn")), Seq("q"))
+      .join(e.select(col("vec_id").as("n"), col("embedding").as("nv"), col("nrm").as("nn")), Seq("n"))
+      .select(col("q"), col("n"),
         round(Vectors.dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 4).as("cos"))
     val w = Window.partitionBy(col("q")).orderBy(col("cos").desc, col("n"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
@@ -167,6 +184,36 @@ object Similarity extends QueryPack {
     "ann_lsh_bucket" -> (annLshBucket _),
     "knn_join" -> (knnJoin _))
 
+  /** DuckDB twin of [[kmeans]] (k = [[cellCount]] derived in SQL, one
+    * Lloyd round, first-k seeds): a WITH-clause fragment defining
+    * `cents` (cell, centroid DOUBLE[]) and `cells` (vec_id, cell — one
+    * row per assignment up to `probes`). Shared by the Similarity and
+    * Dedup oracles so every kmeans-bucketed query is gated against the
+    * identical quantizer.
+    */
+  def kmeansCellsSql(probes: Int): String =
+    s"""kp AS (
+       |  SELECT greatest(8, CAST(ceil(sqrt(count(*) / 16.0)) AS BIGINT)) AS k FROM embeddings),
+       |seeds AS (
+       |  SELECT vec_id AS cell, embedding FROM embeddings WHERE vec_id < (SELECT k FROM kp)),
+       |a0 AS (
+       |  SELECT e.vec_id, s.cell, e.embedding,
+       |   row_number() OVER (PARTITION BY e.vec_id
+       |     ORDER BY list_distance(e.embedding::DOUBLE[], s.embedding::DOUBLE[]), s.cell) AS rk
+       |  FROM embeddings e, seeds s),
+       |asg0 AS (SELECT vec_id, cell, embedding FROM a0 WHERE rk = 1),
+       |dims AS (
+       |  SELECT cell, i.i AS dim, avg(embedding[i.i + 1]::DOUBLE) AS m
+       |  FROM asg0, (SELECT unnest(generate_series(0, 63)) AS i) i
+       |  GROUP BY cell, i.i),
+       |cents AS (SELECT cell, list(m ORDER BY dim) AS centroid FROM dims GROUP BY cell),
+       |a1 AS (
+       |  SELECT e.vec_id, c.cell,
+       |   row_number() OVER (PARTITION BY e.vec_id
+       |     ORDER BY list_distance(e.embedding::DOUBLE[], c.centroid), c.cell) AS rk
+       |  FROM embeddings e, cents c),
+       |cells AS (SELECT vec_id, cell FROM a1 WHERE rk <= $probes)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "ann_bruteforce_topk" ->
       s"""SELECT e.vec_id, e.label,
@@ -175,22 +222,15 @@ object Similarity extends QueryPack {
          |WHERE e.vec_id <> $QueryVecId
          |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin,
     "ann_ivf" ->
-      s"""WITH dims AS (
-         | SELECT label, i.i AS dim, avg(embedding[i.i + 1]::DOUBLE) AS m
-         | FROM embeddings, (SELECT unnest(generate_series(0, 63)) AS i) i
-         | GROUP BY label, i.i),
-         |q AS (
-         | SELECT i.i AS dim, embedding[i.i + 1]::DOUBLE AS qx
-         | FROM embeddings, (SELECT unnest(generate_series(0, 63)) AS i) i
-         | WHERE vec_id = $QueryVecId),
-         |parts AS (
-         | SELECT label, sum(m * qx) / (sqrt(sum(m * m)) * sqrt(sum(qx * qx))) AS ccos
-         | FROM dims JOIN q USING (dim) GROUP BY label),
-         |probed AS (SELECT label FROM parts ORDER BY ccos DESC, label LIMIT 2)
+      s"""WITH ${kmeansCellsSql(probes = 1)},
+         |q AS (SELECT embedding FROM embeddings WHERE vec_id = $QueryVecId),
+         |probed AS (
+         | SELECT c.cell FROM cents c, q
+         | ORDER BY list_cosine_similarity(c.centroid, q.embedding::DOUBLE[]) DESC, c.cell
+         | LIMIT 2)
          |SELECT e.vec_id, e.label,
          | round(list_cosine_similarity(e.embedding::DOUBLE[], qq.embedding::DOUBLE[]), 4) AS cos
-         |FROM embeddings e JOIN probed USING (label),
-         | (SELECT embedding FROM embeddings WHERE vec_id = $QueryVecId) qq
+         |FROM embeddings e JOIN cells USING (vec_id) JOIN probed USING (cell), q qq
          |WHERE e.vec_id <> $QueryVecId
          |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin,
     "ann_lsh_bucket" -> {
@@ -211,12 +251,18 @@ object Similarity extends QueryPack {
          |FROM buckets ORDER BY vec_id""".stripMargin
     },
     "knn_join" ->
-      """WITH scored AS (
-        | SELECT p.vec_id AS q, c.vec_id AS n, p.label,
-        |  round(list_cosine_similarity(p.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) AS cos
-        | FROM embeddings p JOIN embeddings c ON p.label = c.label AND p.vec_id <> c.vec_id
-        | WHERE p.vec_id < 20),
-        |ranked AS (
-        | SELECT *, row_number() OVER (PARTITION BY q ORDER BY cos DESC, n) AS rk FROM scored)
-        |SELECT q, n, label, cos, rk FROM ranked WHERE rk <= 5 ORDER BY q, rk""".stripMargin)
+      s"""WITH ${kmeansCellsSql(probes = 2)},
+         |cand AS (
+         | SELECT DISTINCT cq.vec_id AS q, cn.vec_id AS n
+         | FROM cells cq JOIN cells cn ON cn.cell = cq.cell
+         | WHERE cq.vec_id < 20 AND cq.vec_id <> cn.vec_id),
+         |scored AS (
+         | SELECT c.q, c.n,
+         |  round(list_cosine_similarity(eq.embedding::DOUBLE[], en.embedding::DOUBLE[]), 4) AS cos
+         | FROM cand c
+         |  JOIN embeddings eq ON eq.vec_id = c.q
+         |  JOIN embeddings en ON en.vec_id = c.n),
+         |ranked AS (
+         | SELECT *, row_number() OVER (PARTITION BY q ORDER BY cos DESC, n) AS rk FROM scored)
+         |SELECT q, n, cos, rk FROM ranked WHERE rk <= 5 ORDER BY q, rk""".stripMargin)
 }

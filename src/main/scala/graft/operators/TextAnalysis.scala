@@ -205,21 +205,43 @@ object TextAnalysis extends QueryPack {
     * the text, and the scoring join is on the exploded token stream.
     */
   def unigramLogprob(spark: SparkSession, dir: String): DataFrame = {
-    // `toks` deliberately feeds both consumers UN-staged (unlike the
-    // checkpointed dedup band tables): tokenizing is a cheap codegen'd
-    // projection, while materializing the exploded token stream would
-    // cost shuffle-scale storage — two cheap scans beat one expensive
-    // checkpoint here
+    // Skew-safe scoring shape. The naive formulation (exploded token
+    // stream hash-joined on `tok`) sends every occurrence of each
+    // stopword to one task — classic Zipf skew, a straggler factory at
+    // 100×. Two structural fixes:
+    //  1. pre-aggregate (doc_id, tok) → k first: that groupBy shuffles
+    //     on a SKEW-FREE composite key, and afterwards a token appears
+    //     at most once per document — per-key multiplicity drops from
+    //     total occurrences to document frequency;
+    //  2. split the frequency table at rank HeadK: the head (the only
+    //     tokens that can be skewed) joins as a broadcast, so the
+    //     shuffle join only ever sees tail tokens, whose corpus
+    //     frequency is provably ≤ total/HeadK (HeadK tokens each have
+    //     count ≥ the rank-HeadK count) — a hard worst-key bound
+    //     instead of a Zipf head.
+    // dt feeds both the frequency build and the scoring join, so it is
+    // staged through an eager localCheckpoint (single shuffle, both
+    // consumers replay materialized blocks).
+    val HeadK = 1024
     val toks = Tables.parallelized(spark,
       Tables.documents(spark, dir).select(col("doc_id"), col("text")), "doc_id")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val dt = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("k"))
+      .localCheckpoint(true)
+    val freq = dt.groupBy(col("tok")).agg(sum(col("k")).as("c"))
     val total = freq.agg(sum(col("c")).as("n"))
-    toks.join(freq, Seq("tok"))
+    val head = freq.orderBy(col("c").desc, col("tok")).limit(HeadK).localCheckpoint(true)
+    val tail = freq.join(broadcast(head.select(col("tok"))), Seq("tok"), "left_anti")
+    val headScored = dt.join(broadcast(head), Seq("tok"))
+    val tailScored = dt.join(broadcast(head.select(col("tok"))), Seq("tok"), "left_anti")
+      .join(tail, Seq("tok"))
+    headScored.unionByName(tailScored)
       .crossJoin(broadcast(total))
       .groupBy(col("doc_id"))
-      .agg(round(lit(1e-9) + avg(-log(col("c") / col("n"))), 4).as("mean_neg_logprob"),
-        count(lit(1)).as("n_tokens"))
+      .agg(
+        round(lit(1e-9) + sum(col("k") * -log(col("c") / col("n"))) / sum(col("k")), 4)
+          .as("mean_neg_logprob"),
+        sum(col("k")).as("n_tokens"))
       .orderBy(col("doc_id"))
   }
 
@@ -243,12 +265,13 @@ object TextAnalysis extends QueryPack {
     "text_unigram_logprob" ->
       """WITH toks AS (
         | SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-        |freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
-        |total AS (SELECT sum(c) AS n FROM freq)
+        |dt AS (SELECT doc_id, tok, count(*) AS k FROM toks GROUP BY doc_id, tok),
+        |freq AS (SELECT tok, CAST(sum(k) AS BIGINT) AS c FROM dt GROUP BY tok),
+        |total AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM freq)
         |SELECT doc_id,
-        | round(1e-9 + avg(-ln(c / n)), 4) AS mean_neg_logprob,
-        | count(*) AS n_tokens
-        |FROM toks JOIN freq USING (tok), total
+        | round(1e-9 + sum(k * -ln(c / n)) / sum(k), 4) AS mean_neg_logprob,
+        | CAST(sum(k) AS BIGINT) AS n_tokens
+        |FROM dt JOIN freq USING (tok), total
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "pii_scrub" ->
       """SELECT doc_id,
