@@ -18,10 +18,12 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
-    // best of 2 timed runs per query: steady-state plan execution,
-    // robust to co-tenant load spikes
+    // best of 3 timed runs per query: steady-state plan execution,
+    // robust to co-tenant load spikes (the round-3 recorded bench was
+    // 3× inflated by machine load; best-of-3 plus the recorded load
+    // averages below let a reader adjudicate without a re-run)
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
@@ -31,7 +33,14 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // 1/5/15-min system load averages at end of run: a load far above
+    // the core count means the numbers were taken under co-tenancy
+    val load = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage // 1-min only via MXBean; read /proc for all three
+    val loadAvgs: String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ").take(3).mkString("[", ",", "]")
+      catch { case _: Throwable => s"[$load]" }
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg":$loadAvgs,"cpus":$cpus}"""
     println(json)
     // sbt prefixes stdout lines with "[info] "; also drop the raw line
     // in a file so any consumer can read it un-mangled

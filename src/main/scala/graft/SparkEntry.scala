@@ -10,6 +10,7 @@ object SparkEntry {
     operators.PathIndexOps,
     operators.IndexerOps,
     operators.Search,
+    operators.TemporalJoins,
     operators.Dedup,
     operators.Similarity,
     operators.TextAnalysis,

@@ -25,26 +25,38 @@ object Indexer {
   // IndexStore), so stateDir may live on the same object store as the
   // index — on a cluster a local-FS watermark would silently reset to
   // MinValue on every new driver and re-index the world. The
-  // Configuration must be the session's (spark.hadoop.* carries the
-  // store credentials/impl classes); the no-arg default only serves
-  // host-configured callers.
+  // Configuration is REQUIRED and must be the session's
+  // (spark.sparkContext.hadoopConfiguration — spark.hadoop.* carries
+  // the store credentials/impl classes); a bare `new Configuration()`
+  // would silently drop them.
   def readWatermark(stateDir: String,
-                    conf: org.apache.hadoop.conf.Configuration = new org.apache.hadoop.conf.Configuration()): Long = {
-    val p = new org.apache.hadoop.fs.Path(stateDir, "last_run_ns")
-    val fs = p.getFileSystem(conf)
-    if (!fs.exists(p)) Long.MinValue
-    else {
+                    conf: org.apache.hadoop.conf.Configuration): Long = {
+    val dir = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = dir.getFileSystem(conf)
+    def parse(p: org.apache.hadoop.fs.Path): Long = {
       val in = fs.open(p)
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
       finally in.close()
     }
+    val dst = new org.apache.hadoop.fs.Path(dir, "last_run_ns")
+    val tmp = new org.apache.hadoop.fs.Path(dir, "last_run_ns.tmp")
+    if (fs.exists(dst)) parse(dst)
+    // crash-window fallback: writeWatermark deletes dst before the
+    // rename (rename-onto-existing is not portable across object
+    // stores), so "dst missing but a complete tmp exists" means the
+    // crash hit between delete and rename — the tmp IS the watermark
+    // (it is always fully written and closed before dst is touched).
+    // Without this fallback that crash silently re-indexes the lake.
+    else if (fs.exists(tmp)) parse(tmp)
+    else Long.MinValue
   }
 
   /** Write-temp-then-rename: a crash mid-write can never leave a
-    * truncated watermark that poisons every later run's parse.
+    * truncated watermark that poisons every later run's parse, and the
+    * delete→rename window is covered by readWatermark's tmp fallback.
     */
   def writeWatermark(stateDir: String, ns: Long,
-                     conf: org.apache.hadoop.conf.Configuration = new org.apache.hadoop.conf.Configuration()): Unit = {
+                     conf: org.apache.hadoop.conf.Configuration): Unit = {
     val dir = new org.apache.hadoop.fs.Path(stateDir)
     val fs = dir.getFileSystem(conf)
     val tmp = new org.apache.hadoop.fs.Path(dir, s"last_run_ns.tmp")

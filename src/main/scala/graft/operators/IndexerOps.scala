@@ -3,7 +3,6 @@ package graft.operators
 import graft.{QueryPack, Tables}
 import graft.functions.Keys
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document-indexer pipeline, re-expressing DataLakeIndexer semantics.
@@ -64,10 +63,21 @@ object IndexerOps extends QueryPack {
 
   /** Upload batch assignment over upload order (key order, like the
     * reference's stable channel order), capped by doc count AND by
-    * serialized batch bytes (BatchingUploader's dual caps): each
-    * count-capped run is sub-split whenever the running byte total
-    * crosses `MaxBatchBytes`. Too-large docs are excluded and grouped
-    * under batch_id -1 (FailedTooLargeCount analog).
+    * serialized batch bytes (BatchingUploader's dual caps) with the
+    * reference's GREEDY flush-before-exceed semantics: a doc whose
+    * bytes would cross `MaxBatchBytes` starts the next batch, so no
+    * emitted batch ever exceeds the cap (sound because too-large docs
+    * are excluded first — a single doc always fits). Too-large docs are
+    * grouped under batch_id -1 (FailedTooLargeCount analog).
+    *
+    * The greedy fold is inherently sequential, so it runs per
+    * count-bucket: buckets are bounded at `BatchDocCount` docs (a
+    * per-row `aggregate` over a collected ≤100-element array) and fold
+    * in parallel across the cluster. The one concession to distribution
+    * is that the byte accumulator restarts at each count-bucket
+    * boundary, where the reference's single sequential uploader carries
+    * it through — batch CONTENTS can differ at bucket seams, the
+    * flush-before-exceed invariant never does.
     */
   def batchAssign(spark: SparkSession, dir: String): DataFrame = {
     val docs = mappedDocs(spark, dir).withColumn("doc_bytes", uploadDocBytes)
@@ -75,19 +85,26 @@ object IndexerOps extends QueryPack {
     // distributed global sequence (no single-task window) → count-capped runs
     val assigned = graft.functions.Ranks.globalRowNumber(kept, "pathbase64")
       .withColumn("cb", ((col("rn") - 1) / BatchDocCount).cast("long"))
-    // bytes cap: cumulative serialized size BEFORE each doc, within the
-    // count bucket; crossing the cap opens a new sub-batch (distributed:
-    // the window partitions by count bucket, never one global task)
-    val wb = Window.partitionBy(col("cb")).orderBy(col("rn"))
-    val sub = assigned
-      .withColumn("cum_before", coalesce(
-        sum(col("doc_bytes")).over(wb.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn("sub_id", (col("cum_before") / MaxBatchBytes).cast("long"))
-    // composite id: sub_id is bounded by bucket_bytes / MaxBatchBytes;
-    // with the reference's own 63 MiB single-doc cap a 100-doc bucket
-    // tops out at ~6.3 GiB ⇒ sub_id < 1e6 provably, so the encoding
-    // cannot collide across count buckets
-    val batches = sub.groupBy(col("cb"), col("sub_id"))
+    // greedy byte-cap fold within each bucket, in upload (rn) order
+    val zero = struct(lit(0L).as("acc"), lit(0L).as("sub"),
+      array().cast("array<struct<sub_id:bigint,doc_bytes:bigint>>").as("out"))
+    val folded = assigned.groupBy(col("cb"))
+      .agg(array_sort(collect_list(struct(col("rn"), col("doc_bytes")))).as("ds"))
+      .select(col("cb"), explode(aggregate(col("ds"), zero,
+        (st, d) => {
+          val tryAcc = st.getField("acc") + d.getField("doc_bytes")
+          val cross = tryAcc > MaxBatchBytes
+          val sub = when(cross, st.getField("sub") + 1L).otherwise(st.getField("sub"))
+          val acc = when(cross, d.getField("doc_bytes")).otherwise(tryAcc)
+          struct(acc.as("acc"), sub.as("sub"),
+            concat(st.getField("out"),
+              array(struct(sub.as("sub_id"), d.getField("doc_bytes").as("doc_bytes")))).as("out"))
+        },
+        st => st.getField("out"))).as("e"))
+      .select(col("cb"), col("e.sub_id").as("sub_id"), col("e.doc_bytes").as("doc_bytes"))
+    // composite id: sub_id < 1e6 provably (≤ BatchDocCount sub-batches
+    // per bucket), so the encoding cannot collide across count buckets
+    val batches = folded.groupBy(col("cb"), col("sub_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("doc_bytes")).as("total_bytes"))
       .select((col("cb") * 1000000L + col("sub_id")).as("batch_id"), col("n_docs"), col("total_bytes"))
     val tooLarge = docs.filter(col("numbervalue") > TooLargeAbove)
@@ -149,7 +166,7 @@ object IndexerOps extends QueryPack {
   val oracles: Map[String, String] = Map(
     "doc_read_map" -> (mappedSql + " ORDER BY doc_id"),
     "batch_assign" ->
-      s"""WITH mapped AS (
+      s"""WITH RECURSIVE mapped AS (
          |  SELECT *, CAST(octet_length(encode(to_json(struct_pack(
          |    pathbase64 := pathbase64, stringvalue := stringvalue,
          |    numbervalue := numbervalue, booleanvalue := booleanvalue))::VARCHAR)) AS BIGINT) AS doc_bytes
@@ -157,11 +174,16 @@ object IndexerOps extends QueryPack {
          |kept AS (SELECT *, row_number() OVER (ORDER BY pathbase64) AS rn
          |  FROM mapped WHERE numbervalue <= $TooLargeAbove),
          |cb AS (SELECT *, CAST((rn - 1) // $BatchDocCount AS BIGINT) AS cb FROM kept),
-         |sub AS (SELECT *, CAST(coalesce(sum(doc_bytes) OVER (
-         |    PARTITION BY cb ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-         |    // $MaxBatchBytes AS BIGINT) AS sub_id FROM cb),
+         |g AS (
+         |  SELECT cb, rn, doc_bytes, doc_bytes AS acc, CAST(0 AS BIGINT) AS sub_id
+         |  FROM cb WHERE (rn - 1) % $BatchDocCount = 0
+         |  UNION ALL
+         |  SELECT c.cb, c.rn, c.doc_bytes,
+         |   CASE WHEN g.acc + c.doc_bytes > $MaxBatchBytes THEN c.doc_bytes ELSE g.acc + c.doc_bytes END,
+         |   CASE WHEN g.acc + c.doc_bytes > $MaxBatchBytes THEN g.sub_id + 1 ELSE g.sub_id END
+         |  FROM cb c JOIN g ON c.cb = g.cb AND c.rn = g.rn + 1),
          |batches AS (SELECT cb * 1000000 + sub_id AS batch_id, count(*) AS n_docs, CAST(sum(doc_bytes) AS BIGINT) AS total_bytes
-         |  FROM sub GROUP BY cb, sub_id),
+         |  FROM g GROUP BY cb, sub_id),
          |toolarge AS (SELECT CAST(-1 AS BIGINT) AS batch_id, count(*) AS n_docs, CAST(sum(doc_bytes) AS BIGINT) AS total_bytes
          |  FROM mapped WHERE numbervalue > $TooLargeAbove)
          |SELECT * FROM (SELECT * FROM batches UNION ALL SELECT * FROM toolarge)

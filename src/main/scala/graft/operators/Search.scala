@@ -72,6 +72,57 @@ object Search extends QueryPack {
       .limit(50)
   }
 
+  /** Analyzed multi-term AND match (Azure Search `search.ismatch('spark
+    * data join', 'text', 'simple', 'all')` semantics): both the query
+    * and the field go through the standard analyzer; a doc matches when
+    * every query term appears in its token set. One codegen'd
+    * projection + filter — no token explode, no shuffle.
+    */
+  def searchIsMatchTerms(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Analyzers
+    index(spark, dir)
+      .filter(Analyzers.isMatchTerms(col("text"), "spark data join", matchAll = true))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+
+  /** BM25 relevance over the analyzed text field (k1=1.2, b=0.75,
+    * Lucene-style idf = ln(1 + (N - df + 0.5)/(df + 0.5))) for the
+    * query "spark data", top 50.
+    *
+    * Shape at scale: the corpus statistics (N, avgdl, one df per query
+    * term) reduce to ONE k-column row in a single partial-aggregated
+    * pass, broadcast back; scoring is then a pure per-row projection —
+    * the whole query is two scans and zero shuffles (the reference
+    * offloads exactly this to Azure Search's Lucene BM25 ranking;
+    * IndexModels/TextIndexModel.cs:9-13 `IsSearchable`).
+    */
+  def searchScoreBm25(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Analyzers
+    val terms = Seq("spark", "data")
+    val toks = Analyzers.standardTokens(col("text"))
+    val withTf = index(spark, dir).select(
+      (col("doc_id") +: size(toks).cast("double").as("dl") +:
+        terms.map(t => size(filter(toks, x => x === t)).cast("double").as(s"tf_$t"))): _*)
+    val statAggs = count(lit(1)).cast("double").as("n_docs") +:
+      avg(col("dl")).as("avgdl") +:
+      terms.map(t => sum(when(col(s"tf_$t") > 0, 1.0).otherwise(0.0)).as(s"df_$t"))
+    val stats = withTf.agg(statAggs.head, statAggs.tail: _*)
+    val lenNorm = lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))
+    val perTerm = terms.map { t =>
+      val idf = log(lit(1.0) + (col("n_docs") - col(s"df_$t") + 0.5) / (col(s"df_$t") + 0.5))
+      idf * col(s"tf_$t") * lit(Bm25K1 + 1.0) / (col(s"tf_$t") + lenNorm)
+    }
+    withTf.crossJoin(broadcast(stats))
+      .select(col("doc_id"), round(lit(1e-9) + perTerm.reduce(_ + _), 4).as("bm25"))
+      .filter(col("bm25") > 0)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(50)
+  }
+
   /** Client-side keyset pagination, the exact loop of the reference's
     * ListPathsAsync (PathIndexClient.cs:66-96): fetch an ordered page,
     * remember the last key, next page filters `key gt last`. Unlike
@@ -125,7 +176,9 @@ object Search extends QueryPack {
     "search_orderby_page" -> (searchOrderByPage _),
     "search_facets" -> (searchFacets _),
     "search_ismatch" -> (searchIsMatch _),
-    "search_score" -> (searchScore _))
+    "search_ismatch_terms" -> (searchIsMatchTerms _),
+    "search_score" -> (searchScore _),
+    "search_score_bm25" -> (searchScoreBm25 _))
 
   val oracles: Map[String, String] = Map(
     "search_ismatch_path" ->
@@ -158,5 +211,37 @@ object Search extends QueryPack {
       """SELECT doc_id, CAST(len(list_filter(string_split(text, ' '), t -> t = 'spark')) AS BIGINT) AS tf
         |FROM documents
         |WHERE len(list_filter(string_split(text, ' '), t -> t = 'spark')) > 0
-        |ORDER BY tf DESC, doc_id LIMIT 50""".stripMargin)
+        |ORDER BY tf DESC, doc_id LIMIT 50""".stripMargin,
+    "search_ismatch_terms" ->
+      """WITH a AS (
+        | SELECT doc_id, lang, n_chars,
+        |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+        | FROM documents)
+        |SELECT doc_id, lang, n_chars FROM a
+        |WHERE list_contains(toks, 'spark') AND list_contains(toks, 'data') AND list_contains(toks, 'join')
+        |ORDER BY doc_id""".stripMargin,
+    "search_score_bm25" ->
+      s"""WITH a AS (
+         | SELECT doc_id,
+         |  len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> ''))::DOUBLE AS dl,
+         |  len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t = 'spark'))::DOUBLE AS tf_spark,
+         |  len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t = 'data'))::DOUBLE AS tf_data
+         | FROM documents),
+         |stats AS (
+         | SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl,
+         |  sum(CASE WHEN tf_spark > 0 THEN 1.0 ELSE 0.0 END) AS df_spark,
+         |  sum(CASE WHEN tf_data > 0 THEN 1.0 ELSE 0.0 END) AS df_data
+         | FROM a)
+         |SELECT doc_id, round(1e-9 +
+         |  ln(1.0 + (n_docs - df_spark + 0.5) / (df_spark + 0.5)) * tf_spark * ${Bm25K1 + 1.0} /
+         |   (tf_spark + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * dl / avgdl)) +
+         |  ln(1.0 + (n_docs - df_data + 0.5) / (df_data + 0.5)) * tf_data * ${Bm25K1 + 1.0} /
+         |   (tf_data + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * dl / avgdl)), 4) AS bm25
+         |FROM a, stats
+         |WHERE round(1e-9 +
+         |  ln(1.0 + (n_docs - df_spark + 0.5) / (df_spark + 0.5)) * tf_spark * ${Bm25K1 + 1.0} /
+         |   (tf_spark + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * dl / avgdl)) +
+         |  ln(1.0 + (n_docs - df_data + 0.5) / (df_data + 0.5)) * tf_data * ${Bm25K1 + 1.0} /
+         |   (tf_data + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * dl / avgdl)), 4) > 0
+         |ORDER BY bm25 DESC, doc_id LIMIT 50""".stripMargin)
 }

@@ -1,0 +1,162 @@
+package graft.operators
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators Spark lacks natively: as-of join and
+  * interval (range) join, built scale-first.
+  *
+  * As-of join — "the latest quote at or before each probe" — is
+  * implemented as union-tag + per-key ordered window forward-fill: ONE
+  * shuffle on the key, no range explosion, no per-probe subquery. The
+  * oracle uses DuckDB's native ASOF JOIN, so the gate proves the
+  * distributed formulation equals the textbook semantics.
+  *
+  * Interval join — probes against [start, end] intervals — would be a
+  * cross product as a bare theta-join; bucketing both sides by coarse
+  * time buckets turns it into an equi-join on the bucket plus a
+  * residual range filter, cost bounded by probes-per-bucket ×
+  * intervals-per-bucket. An interval spanning k buckets contributes k
+  * join rows; a probe lives in exactly one bucket, so no post-join
+  * dedup is needed.
+  */
+object TemporalJoins extends QueryPack {
+
+  private val TsFmt = "yyyy-MM-dd HH:mm:ss"
+  private val GapNs = 1800000000000L // 30 min, same as events_sessionize
+  private val HourNs = 3600L * 1000000000L
+
+  /** Generic as-of join: for each probe row, the latest quote row with
+    * the same `key` and `quoteTime` ≤ `probeTime` (inclusive); quote
+    * columns come back null when no quote precedes the probe (left
+    * semantics). Ties on quoteTime resolve to the largest `tie` value.
+    *
+    * Columns of `probes` and `quotes` (other than `key`) must be
+    * disjoint; every quote column is forward-filled onto the probes.
+    */
+  def asofJoin(probes: DataFrame, quotes: DataFrame, key: String,
+               probeTime: String, quoteTime: String, tie: String): DataFrame = {
+    // quotes sort before probes at equal time (tag 0 < 1 ⇒ inclusive
+    // <=); among equal-time quotes the largest tie sorts last, so the
+    // running last() picks it
+    val q = quotes.withColumn("_t", col(quoteTime)).withColumn("_tag", lit(0))
+    val p = probes.withColumn("_t", col(probeTime)).withColumn("_tag", lit(1))
+    val u = p.unionByName(q, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("_t"), col("_tag"), col(tie))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val quoteColumns = quotes.columns.filterNot(_ == key)
+    val filled = quoteColumns.foldLeft(u)((df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+    filled.filter(col("_tag") === 1).drop("_t", "_tag")
+  }
+
+  /** Purchase attribution: each purchase event joined as-of to the same
+    * user's latest view event at or before it — the canonical as-of
+    * workload (trades↔quotes, here conversions↔impressions).
+    */
+  def purchaseAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts_ns").as("p_ns"), col("ts").as("p_ts"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts_ns").as("v_ns"), col("ts").as("v_ts"))
+    asofJoin(purchases, views, key = "user_id",
+      probeTime = "p_ns", quoteTime = "v_ns", tie = "view_id")
+      .select(
+        col("purchase_id"), col("user_id"),
+        date_format(col("p_ts"), TsFmt).as("purchase_ts"),
+        col("view_id"),
+        date_format(col("v_ts"), TsFmt).as("view_ts"),
+        expr("(p_ns - v_ns) div 1000000000").as("gap_s"))
+      .orderBy(col("purchase_id"))
+  }
+
+  /** Interval join: per session interval (the sessionize gap logic's
+    * [min ts, max ts] per user-session), how many purchases OTHER users
+    * made while it was open. Bucketed by hour: sessions explode to
+    * their covered hour buckets, purchases map to exactly one bucket,
+    * the join is equi on the bucket with the range+user residual.
+    */
+  def sessionOverlapPurchases(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"))
+    val sess = e
+      .withColumn("prev_ns", lag(col("ts_ns"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_ns").isNull || (col("ts_ns") - col("prev_ns")) > GapNs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("is_new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts_ns")).as("start_ns"), max(col("ts_ns")).as("end_ns"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts_ns").as("p_ns"))
+    val sessB = sess.withColumn("bucket",
+      explode(sequence(expr(s"start_ns div $HourNs"), expr(s"end_ns div $HourNs"))))
+    val purB = purchases.withColumn("bucket", expr(s"p_ns div $HourNs"))
+    val counts = sessB.join(purB, Seq("bucket"))
+      .filter(col("p_ns") >= col("start_ns") && col("p_ns") <= col("end_ns") &&
+        col("p_user") =!= col("user_id"))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_other_purchases"))
+    sess.select(col("user_id"), col("session_id"))
+      .join(counts, Seq("user_id", "session_id"), "left")
+      .na.fill(0L, Seq("n_other_purchases"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_asof_join" -> (purchaseAttribution _),
+    "events_interval_join" -> (sessionOverlapPurchases _))
+
+  val oracles: Map[String, String] = Map(
+    "events_asof_join" ->
+      """WITH p AS (
+        | SELECT user_id, event_id AS purchase_id, epoch_ns(ts) AS p_ns, ts AS p_ts
+        | FROM events WHERE event_type = 'purchase'),
+        |v0 AS (
+        | SELECT user_id, event_id AS view_id, epoch_ns(ts) AS v_ns, ts AS v_ts
+        | FROM events WHERE event_type = 'view'),
+        |v AS (
+        | SELECT user_id, view_id, v_ns, v_ts FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, v_ns ORDER BY view_id DESC) AS rn
+        |  FROM v0) WHERE rn = 1)
+        |SELECT p.purchase_id, p.user_id,
+        | strftime(p.p_ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        | v.view_id,
+        | strftime(v.v_ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+        | (p.p_ns - v.v_ns) // 1000000000 AS gap_s
+        |FROM p ASOF LEFT JOIN v
+        | ON p.user_id = v.user_id AND v.v_ns <= p.p_ns
+        |ORDER BY purchase_id""".stripMargin,
+    "events_interval_join" ->
+      """WITH gapped AS (
+        | SELECT user_id, epoch_ns(ts) AS ts_ns, event_type,
+        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |    OR epoch_ns(ts) - epoch_ns(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800000000000
+        |   THEN 1 ELSE 0 END AS is_new
+        | FROM events),
+        |se AS (
+        | SELECT user_id, ts_ns,
+        |  CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_ns
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        | FROM gapped),
+        |sess AS (
+        | SELECT user_id, session_id, min(ts_ns) AS start_ns, max(ts_ns) AS end_ns
+        | FROM se GROUP BY user_id, session_id),
+        |p AS (
+        | SELECT user_id AS p_user, epoch_ns(ts) AS p_ns
+        | FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        | SELECT s.user_id, s.session_id, count(*) AS n
+        | FROM sess s JOIN p
+        |  ON p.p_ns BETWEEN s.start_ns AND s.end_ns AND p.p_user <> s.user_id
+        | GROUP BY s.user_id, s.session_id)
+        |SELECT s.user_id, s.session_id, CAST(coalesce(c.n, 0) AS BIGINT) AS n_other_purchases
+        |FROM sess s LEFT JOIN c USING (user_id, session_id)
+        |ORDER BY user_id, session_id""".stripMargin)
+}

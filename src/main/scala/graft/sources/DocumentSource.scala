@@ -118,6 +118,12 @@ object DocumentSource {
       frontier = dirs
       depth += 1
     }
+    // the depth bound is a runaway guard (symlink cycles, pathological
+    // trees), not a truncation policy: a non-empty frontier here means
+    // the listing would be silently incomplete — fail loudly instead
+    require(frontier.isEmpty,
+      s"listFilesRecursive exceeded $depth levels with ${frontier.size} directories unlisted " +
+        s"(first: ${frontier.head}); raise the depth bound or break the cycle")
     result
       .withColumn("modificationTime", timestamp_millis(col("mtime_ms")))
       .drop("mtime_ms")

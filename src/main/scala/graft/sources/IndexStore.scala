@@ -57,8 +57,40 @@ class IndexStore(spark: SparkSession, root: String, keyCol: String,
   def read(): Option[DataFrame] =
     currentVersion.map(v => spark.read.parquet(s"$root/v=$v"))
 
-  /** Footer-only row count of a snapshot (no data scan). */
-  private def snapshotCount(v: Long): Long = spark.read.parquet(s"$root/v=$v").count()
+  /** Run `write` (one action) and harvest the named `observe(...)`
+    * metrics from its QueryExecution via a scoped listener. Returns
+    * None when the metrics never arrive — QueryExecutionListener does
+    * not fire for executions nested inside a streaming micro-batch
+    * (foreachBatch), so blocking unconditionally (as
+    * `org.apache.spark.sql.Observation.get` does) would hang there;
+    * callers fall back to computing the metrics directly instead.
+    */
+  private def writeObserving(names: Set[String])(write: => Unit): Option[Map[String, org.apache.spark.sql.Row]] = {
+    @volatile var rows: Map[String, org.apache.spark.sql.Row] = Map.empty
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit = {
+        val hit = qe.observedMetrics.filter { case (k, _) => names(k) }
+        if (hit.size == names.size) { rows = hit; latch.countDown() }
+      }
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      write
+      if (latch.await(5, java.util.concurrent.TimeUnit.SECONDS)) Some(rows) else None
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  /** Unwrap an observed aggregate (null on zero rows → 0). */
+  private def metric(m: org.apache.spark.sql.Row, name: String): Long = {
+    val i = m.fieldIndex(name)
+    if (m.isNullAt(i)) 0L else m.getLong(i)
+  }
 
   /** Every snapshot writer goes through here so the hive-partitioned
     * layout (→ partition pruning for "filesystem eq 'x'" reads)
@@ -91,37 +123,69 @@ class IndexStore(spark: SparkSession, root: String, keyCol: String,
     val prevV = currentVersion
     val nextV = prevV.getOrElse(-1L) + 1
 
+    // ALL metrics ride the snapshot-write job as observed aggregates
+    // (CollectMetrics accumulators): one pass over the merge window, no
+    // snapshot re-counts, and — because the batch plan executes exactly
+    // once — the failed count can never disagree with what was written,
+    // even for a nondeterministic batch frame.
+    val tag = java.util.UUID.randomUUID().toString
+    val batchName = s"graft_batch_$tag"
+    val mergeName = s"graft_merge_$tag"
+
     // a NULL predicate result counts as rejected: under three-valued
     // logic filter(p) and filter(!p) would BOTH drop the row — it would
-    // vanish from the merge and the failure count alike
-    val rejectedPred = reject.map(p => coalesce(p, lit(true)))
-    val failed = rejectedPred.map(p => batch.filter(p).count()).getOrElse(0L)
-    val accepted = rejectedPred.map(p => batch.filter(!p)).getOrElse(batch)
+    // vanish from the merge and the failure count alike. (Catalyst does
+    // not push filters through CollectMetrics, so the reject filter
+    // below cannot starve the observed sum.)
+    val flagged = batch
+      .withColumn("_rej", reject.map(p => coalesce(p, lit(true))).getOrElse(lit(false)))
+      .observe(batchName, sum(col("_rej").cast("long")).as("failed"))
+    val accepted = flagged.filter(!col("_rej")).drop("_rej")
 
     val deduped = existing match {
       case None =>
-        if (seqCol.isDefined) {
-          val w = Window.partitionBy(col(keyCol)).orderBy(seqCol.map(c => col(c).desc).toSeq: _*)
-          accepted.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
-        } else accepted.dropDuplicates(keyCol)
+        val within =
+          if (seqCol.isDefined) {
+            val w = Window.partitionBy(col(keyCol)).orderBy(seqCol.map(c => col(c).desc).toSeq: _*)
+            accepted.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+          } else accepted.dropDuplicates(keyCol)
+        within.observe(mergeName,
+          count(lit(1)).as("created"),
+          sum(lit(0L)).as("modified"))
       case Some(cur) =>
         // allowMissingColumns: batches may add columns over time
         // (schema evolution); absent columns null-fill on either side
         val tagged = cur.withColumn("_seq", lit(0))
           .unionByName(accepted.withColumn("_seq", lit(1)), allowMissingColumns = true)
         val w = Window.partitionBy(col(keyCol)).orderBy(mergeOrder: _*)
+        // per-key "did the snapshot already hold this key" flag shares
+        // the row_number window's partitioning — no extra shuffle. The
+        // surviving row for any batch-touched key is always a batch row
+        // (_seq sorts first), so _seq=1 ∧ _had=0 ⇔ created and
+        // _seq=1 ∧ _had=1 ⇔ modified.
         tagged.withColumn("_rn", row_number().over(w))
-          .filter(col("_rn") === 1).drop("_rn", "_seq")
+          .withColumn("_had",
+            max(when(col("_seq") === 0, 1).otherwise(0)).over(Window.partitionBy(col(keyCol))))
+          .filter(col("_rn") === 1)
+          .observe(mergeName,
+            sum(when(col("_seq") === 1 && col("_had") === 0, 1L).otherwise(0L)).as("created"),
+            sum(when(col("_seq") === 1 && col("_had") === 1, 1L).otherwise(0L)).as("modified"))
+          .drop("_rn", "_seq", "_had")
     }
 
-    writeSnapshot(deduped, nextV)
-
-    // metrics without re-joining batch and snapshot: a merge never drops
-    // keys, so created = |new snapshot| - |old snapshot| (footer-only
-    // counts), and modified = distinct accepted batch keys - created
-    val batchKeys = accepted.select(col(keyCol)).distinct().count()
-    val created = snapshotCount(nextV) - prevV.map(snapshotCount).getOrElse(0L)
-    MergeResult(created, batchKeys - created, failed, nextV)
+    writeObserving(Set(batchName, mergeName)) { writeSnapshot(deduped, nextV) } match {
+      case Some(rows) =>
+        MergeResult(metric(rows(mergeName), "created"), metric(rows(mergeName), "modified"),
+          metric(rows(batchName), "failed"), nextV)
+      case None =>
+        // listener never fired (streaming micro-batch context): recompute
+        // from the written snapshots — extra actions, same answers
+        val failed = reject.map(p => batch.filter(coalesce(p, lit(true))).count()).getOrElse(0L)
+        val newCount = spark.read.parquet(s"$root/v=$nextV").count()
+        val created = newCount - prevV.map(v => spark.read.parquet(s"$root/v=$v").count()).getOrElse(0L)
+        val batchKeys = accepted.select(col(keyCol)).distinct().count()
+        MergeResult(created, batchKeys - created, failed, nextV)
+    }
   }
 
   /** Rewrite the live snapshot into `numFiles` part files — the
@@ -134,9 +198,13 @@ class IndexStore(spark: SparkSession, root: String, keyCol: String,
       case None => 0L
       case Some(cur) =>
         val nextV = currentVersion.get + 1
-        val n = cur.count()
-        writeSnapshot(cur.repartition(numFiles), nextV)
-        n
+        val name = s"graft_opt_${java.util.UUID.randomUUID()}"
+        // counted during the rewrite job; fallback scans only if the
+        // listener context swallowed the metrics (streaming micro-batch)
+        writeObserving(Set(name)) {
+          writeSnapshot(cur.observe(name, count(lit(1)).as("n")).repartition(numFiles), nextV)
+        }.map(rows => metric(rows(name), "n"))
+          .getOrElse(spark.read.parquet(s"$root/v=$nextV").count())
     }
   }
 
@@ -160,9 +228,19 @@ class IndexStore(spark: SparkSession, root: String, keyCol: String,
       case None => 0L
       case Some(cur) =>
         val nextV = currentVersion.get + 1
-        val remaining = cur.join(keys.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
-        writeSnapshot(remaining, nextV)
-        snapshotCount(nextV - 1) - snapshotCount(nextV)
+        // left join + null filter instead of left_anti so the tombstone
+        // hits can be counted inside the write job (no before/after
+        // snapshot counts)
+        val name = s"graft_del_${java.util.UUID.randomUUID()}"
+        val marked = cur
+          .join(keys.select(col(keyCol)).distinct().withColumn("_del", lit(true)), Seq(keyCol), "left")
+          .observe(name, sum(when(col("_del"), 1L).otherwise(0L)).as("deleted"))
+        writeObserving(Set(name)) {
+          writeSnapshot(marked.filter(col("_del").isNull).drop("_del"), nextV)
+        }.map(rows => metric(rows(name), "deleted")).getOrElse {
+          spark.read.parquet(s"$root/v=${nextV - 1}").count() -
+            spark.read.parquet(s"$root/v=$nextV").count()
+        }
     }
   }
 }

@@ -30,6 +30,20 @@ class AnalyticsSpec extends SparkSpec {
     assert(plan.contains("PushedFilters") && plan.contains("l_shipdate"), s"plan:\n$plan")
   }
 
+  test("unhinted q3 still broadcasts the under-threshold customer side") {
+    // SF-scaled tables (customer/supplier/part) carry NO broadcast()
+    // hint — a hint would override AQE's size check and die at 100×.
+    // Under the threshold the optimizer must still CHOOSE broadcast on
+    // its own, so dropping the hints is bench-neutral at small SF.
+    val df = Analytics.q3(spark, sf)
+    assert(!df.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "q3 must not carry join hints")
+    df.collect() // let AQE finalize
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"optimizer did not auto-broadcast at small SF:\n$plan")
+  }
+
   test("window_topn keeps at most 3 orders per customer") {
     val rows = Analytics.windowTopN(spark, sf).collect()
     val perCust = rows.groupBy(_.getAs[Long]("o_custkey")).values.map(_.length)

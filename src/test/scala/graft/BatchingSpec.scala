@@ -61,10 +61,11 @@ class BatchingSpec extends SparkSpec {
     // cap split at least one count-capped run
     assert(real.length > countOnlyBatches,
       s"bytes cap never bound: ${real.length} batches for $keptDocs docs")
-    // a batch's serialized payload stays within cap + one doc overshoot
-    // (the cap closes a batch when the running total crosses it)
-    val maxDoc = 600L // upload docs are ≤ ~350 serialized bytes at this SF
-    assert(real.forall(_.getAs[Long]("total_bytes") <= graft.operators.IndexerOps.MaxBatchBytes + maxDoc))
+    // greedy flush-before-exceed (the reference BatchingUploader
+    // semantics): NO batch ever exceeds the byte cap — the doc that
+    // would cross it starts the next batch
+    assert(real.forall(_.getAs[Long]("total_bytes") <= graft.operators.IndexerOps.MaxBatchBytes),
+      "a batch exceeded MaxBatchBytes: flush-before-exceed violated")
   }
 
   test("distributed assignment respects both caps within every partition") {

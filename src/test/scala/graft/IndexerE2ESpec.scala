@@ -9,6 +9,22 @@ import java.nio.file.Files
   */
 class IndexerE2ESpec extends SparkSpec {
 
+  private def hconf = spark.sparkContext.hadoopConfiguration
+
+  test("a crash between watermark delete and rename is recoverable from the tmp file") {
+    val stateDir = Files.createTempDirectory("graft_wm_crash").toString
+    Indexer.writeWatermark(stateDir, 42L, hconf)
+    assert(Indexer.readWatermark(stateDir, hconf) == 42L)
+    // simulate writeWatermark(99) crashing after delete(dst), before
+    // rename: tmp holds the new value, dst is gone
+    val fs = new org.apache.hadoop.fs.Path(stateDir).getFileSystem(hconf)
+    val tmp = new org.apache.hadoop.fs.Path(stateDir, "last_run_ns.tmp")
+    val out = fs.create(tmp, true)
+    try out.write("99".getBytes("UTF-8")) finally out.close()
+    fs.delete(new org.apache.hadoop.fs.Path(stateDir, "last_run_ns"), false)
+    assert(Indexer.readWatermark(stateDir, hconf) == 99L) // not MinValue: no full re-index
+  }
+
   test("incremental runs are watermarked, idempotent, and mergeable") {
     val idxDir = Files.createTempDirectory("graft_e2e_idx").toString
     val stateDir = Files.createTempDirectory("graft_e2e_state").toString
@@ -22,7 +38,7 @@ class IndexerE2ESpec extends SparkSpec {
       r1.metrics.uploadCreatedCount + r1.metrics.uploadFailedTooLargeCount)
     val state1 = store.read().get.count()
     assert(state1 == r1.metrics.uploadCreatedCount)
-    assert(Indexer.readWatermark(stateDir) == r1.newWatermarkNs)
+    assert(Indexer.readWatermark(stateDir, hconf) == r1.newWatermarkNs)
 
     // second run with no new events: complete no-op
     val r2 = Indexer.runIncremental(spark, sf, store, stateDir)
@@ -31,7 +47,7 @@ class IndexerE2ESpec extends SparkSpec {
     assert(store.read().get.count() == state1)
 
     // simulate catching up from a mid-stream watermark (5 days earlier)
-    Indexer.writeWatermark(stateDir, r1.newWatermarkNs - 5L * 24 * 3600 * 1000000000L)
+    Indexer.writeWatermark(stateDir, r1.newWatermarkNs - 5L * 24 * 3600 * 1000000000L, hconf)
     val r3 = Indexer.runIncremental(spark, sf, store, stateDir)
     assert(r3.metrics.readCount > 0)
     assert(r3.metrics.uploadModifiedCount > 0) // overlapping keys merged, not duplicated
@@ -47,8 +63,8 @@ class IndexerE2ESpec extends SparkSpec {
     val first = Indexer.runPartitioned(spark, sf, store, stateRoot, partitions = Seq(1))
     val r1 = first(1)
     assert(r1.metrics.uploadCreatedCount > 0)
-    assert(Indexer.readWatermark(s"$stateRoot/part_1") == r1.newWatermarkNs)
-    assert(Indexer.readWatermark(s"$stateRoot/part_2") == Long.MinValue)
+    assert(Indexer.readWatermark(s"$stateRoot/part_1", hconf) == r1.newWatermarkNs)
+    assert(Indexer.readWatermark(s"$stateRoot/part_2", hconf) == Long.MinValue)
     // everything indexed so far is partition-1 paths (data%2fpart_1…)
     val keys1 = store.read().get.select("key").collect().map(_.getString(0))
     val decoded = keys1.map(k => new String(java.util.Base64.getDecoder.decode(k), "UTF-8"))

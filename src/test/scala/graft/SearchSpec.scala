@@ -136,6 +136,47 @@ class SearchSpec extends SparkSpec {
     assert(all.sameElements(all.sorted))
   }
 
+  test("keyset pagination: key-gt resume and empty-page termination at an exact boundary") {
+    // 3 exactly-full pages: the loop (like PathIndexClient.cs:64-91,
+    // which runs at page size 5000 while pages keep coming) cannot know
+    // it is done after page 3 — it must probe a 4th, get the EMPTY
+    // page, and terminate without emitting it
+    val df = spark.range(300).selectExpr("lpad(cast(id as string), 6, '0') as key")
+    val pages = Search.pagedByKey(df, "key", pageSize = 100).toSeq
+    assert(pages.length == 3 && pages.forall(_.size == 100))
+    assert(pages.flatten.map(_.getAs[String]("key")).distinct.length == 300)
+    // `key gt previousKey` resumability: a fresh loop seeded with a
+    // mid-stream boundary sees exactly the strict tail, in order
+    val boundary = pages(1).apply(49).getAs[String]("key")
+    val resumed = Search.pagedByKey(df.filter(col("key") > boundary), "key", pageSize = 100).toSeq
+    val keys = resumed.flatten.map(_.getAs[String]("key"))
+    assert(keys.length == 150 && keys.forall(_ > boundary))
+    assert(keys.sameElements(keys.sorted))
+  }
+
+  test("analyzed multi-term ismatch: all terms must occur, analysis is shared") {
+    import graft.functions.Analyzers
+    val rows = Search.searchIsMatchTerms(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val matched = rows.map(_.getAs[Long]("doc_id")).toSet
+    // cross-check against per-term matches computed independently
+    val byTerm = Seq("spark", "data", "join").map { t =>
+      docs.filter(array_contains(Analyzers.standardTokens(col("text")), t))
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    }
+    assert(matched == byTerm.reduce(_ intersect _))
+    // AND is strictly narrower than any single term here
+    assert(byTerm.forall(s => matched.subsetOf(s) && matched != s))
+  }
+
+  test("bm25 ranks rare-term-heavy docs above stopword soup and stays positive") {
+    val rows = Search.searchScoreBm25(spark, sf).collect()
+    assert(rows.length == 50)
+    val scores = rows.map(_.getAs[Double]("bm25"))
+    assert(scores.forall(_ > 0))
+    assert(scores.sameElements(scores.sortBy(-(_: Double)))) // ranked desc
+  }
+
   test("facets count every doc exactly once per field") {
     val rows = Search.searchFacets(spark, sf).collect()
     val total = docs.count()

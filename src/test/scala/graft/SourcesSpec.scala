@@ -25,6 +25,37 @@ class SourcesSpec extends SparkSpec {
     assert(state == Map("k1" -> "v1", "k2" -> "v2b", "k3" -> "v3"))
   }
 
+  test("IndexStore merge runs exactly one action (metrics ride the write job)") {
+    val root = Files.createTempDirectory("graft_idx1a").toString
+    val store = new IndexStore(spark, root, "key")
+    import spark.implicits._
+    store.mergeOrUpload(Seq(("k1", "v1"), ("k2", "v2")).toDF("key", "value"))
+
+    val executions = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit = executions.incrementAndGet()
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val r = store.mergeOrUpload(
+        Seq(("k2", "v2b"), ("k3", "v3"), ("bad", "x")).toDF("key", "value"),
+        reject = Some(col("key") === "bad"))
+      assert(r.created == 1 && r.modified == 1 && r.failed == 1)
+      // QueryExecutionListener events are posted asynchronously: wait
+      // for the first, then settle to catch any stragglers
+      val deadline = System.nanoTime() + 30L * 1000000000L
+      while (executions.get() < 1 && System.nanoTime() < deadline) Thread.sleep(50)
+      Thread.sleep(500)
+      assert(executions.get() == 1,
+        s"merge should be a single action (the snapshot write), saw ${executions.get()}")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("IndexStore delete-by-key removes tombstoned keys") {
     val root = Files.createTempDirectory("graft_idx2").toString
     val store = new IndexStore(spark, root, "key")

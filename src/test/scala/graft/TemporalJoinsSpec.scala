@@ -1,0 +1,72 @@
+package graft
+
+import graft.operators.TemporalJoins
+import org.apache.spark.sql.functions._
+
+class TemporalJoinsSpec extends SparkSpec {
+
+  private lazy val events = Tables.events(spark, sf)
+    .select(col("user_id"), col("event_id"), col("event_type"), col("ts_ns"))
+    .collect()
+
+  test("as-of join picks the true latest view at or before each purchase") {
+    val views = events.filter(_.getAs[String]("event_type") == "view")
+      .groupBy(_.getAs[Long]("user_id"))
+    val rows = TemporalJoins.purchaseAttribution(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val purchases = events.filter(_.getAs[String]("event_type") == "purchase")
+    assert(rows.length == purchases.length) // left semantics: every probe survives
+    rows.foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      val pNs = purchases.find(_.getAs[Long]("event_id") == r.getAs[Long]("purchase_id"))
+        .get.getAs[Long]("ts_ns")
+      // brute-force expected: max (ts, event_id) view with ts <= purchase ts
+      val expected = views.getOrElse(u, Array.empty)
+        .filter(_.getAs[Long]("ts_ns") <= pNs)
+        .sortBy(v => (v.getAs[Long]("ts_ns"), v.getAs[Long]("event_id")))
+        .lastOption
+      expected match {
+        case Some(v) => assert(r.getAs[Long]("view_id") == v.getAs[Long]("event_id"),
+          s"purchase ${r.getAs[Long]("purchase_id")} user $u")
+        case None => assert(r.isNullAt(r.fieldIndex("view_id")))
+      }
+    }
+  }
+
+  test("as-of gap is non-negative and null only for view-less purchases") {
+    val rows = TemporalJoins.purchaseAttribution(spark, sf).collect()
+    rows.foreach { r =>
+      val hasView = !r.isNullAt(r.fieldIndex("view_id"))
+      assert(r.isNullAt(r.fieldIndex("gap_s")) != hasView)
+      if (hasView) assert(r.getAs[Long]("gap_s") >= 0)
+    }
+  }
+
+  test("bucketed interval join equals the brute-force theta join") {
+    val rows = TemporalJoins.sessionOverlapPurchases(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // brute-force: rebuild sessions from collected events, count overlaps
+    val byUser = events.groupBy(_.getAs[Long]("user_id"))
+    val sessions = byUser.flatMap { case (u, evs) =>
+      val sorted = evs.map(_.getAs[Long]("ts_ns")).sorted
+      val bounds = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var start = sorted.head; var prev = sorted.head
+      sorted.tail.foreach { t =>
+        if (t - prev > 1800000000000L) { bounds += ((start, prev)); start = t }
+        prev = t
+      }
+      bounds += ((start, prev))
+      bounds.zipWithIndex.map { case ((s, e), i) => (u, i + 1L, s, e) }
+    }.toSeq
+    val purchases = events.filter(_.getAs[String]("event_type") == "purchase")
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("ts_ns")))
+    val expected = sessions.map { case (u, sid, s, e) =>
+      (u, sid) -> purchases.count { case (pu, pt) => pu != u && pt >= s && pt <= e }.toLong
+    }.toMap
+    assert(rows.length == sessions.size)
+    rows.foreach { r =>
+      val k = (r.getAs[Long]("user_id"), r.getAs[Long]("session_id"))
+      assert(r.getAs[Long]("n_other_purchases") == expected(k), s"session $k")
+    }
+  }
+}
