@@ -86,12 +86,32 @@ object Dedup extends QueryPack {
     * use a reliable checkpoint dir if fault-tolerance matters.
     */
   def candidatePairs(spark: SparkSession, dir: String): DataFrame = {
-    val bands = lshBands(spark, dir).localCheckpoint(true)
+    val bands = bandIndex(spark, dir)
     val l = bands.select(col("doc_id").as("a"), col("band"), col("sig"))
     val r = bands.select(col("doc_id").as("b"), col("band"), col("sig"))
     l.join(r, Seq("band", "sig")).filter(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
   }
+
+  /** The corpus's LSH band index, built (shingle → minhash → band,
+    * eagerly checkpointed) ONCE per corpus snapshot and reused by every
+    * consumer — dedup_minhash_lsh, dedup_ngram_jaccard, dedup_clusters,
+    * dedup_incremental all probe the same structure, the way a
+    * persisted band index would be probed at 100 TB (the store-backed
+    * form is [[incrementalCandidates]]).
+    */
+  def bandIndex(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.IndexCache.getOrBuild(spark, "lsh_bands", dir) {
+      lshBands(spark, dir).localCheckpoint(true)
+    }
+
+  /** Distinct (doc, shingle) pairs, checkpointed once per snapshot —
+    * the verify-stage sidecar of the band index.
+    */
+  def shingleIndex(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.IndexCache.getOrBuild(spark, "shingles_distinct", dir) {
+      shingled(spark, dir).distinct().localCheckpoint(true)
+    }
 
   /** Incremental dedup: at 100 TB you never re-minhash the corpus — the
     * LSH band index lives in an [[graft.sources.IndexStore]]; new docs
@@ -154,7 +174,7 @@ object Dedup extends QueryPack {
     * dedup affordable as a 100 TB corpus grows.
     */
   def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
-    val bands = lshBands(spark, dir).localCheckpoint(true)
+    val bands = bandIndex(spark, dir)
     val batch = bands.filter(col("doc_id") % 10 === 0)
       .select(col("doc_id").as("new_doc"), col("band"), col("sig"))
     val corpus = bands.filter(col("doc_id") % 10 =!= 0)
@@ -194,8 +214,8 @@ object Dedup extends QueryPack {
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val pairs = candidatePairs(spark, dir)
     // the distinct shingle set feeds three consumers (two intersection
-    // joins + the per-doc sizes); materialize it once
-    val sh = shingled(spark, dir).distinct().localCheckpoint(true)
+    // joins + the per-doc sizes); materialized once per snapshot
+    val sh = shingleIndex(spark, dir)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
     val inter = pairs
       .join(sh.select(col("doc_id").as("a"), col("sh")), Seq("a"))
@@ -225,9 +245,10 @@ object Dedup extends QueryPack {
     // k derives from corpus size (Similarity.cellCount ≈ sqrt(n/16),
     // floor 8) so cell population — and the pairwise join it bounds —
     // grows ~sqrt(n) instead of linearly; at the recall-spec SF the
-    // derived k is still 8, so the measured 0.73 stands.
-    val n = Tables.embeddings(spark, dir).count()
-    val (cells, _) = Similarity.kmeans(spark, dir, k = Similarity.cellCount(n), iters = 1, probes = 2)
+    // derived k is still 8, so the measured 0.73 stands. The cell index
+    // is built once per corpus snapshot and shared with knn_join
+    // (IndexCache).
+    val (cells, _) = Similarity.cellIndex(spark, dir, probes = 2)
     val cand = cells.select(col("cell"), col("vec_id").as("a"))
       .join(cells.select(col("cell"), col("vec_id").as("b")), Seq("cell"))
       .filter(col("a") < col("b"))
@@ -242,6 +263,55 @@ object Dedup extends QueryPack {
       .withColumn("cos", round(Vectors.dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
       .filter(col("cos") >= 0.3)
       .select(col("a"), col("b"), col("cos"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** 64-bit SimHash as four 16-bit band columns (h0..h3): per band the
+    * token-hash chunk is 4 md5 hex chars, bit votes summed per doc —
+    * never assembled into one 64-bit value, so neither engine risks
+    * sign/overflow at bit 63 and the band columns double as the LSH
+    * bucketing keys.
+    */
+  private[graft] def simhashBands(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val withV = toks.select(col("doc_id") +: (0 until 4).map(b =>
+      conv(substring(md5(col("tok").cast("binary")), 1 + 4 * b, 4), 16, 10).cast("long").as(s"v$b")): _*)
+    val votes = for (b <- 0 until 4; j <- 0 until 16) yield
+      sum(when(expr(s"(shiftright(v$b, $j) & 1)") === 1, 1L).otherwise(-1L)).as(s"s${b}_$j")
+    val summed = withV.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+    val hb = (0 until 4).map { b =>
+      (0 until 16).map(j => when(col(s"s${b}_$j") >= 0, lit(1L) * (1L << j)).otherwise(0L))
+        .reduce(_ + _).as(s"h$b")
+    }
+    summed.select(col("doc_id") +: hb: _*)
+  }
+
+  /** Near-dup pairs by 64-bit SimHash Hamming distance ≤ 3, found via
+    * pigeonhole banding: 4 bands × 16 bits — any pair within distance 3
+    * differs in at most 3 bands, so it MUST collide on at least one,
+    * and only band-colliding pairs are ever distance-checked (the
+    * all-pairs Hamming scan never happens; at 16-bit band width the
+    * buckets stay tiny at any corpus size). The distance check itself
+    * is codegen'd bit_count(xor) — no token re-reads.
+    */
+  def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sims = simhashBands(spark, dir).localCheckpoint(true) // both join sides replay one build
+    val banded = sims.select(col("doc_id") +: (0 until 4).map(b => col(s"h$b")) :+
+      explode(array((0 until 4).map(b => struct(lit(b).as("band"), col(s"h$b").as("v"))): _*)).as("bs"): _*)
+      .select(col("doc_id") +: (0 until 4).map(b => col(s"h$b")) :+
+        col("bs.band").as("band") :+ col("bs.v").as("v"): _*)
+    val l = banded.select(col("doc_id").as("a") +: (0 until 4).map(b => col(s"h$b").as(s"a$b")) :+
+      col("band") :+ col("v"): _*)
+    val r = banded.select(col("doc_id").as("b") +: (0 until 4).map(b => col(s"h$b").as(s"b$b")) :+
+      col("band") :+ col("v"): _*)
+    val ham = (0 until 4).map(i => expr(s"bit_count(a$i ^ b$i)").cast("long")).reduce(_ + _)
+    l.join(r, Seq("band", "v")).filter(col("a") < col("b"))
+      .select(col("a") +: col("b") +: (0 until 4).flatMap(i => Seq(col(s"a$i"), col(s"b$i"))): _*)
+      .distinct()
+      .withColumn("hamming", ham)
+      .filter(col("hamming") <= 3)
+      .select(col("a"), col("b"), col("hamming"))
       .orderBy(col("a"), col("b"))
   }
 
@@ -306,6 +376,7 @@ object Dedup extends QueryPack {
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
+    "dedup_simhash_pairs" -> (dedupSimhashPairs _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_embedding" -> (dedupEmbedding _))
 
@@ -364,6 +435,26 @@ object Dedup extends QueryPack {
          |sh AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM summed)
          |SELECT doc_id, simhash, count(*) OVER (PARTITION BY simhash) AS bucket_size
          |FROM sh ORDER BY doc_id""".stripMargin
+    },
+    "dedup_simhash_pairs" -> {
+      val vcols = (0 until 4).map(b => s"('0x'||substring(md5(tok),${1 + 4 * b},4))::BIGINT AS v$b").mkString(", ")
+      val sums = (for (b <- 0 until 4; j <- 0 until 16) yield
+        s"sum(CASE WHEN (v$b >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s${b}_$j").mkString(", ")
+      val hcols = (0 until 4).map { b =>
+        val bits = (0 until 16).map(j => s"CASE WHEN s${b}_$j >= 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+        s"CAST($bits AS BIGINT) AS h$b"
+      }.mkString(", ")
+      val ham = (0 until 4).map(i => s"bit_count(xor(a.h$i, b.h$i))").mkString(" + ")
+      val anyBand = (0 until 4).map(i => s"a.h$i = b.h$i").mkString(" OR ")
+      s"""WITH toks AS (
+         | SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
+         |vals AS (SELECT doc_id, $vcols FROM toks),
+         |summed AS (SELECT doc_id, $sums FROM vals GROUP BY doc_id),
+         |sh AS (SELECT doc_id, $hcols FROM summed)
+         |SELECT a.doc_id AS a, b.doc_id AS b, CAST($ham AS BIGINT) AS hamming
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id AND ($anyBand)
+         |WHERE $ham <= 3
+         |ORDER BY a, b""".stripMargin
     },
     "dedup_ngram_jaccard" ->
       s"""WITH pairs AS ($pairsSql),

@@ -43,6 +43,22 @@ object Similarity extends QueryPack {
   def cellCount(n: Long): Int =
     math.max(8, math.ceil(math.sqrt(n / 16.0)).toInt)
 
+  /** The corpus's k-means coarse-quantizer index (assignments with
+    * `probes`-way multi-assignment + centroids), built ONCE per corpus
+    * snapshot via [[graft.sources.IndexCache]] and reused by every
+    * probing query (ann_ivf, knn_join, dedup_embedding) — the build is
+    * deterministic (first-k seeds, fixed iteration count) and both
+    * frames are eagerly checkpointed by [[kmeans]], so the cache
+    * replays materialized blocks.
+    */
+  def cellIndex(spark: SparkSession, dir: String, probes: Int): (DataFrame, DataFrame) = {
+    val n = Tables.embeddings(spark, dir).count()
+    val k = cellCount(n)
+    graft.sources.IndexCache.getOrBuild(spark, s"kmeans_k${k}_i1_p$probes", dir) {
+      kmeans(spark, dir, k = k, iters = 1, probes = probes)
+    }
+  }
+
   /** IVF with a label-free coarse quantizer: cells come from
     * [[kmeans]] (deterministic first-k seeds + one Lloyd round, k from
     * corpus size) — no dependence on the synthetic `label` column,
@@ -51,8 +67,7 @@ object Similarity extends QueryPack {
     * nprobe), then exact-ranks only inside them.
     */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
-    val n = Tables.embeddings(spark, dir).count()
-    val (cells, centroids) = kmeans(spark, dir, k = cellCount(n), iters = 1, probes = 1)
+    val (cells, centroids) = cellIndex(spark, dir, probes = 1)
     val q = queryVec(spark, dir)
     // centroid-vs-query cosine over the k-row centroid frame (array
     // types differ — double centroids vs float embeddings — so use the
@@ -99,8 +114,7 @@ object Similarity extends QueryPack {
     * full cross join.
     */
   def knnJoin(spark: SparkSession, dir: String): DataFrame = {
-    val n = Tables.embeddings(spark, dir).count()
-    val (cells, _) = kmeans(spark, dir, k = cellCount(n), iters = 1, probes = 2)
+    val (cells, _) = cellIndex(spark, dir, probes = 2)
     val pc = cells.filter(col("vec_id") < 20).select(col("vec_id").as("q"), col("cell"))
     val nc = cells.select(col("vec_id").as("n"), col("cell"))
     val cand = pc.join(nc, Seq("cell")).filter(col("q") =!= col("n"))

@@ -175,9 +175,27 @@ object StreamingOps extends QueryPack {
         col("event_type"), col("n"), col("total_value"))
       .orderBy(col("wstart"), col("event_type"))
 
+  /** The streaming-native sessionization operator: `session_window`
+    * (gap-merged event-time windows, the same operator a watermarked
+    * stream would run) executed in batch mode, so the DuckDB lag/cumsum
+    * oracle gates the exact session semantics — StreamingSpec
+    * separately proves the session_window formulation equals the
+    * analytic lag/cumsum one.
+    */
+  def streamSession(spark: SparkSession, dir: String): DataFrame =
+    eventRows(spark, dir).toDF()
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), round(lit(1e-9) + sum(col("value")), 2).as("session_value"))
+      .select(col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n_events"), col("session_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_upsert" -> (streamUpsert _),
-    "stream_window" -> (streamWindow _))
+    "stream_window" -> (streamWindow _),
+    "stream_session" -> (streamSession _))
 
   val oracles: Map[String, String] = Map(
     "stream_upsert" ->
@@ -192,5 +210,22 @@ object StreamingOps extends QueryPack {
     "stream_window" ->
       """SELECT strftime(to_timestamp((epoch_ns(ts) // 900000000000) * 900), '%Y-%m-%d %H:%M:%S') AS wstart,
         | event_type, count(*) AS n, round(1e-9 + sum(value), 2) AS total_value
-        |FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin)
+        |FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin,
+    "stream_session" ->
+      """WITH gapped AS (
+        | SELECT user_id, value, epoch_ns(ts) // 1000 AS t_us,
+        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |    OR epoch_ns(ts) // 1000 - epoch_ns(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) // 1000 > 1800000000
+        |   THEN 1 ELSE 0 END AS is_new
+        | FROM events),
+        |sess AS (
+        | SELECT user_id, value, t_us,
+        |  sum(is_new) OVER (PARTITION BY user_id ORDER BY t_us
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        | FROM gapped)
+        |SELECT user_id,
+        | strftime(to_timestamp(min(t_us) // 1000000), '%Y-%m-%d %H:%M:%S') AS session_start,
+        | count(*) AS n_events, round(1e-9 + sum(value), 2) AS session_value
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin)
 }

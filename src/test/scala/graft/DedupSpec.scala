@@ -38,6 +38,21 @@ class DedupSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Double]("cos") >= 0.3))
   }
 
+  test("banded simhash pairs find EVERY pair within hamming 3 (pigeonhole completeness)") {
+    import org.apache.spark.sql.functions._
+    val rows = Dedup.dedupSimhashPairs(spark, sf).collect()
+    val found = rows.map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) -> r.getAs[Long]("hamming")).toMap
+    // brute force over ALL pairs from the collected band hashes
+    val hs = Dedup.simhashBands(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (0 until 4).map(i => r.getAs[Long](s"h$i")))
+    val expected = (for {
+      (a, ha) <- hs; (b, hb) <- hs if a < b
+      d = ha.zip(hb).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum.toLong
+      if d <= 3
+    } yield (a, b) -> d).toMap
+    assert(found == expected, s"found ${found.size}, expected ${expected.size}")
+  }
+
   test("cell-bucketed near-dup recall vs the label formulation") {
     import graft.functions.Vectors
     import org.apache.spark.sql.functions._
