@@ -20,8 +20,14 @@ import org.apache.spark.sql.functions._
   *   and_or := cmp (('and'|'or') cmp)*        — 'and' binds tighter
   *   cmp    := field ('eq'|'ne'|'gt'|'ge'|'lt'|'le') literal
   *           | search.ismatch('pattern'[, 'field'])
+  *           | search.in(field, 'v1,v2,…'[, 'delims'])
+  *           | ('startswith'|'endswith'|'contains')(field, 'literal')
   *   literal:= 'single-quoted' | number | true | false | null
   * }}}
+  * The three string functions and `search.in` are the filter functions
+  * Azure Search's OData dialect supports on filterable string fields;
+  * all compile to scan-level Column predicates (startswith reaches the
+  * parquet scan as a StringStartsWith pushed filter).
   * `search.ismatch` supports trailing-`*` prefix patterns over
   * whitespace tokens, like the reference's `'partition_1*'` usage.
   */
@@ -104,7 +110,39 @@ object ODataFilter {
       case Some("not") => next(); !parseUnary()
       case Some("(") => next(); val c = parseOr(); expect(")"); c
       case Some("search.ismatch") => parseIsMatch()
+      case Some("search.in") => parseSearchIn()
+      case Some(fn @ ("startswith" | "endswith" | "contains")) => next(); parseStringFn(fn)
       case _ => parseCmp()
+    }
+
+    /** search.in(field, 'a,b,c'[, 'delims']) — set membership over a
+      * delimited value list (default delimiters: comma and space, like
+      * the service's).
+      */
+    private def parseSearchIn(): Column = {
+      expect("search.in"); expect("(")
+      val field = col(next())
+      expect(",")
+      val values = literalString(next())
+      val delims = if (peek.contains(",")) { next(); literalString(next()) } else ", "
+      expect(")")
+      val split = values.split(delims.map(c => java.util.regex.Pattern.quote(c.toString)).mkString("[", "", "]"))
+        .map(_.trim).filter(_.nonEmpty)
+      require(split.nonEmpty, s"search.in with empty value list: '$values'")
+      field.isin(split.toIndexedSeq: _*)
+    }
+
+    private def parseStringFn(fn: String): Column = {
+      expect("(")
+      val field = col(next())
+      expect(",")
+      val arg = literalString(next())
+      expect(")")
+      fn match {
+        case "startswith" => field.startsWith(arg)
+        case "endswith" => field.endsWith(arg)
+        case "contains" => field.contains(arg)
+      }
     }
 
     private def parseIsMatch(): Column = {

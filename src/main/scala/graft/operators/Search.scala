@@ -43,6 +43,19 @@ object Search extends QueryPack {
       .limit(100)
   }
 
+  /** The OData string-function surface (startswith/endswith/contains +
+    * search.in) — the filter functions Azure Search supports on
+    * filterable fields, compiled to scan-level predicates.
+    */
+  def searchFilterFunctions(spark: SparkSession, dir: String): DataFrame = {
+    val predicate = ODataFilter.compile(
+      "startswith(source, 'src1') or (contains(lang, 'e') and not endswith(source, '3')) " +
+        "or search.in(lang, 'zh, fr')")
+    index(spark, dir).filter(predicate)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
   def searchFacets(spark: SparkSession, dir: String): DataFrame = {
     val d = index(spark, dir)
     def facet(field: String): DataFrame =
@@ -173,6 +186,7 @@ object Search extends QueryPack {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "search_ismatch_path" -> (searchIsMatchPath _),
     "search_filter" -> (searchFilter _),
+    "search_filter_functions" -> (searchFilterFunctions _),
     "search_orderby_page" -> (searchOrderByPage _),
     "search_facets" -> (searchFacets _),
     "search_ismatch" -> (searchIsMatch _),
@@ -197,6 +211,12 @@ object Search extends QueryPack {
         |FROM documents
         |WHERE to_base64(encode(source || '%2f' || replace('docs/' || lang || '/' || doc_id || '.json', '/', '%2f'))) > 'c3JjMiV'
         |ORDER BY key LIMIT 100""".stripMargin,
+    "search_filter_functions" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE starts_with(source, 'src1')
+        | OR (contains(lang, 'e') AND NOT ends_with(source, '3'))
+        | OR lang IN ('zh', 'fr')
+        |ORDER BY doc_id""".stripMargin,
     "search_facets" ->
       """SELECT facet_field, facet_value, n FROM (
         | SELECT 'lang' AS facet_field, lang AS facet_value, count(*) AS n FROM documents GROUP BY lang

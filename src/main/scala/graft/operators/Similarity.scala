@@ -85,6 +85,32 @@ object Similarity extends QueryPack {
       .limit(10)
   }
 
+  /** Brute-force top-k over int8-QUANTIZED codes — the 4× storage /
+    * memory-bandwidth saver for 100 TB of embeddings (cosine is
+    * scale-invariant, so per-vector symmetric quantization costs only
+    * the per-element rounding error). Quantization uses explicit
+    * floor(x/scale + 0.5) so both engines round identically; the codes
+    * are exact small integers, making the oracle math bit-stable.
+    */
+  def annInt8(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    val xs = transform(col("embedding"), x => x.cast("double"))
+    val scale = (aggregate(xs, lit(0.0), (a, x) => greatest(a, abs(x))) / 127.0).as("scale")
+    def codes(sc: Column) = transform(col("embedding"),
+      x => floor(x.cast("double") / sc + 0.5)).as("c")
+    val qz = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"), scale)
+      .filter(col("scale") > 0)
+      .select(col("vec_id"), col("label"), codes(col("scale")))
+    val q = qz.filter(col("vec_id") === QueryVecId).select(col("c").as("qc"))
+    qz.filter(col("vec_id") =!= QueryVecId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        round(Vectors.cosineInt8(col("c"), col("qc")), 4).as("cos8"))
+      .orderBy(col("cos8").desc, col("vec_id"))
+      .limit(10)
+  }
+
   /** Hyperplane LSH signatures: bucket = Σ (dot(v, plane_p) ≥ 0) << p
     * with md5-derived plane weights (engine-portable, no RNG).
     */
@@ -194,6 +220,7 @@ object Similarity extends QueryPack {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce_topk" -> (annBruteForce _),
+    "ann_int8_topk" -> (annInt8 _),
     "ann_ivf" -> (annIvf _),
     "ann_lsh_bucket" -> (annLshBucket _),
     "knn_join" -> (knnJoin _))
@@ -235,6 +262,20 @@ object Similarity extends QueryPack {
          |FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = $QueryVecId) q
          |WHERE e.vec_id <> $QueryVecId
          |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin,
+    "ann_int8_topk" ->
+      s"""WITH sc AS (
+         | SELECT vec_id, label, embedding,
+         |  list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS scale
+         | FROM embeddings),
+         |qz AS (
+         | SELECT vec_id, label,
+         |  list_transform(embedding, x -> floor(x::DOUBLE / scale + 0.5)) AS c
+         | FROM sc WHERE scale > 0),
+         |q AS (SELECT c AS qc FROM qz WHERE vec_id = $QueryVecId)
+         |SELECT z.vec_id, z.label, round(list_cosine_similarity(z.c, q.qc), 4) AS cos8
+         |FROM qz z, q
+         |WHERE z.vec_id <> $QueryVecId
+         |ORDER BY cos8 DESC, z.vec_id LIMIT 10""".stripMargin,
     "ann_ivf" ->
       s"""WITH ${kmeansCellsSql(probes = 1)},
          |q AS (SELECT embedding FROM embeddings WHERE vec_id = $QueryVecId),

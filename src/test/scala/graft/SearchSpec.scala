@@ -97,6 +97,24 @@ class SearchSpec extends SparkSpec {
     assert(got == Seq("a", "b"))
   }
 
+  test("OData string functions and search.in compile to the right predicates") {
+    val sw = docs.filter(ODataFilter.compile("startswith(source, 'src1')")).collect()
+    assert(sw.nonEmpty && sw.forall(_.getAs[String]("source").startsWith("src1")))
+    val ew = docs.filter(ODataFilter.compile("endswith(source, '3')")).collect()
+    assert(ew.nonEmpty && ew.forall(_.getAs[String]("source").endsWith("3")))
+    val ct = docs.filter(ODataFilter.compile("contains(lang, 'e')")).collect()
+    assert(ct.nonEmpty && ct.forall(_.getAs[String]("lang").contains("e")))
+    val si = docs.filter(ODataFilter.compile("search.in(lang, 'zh, fr')")).collect()
+    assert(si.nonEmpty && si.forall(r => Set("zh", "fr")(r.getAs[String]("lang"))))
+    // custom delimiter form
+    val sd = docs.filter(ODataFilter.compile("search.in(lang, 'zh|fr', '|')")).collect()
+    assert(sd.map(_.getAs[Long]("doc_id")).sorted.sameElements(si.map(_.getAs[Long]("doc_id")).sorted))
+    // startswith composes with ordinary comparisons and not
+    val mixed = docs.filter(ODataFilter.compile(
+      "startswith(source, 'src') and not contains(lang, 'z') and n_chars ge 100")).collect()
+    assert(mixed.forall(r => !r.getAs[String]("lang").contains("z") && r.getAs[Long]("n_chars") >= 100))
+  }
+
   test("OData rejects malformed input") {
     intercept[IllegalArgumentException](ODataFilter.compile("lang foo 'en'"))
     intercept[IllegalArgumentException](ODataFilter.compile("lang eq 'en' trailing"))

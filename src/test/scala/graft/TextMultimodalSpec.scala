@@ -29,6 +29,25 @@ class TextMultimodalSpec extends SparkSpec {
     assert(rows.forall(r => r.getAs[Long]("bpe_tokens") >= r.getAs[Long]("ws_tokens") - 1))
   }
 
+  test("unigram scoring tail keys are bounded by total/HeadK (the skew guarantee)") {
+    import org.apache.spark.sql.functions._
+    // the de-skewed join broadcasts the top-1024 tokens; any token left
+    // in the shuffled tail must have corpus frequency <= total/1024,
+    // because each of the 1024 head tokens has frequency >= the
+    // rank-1024 one — the structural worst-key bound of the join
+    val toks = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val total = freq.agg(sum(col("c"))).collect().head.getLong(0)
+    val ordered = freq.orderBy(col("c").desc, col("tok")).collect().map(_.getAs[Long]("c"))
+    val headK = 1024
+    if (ordered.length > headK) {
+      val tailMax = ordered.drop(headK).max
+      assert(tailMax <= total / headK,
+        s"tail worst key $tailMax exceeds ${total / headK}")
+    } else succeed // whole vocabulary fits in the broadcast head: no shuffled tail at all
+  }
+
   test("fingerprint is stable and one per doc") {
     val a = TextAnalysis.fingerprint(spark, sf).collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("fingerprint"))
     val b = TextAnalysis.fingerprint(spark, sf).collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("fingerprint"))
