@@ -150,6 +150,48 @@ object TextAnalysis extends QueryPack {
       .orderBy(col("lang"), col("rk"))
   }
 
+  /** Deterministic weighted sample (Efraimidis–Spirakis A-ES): rank by
+    * ln(u)/w where u is an md5-derived uniform in (0,1] and w = n_chars
+    * — heavier docs are proportionally likelier, the draw is without
+    * replacement, reproducible across runs/engines (no RNG), and
+    * distributed: the key is a per-row projection, the top-k is one
+    * TakeOrdered (partial top-k per partition, k rows to the driver).
+    * The quality-weighted corpus draw every data-mixing pipeline runs.
+    */
+  def sampleWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val u = (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("double") + 1.0) / 4294967296.0
+    val key = log(u) / col("n_chars")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"), key.as("k"))
+      .orderBy(col("k").desc, col("doc_id"))
+      .limit(100)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val MixtureShares: Seq[(String, Int)] =
+    Seq("en" -> 40, "de" -> 15, "es" -> 15, "fr" -> 15, "zh" -> 15)
+
+  /** Corpus mixing to fixed per-language quotas (en 40 / others 15 —
+    * the "data mixture" step of corpus assembly): deterministic md5
+    * order within each language, quota cutoff per stratum. One shuffle
+    * on lang; each stratum's window is independent.
+    */
+  def sampleMixture(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+    val quota = MixtureShares.foldRight(lit(0)) { case ((l, q), e) =>
+      when(col("lang") === l, lit(q)).otherwise(e)
+    }
+    Tables.documents(spark, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= quota)
+      .select(col("doc_id"), col("lang"), col("rk").cast("long").as("rk"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
   /** PII scrubbing: regex redaction of email-like and long-digit
     * (phone/ID) spans, with counts of what was redacted. The patterns
     * are deliberately simple/portable; a production pass would chain
@@ -251,6 +293,8 @@ object TextAnalysis extends QueryPack {
     "decontaminate" -> (decontaminate _),
     "sample_deterministic" -> (sampleDeterministic _),
     "sample_stratified" -> (sampleStratified _),
+    "sample_weighted" -> (sampleWeighted _),
+    "sample_mixture" -> (sampleMixture _),
     "text_chunk" -> (chunk _),
     "text_normalize" -> (normalize _),
     "text_langid" -> (langId _),
@@ -307,6 +351,23 @@ object TextAnalysis extends QueryPack {
         |  row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
         | FROM documents)
         |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin,
+    "sample_weighted" ->
+      """SELECT doc_id, lang, n_chars FROM (
+        | SELECT doc_id, lang, n_chars,
+        |  ln((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1.0) / 4294967296.0)
+        |   / n_chars AS k
+        | FROM documents
+        | ORDER BY k DESC, doc_id LIMIT 100)
+        |ORDER BY doc_id""".stripMargin,
+    "sample_mixture" -> {
+      val quota = MixtureShares.map { case (l, q) => s"WHEN lang = '$l' THEN $q" }
+        .mkString("CASE ", " ", " ELSE 0 END")
+      s"""SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk FROM (
+         | SELECT doc_id, lang,
+         |  row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+         | FROM documents)
+         |WHERE rk <= $quota ORDER BY lang, rk""".stripMargin
+    },
     "text_chunk" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |chunks AS (

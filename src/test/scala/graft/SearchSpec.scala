@@ -113,6 +113,10 @@ class SearchSpec extends SparkSpec {
     val mixed = docs.filter(ODataFilter.compile(
       "startswith(source, 'src') and not contains(lang, 'z') and n_chars ge 100")).collect()
     assert(mixed.forall(r => !r.getAs[String]("lang").contains("z") && r.getAs[Long]("n_chars") >= 100))
+    // startswith reaches the parquet scan as a pushed filter
+    val plan = docs.filter(ODataFilter.compile("startswith(source, 'src1')"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("StartsWith"), s"plan:\n$plan")
   }
 
   test("OData rejects malformed input") {

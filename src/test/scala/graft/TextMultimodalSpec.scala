@@ -48,6 +48,30 @@ class TextMultimodalSpec extends SparkSpec {
     } else succeed // whole vocabulary fits in the broadcast head: no shuffled tail at all
   }
 
+  test("weighted sample is reproducible and favors heavy docs") {
+    import org.apache.spark.sql.functions._
+    val s1 = TextAnalysis.sampleWeighted(spark, sf).collect()
+    val s2 = TextAnalysis.sampleWeighted(spark, sf).collect()
+    assert(s1.map(_.getAs[Long]("doc_id")).sameElements(s2.map(_.getAs[Long]("doc_id"))))
+    assert(s1.length == 100)
+    val sampleMean = s1.map(_.getAs[Long]("n_chars")).sum.toDouble / s1.length
+    val corpusMean = Tables.documents(spark, sf).agg(avg(col("n_chars")))
+      .collect().head.getDouble(0)
+    assert(sampleMean > corpusMean, s"weighted draw ($sampleMean) should skew heavy vs $corpusMean")
+  }
+
+  test("mixture sample hits each language's quota exactly (when the stratum is big enough)") {
+    import org.apache.spark.sql.functions._
+    val rows = TextAnalysis.sampleMixture(spark, sf).collect()
+    val byLang = rows.groupBy(_.getAs[String]("lang")).view.mapValues(_.length).toMap
+    val corpus = Tables.documents(spark, sf).groupBy(col("lang")).count()
+      .collect().map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    val quotas = Map("en" -> 40, "de" -> 15, "es" -> 15, "fr" -> 15, "zh" -> 15)
+    quotas.foreach { case (l, q) =>
+      assert(byLang.getOrElse(l, 0) == math.min(q.toLong, corpus.getOrElse(l, 0L)))
+    }
+  }
+
   test("fingerprint is stable and one per doc") {
     val a = TextAnalysis.fingerprint(spark, sf).collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("fingerprint"))
     val b = TextAnalysis.fingerprint(spark, sf).collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("fingerprint"))
