@@ -287,7 +287,36 @@ object TextAnalysis extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  private val ProfiledCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  /** Column profiling — the data-quality pass a curation pipeline runs
+    * before training: per-column count/nulls/min/max/mean/stddev/median
+    * for the numeric fact columns, ALL in one aggregation pass (one
+    * scan, one partial-aggregated reduce to a single row), then
+    * `stack`ed to one row per column. A naive per-column loop would
+    * scan the 100 TB fact table once per column.
+    */
+  def profileColumns(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val aggs = ProfiledCols.flatMap(c => Seq(
+      count(col(c)).as(s"${c}_n"),
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+      round(lit(1e-9) + min(col(c)), 4).as(s"${c}_min"),
+      round(lit(1e-9) + max(col(c)), 4).as(s"${c}_max"),
+      round(lit(1e-9) + avg(col(c)), 4).as(s"${c}_mean"),
+      round(lit(1e-9) + stddev_samp(col(c)), 4).as(s"${c}_std"),
+      round(expr(s"percentile($c, 0.5)") + 1e-9, 4).as(s"${c}_p50")))
+    val one = l.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = ProfiledCols.map(c =>
+      s"'$c', ${c}_n, ${c}_nulls, ${c}_min, ${c}_max, ${c}_mean, ${c}_std, ${c}_p50")
+      .mkString(", ")
+    one.selectExpr(
+      s"stack(${ProfiledCols.length}, $stackArgs) AS (col_name, n, n_null, min, max, mean, std, p50)")
+      .orderBy(col("col_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "profile_columns" -> (profileColumns _),
     "text_unigram_logprob" -> (unigramLogprob _),
     "pii_scrub" -> (piiScrub _),
     "decontaminate" -> (decontaminate _),
@@ -306,6 +335,14 @@ object TextAnalysis extends QueryPack {
     s"len(list_filter(string_split(text,' '), t -> t IN (${ms.map(m => s"'$m'").mkString(",")})))"
 
   val oracles: Map[String, String] = Map(
+    "profile_columns" -> ProfiledCols.map(c =>
+      s"""SELECT '$c' AS col_name, count($c) AS n,
+         | CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         | round(1e-9 + min($c), 4) AS min, round(1e-9 + max($c), 4) AS max,
+         | round(1e-9 + avg($c), 4) AS mean, round(1e-9 + stddev_samp($c), 4) AS std,
+         | round(quantile_cont($c, 0.5) + 1e-9, 4) AS p50
+         |FROM lineitem""".stripMargin)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
     "text_unigram_logprob" ->
       """WITH toks AS (
         | SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),

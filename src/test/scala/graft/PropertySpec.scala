@@ -41,6 +41,34 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("asofJoin equals the textbook per-probe scan on random trade/quote sets") {
+    import spark.implicits._
+    for (seed <- 1 to 5) {
+      val rnd = new Random(seed)
+      val keys = Seq("k0", "k1", "k2")
+      // duplicate timestamps on purpose: exercise the tie rule
+      val quotes = Seq.tabulate(120)(i =>
+        (keys(rnd.nextInt(3)), rnd.nextInt(40).toLong, i.toLong, rnd.nextDouble()))
+        .toDF("key", "q_t", "q_id", "q_v")
+      val probes = Seq.tabulate(60)(i =>
+        (keys(rnd.nextInt(3)), rnd.nextInt(45).toLong, (1000 + i).toLong))
+        .toDF("key", "p_t", "p_id")
+      val joined = graft.operators.TemporalJoins
+        .asofJoin(probes, quotes, "key", "p_t", "q_t", "q_id")
+        .collect()
+        .map(r => r.getAs[Long]("p_id") ->
+          (if (r.isNullAt(r.fieldIndex("q_id"))) None else Some(r.getAs[Long]("q_id")))).toMap
+      val qRows = quotes.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      probes.collect().foreach { p =>
+        val expected = qRows
+          .filter(q => q._1 == p.getString(0) && q._2 <= p.getLong(1))
+          .sortBy(q => (q._2, q._3)).lastOption.map(_._3)
+        assert(joined(p.getLong(2)) == expected, s"seed=$seed probe=${p.getLong(2)}")
+      }
+    }
+  }
+
   test("IndexStore merge counts are exact for random distinct-key batches") {
     import spark.implicits._
     for (seed <- 1 to 3) {
