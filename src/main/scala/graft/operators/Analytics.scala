@@ -263,6 +263,30 @@ object Analytics extends QueryPack {
       .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
   }
 
+  /** Q9 analog (no partsupp table — p_retailprice stands in for
+    * ps_supplycost): profit by supplier nation and order year over
+    * red-named parts. Two fact-fact shuffles (l⋈o on orderkey; the
+    * part/supplier/nation dims stay AQE-broadcast-able), computed
+    * measure inside the partial aggregation.
+    */
+  def q9(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir).filter(col("p_name").contains("red"))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val s = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))
+    val n = Tables.nation(spark, dir).select(col("n_nationkey"), col("n_name"))
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderdate"))
+    val l = Tables.lineitem(spark, dir)
+    l.join(p, col("l_partkey") === col("p_partkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(round(lit(1e-9) + sum(
+        col("l_extendedprice") * (lit(1) - col("l_discount")) -
+          col("p_retailprice") * 0.1 * col("l_quantity")), 2).as("profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
   /** Q13: distribution of order counts per customer (incl. zero). */
   def q13(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
@@ -503,6 +527,7 @@ object Analytics extends QueryPack {
     "events_retention" -> (eventsRetention _),
     "events_anomaly" -> (eventsAnomaly _),
     "q8_mktshare" -> (q8 _),
+    "q9_profit" -> (q9 _),
     "q20_nestedagg" -> (q20 _),
     "q21_antijoin" -> (q21 _),
     "q22_scalarsub" -> (q22 _),
@@ -576,6 +601,16 @@ object Analytics extends QueryPack {
         | JOIN nation n2 ON s_nationkey = n2.n_nationkey
         |WHERE r_name = 'ASIA'
         |GROUP BY 1 ORDER BY o_year""".stripMargin,
+    "q9_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+        | round(1e-9 + sum(l_extendedprice*(1-l_discount) - p_retailprice*0.1*l_quantity), 2) AS profit
+        |FROM lineitem
+        | JOIN part ON l_partkey = p_partkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        | JOIN orders ON l_orderkey = o_orderkey
+        |WHERE contains(p_name, 'red')
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
     "q20_nestedagg" ->
       """WITH promo AS (
         | SELECT l_suppkey, round(1e-9 + sum(l_quantity), 2) AS promo_qty
