@@ -287,6 +287,41 @@ object Analytics extends QueryPack {
       .orderBy(col("nation"), col("o_year").desc)
   }
 
+  /** RFM segmentation (recency / frequency / monetary) per customer —
+    * the classic customer-analytics op, shaped for scale: quartile
+    * boundaries come from ONE interpolated-percentile aggregate row
+    * broadcast back (never a global ntile window, which would sort all
+    * customers in a single task), and bucketing is a per-row
+    * comparison. Quartile arithmetic ((n-1)*q with q ∈ {.25,.5,.75},
+    * linear interpolation between ints) is exactly representable in
+    * doubles, so the bucket edges are engine-stable.
+    */
+  def customersRfm(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val maxDate = o.agg(max(col("o_orderdate")).as("mx"))
+    val rfm = o.groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("frequency"),
+        round(lit(1e-9) + sum(col("o_totalprice")), 2).as("monetary"))
+      .crossJoin(broadcast(maxDate))
+      .withColumn("recency_days", datediff(col("mx"), col("last_order")).cast("long"))
+      .drop("mx", "last_order")
+    val bounds = rfm.agg(
+      expr("percentile(frequency, array(0.25, 0.5, 0.75))").as("fq"),
+      expr("percentile(monetary, array(0.25, 0.5, 0.75))").as("mq"))
+    def quartile(v: org.apache.spark.sql.Column, b: String) =
+      when(v <= element_at(col(b), 1), 1L)
+        .when(v <= element_at(col(b), 2), 2L)
+        .when(v <= element_at(col(b), 3), 3L)
+        .otherwise(4L)
+    rfm.crossJoin(broadcast(bounds))
+      .select(col("o_custkey"), col("recency_days"), col("frequency"), col("monetary"),
+        quartile(col("frequency"), "fq").as("f_q"),
+        quartile(col("monetary"), "mq").as("m_q"))
+      .withColumn("segment", col("f_q") * 10 + col("m_q"))
+      .orderBy(col("o_custkey"))
+  }
+
   /** Q13: distribution of order counts per customer (incl. zero). */
   def q13(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
@@ -528,6 +563,7 @@ object Analytics extends QueryPack {
     "events_anomaly" -> (eventsAnomaly _),
     "q8_mktshare" -> (q8 _),
     "q9_profit" -> (q9 _),
+    "customers_rfm" -> (customersRfm _),
     "q20_nestedagg" -> (q20 _),
     "q21_antijoin" -> (q21 _),
     "q22_scalarsub" -> (q22 _),
@@ -601,6 +637,28 @@ object Analytics extends QueryPack {
         | JOIN nation n2 ON s_nationkey = n2.n_nationkey
         |WHERE r_name = 'ASIA'
         |GROUP BY 1 ORDER BY o_year""".stripMargin,
+    "customers_rfm" ->
+      """WITH rfm AS (
+        | SELECT o_custkey,
+        |  CAST(datediff('day', max(o_orderdate), (SELECT max(o_orderdate) FROM orders)) AS BIGINT) AS recency_days,
+        |  count(*) AS frequency,
+        |  round(1e-9 + sum(o_totalprice), 2) AS monetary
+        | FROM orders GROUP BY o_custkey),
+        |b AS (
+        | SELECT quantile_cont(frequency, [0.25, 0.5, 0.75]) AS fq,
+        |  quantile_cont(monetary, [0.25, 0.5, 0.75]) AS mq
+        | FROM rfm),
+        |scored AS (
+        | SELECT o_custkey, recency_days, frequency, monetary,
+        |  CASE WHEN frequency <= fq[1] THEN 1 WHEN frequency <= fq[2] THEN 2
+        |       WHEN frequency <= fq[3] THEN 3 ELSE 4 END AS f_q,
+        |  CASE WHEN monetary <= mq[1] THEN 1 WHEN monetary <= mq[2] THEN 2
+        |       WHEN monetary <= mq[3] THEN 3 ELSE 4 END AS m_q
+        | FROM rfm, b)
+        |SELECT o_custkey, recency_days, frequency,
+        | monetary, CAST(f_q AS BIGINT) AS f_q, CAST(m_q AS BIGINT) AS m_q,
+        | CAST(f_q * 10 + m_q AS BIGINT) AS segment
+        |FROM scored ORDER BY o_custkey""".stripMargin,
     "q9_profit" ->
       """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
         | round(1e-9 + sum(l_extendedprice*(1-l_discount) - p_retailprice*0.1*l_quantity), 2) AS profit

@@ -110,6 +110,48 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("watermarked streaming session_window completes to the batch sessions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val ctx = spark.sqlContext
+    // drive a REAL stream (MemoryStream, watermark, append mode):
+    // sessions finalize as the watermark passes their gap; after all
+    // data + a far-future flush event, the emitted sessions for the
+    // observed users must equal the batch stream_session rows
+    val rows = Tables.events(spark, sf)
+      .selectExpr("event_id", "ts_ns", "user_id", "event_type", "value")
+      .as[EventRow].collect().sortBy(e => (e.ts_ns, e.event_id)).take(400)
+    val input = MemoryStream[EventRow]
+    val sessions = input.toDS()
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      .withWatermark("ts", "30 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+    val query = sessions.writeStream.format("memory").queryName("stream_sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      input.addData(b1.toSeq); query.processAllAvailable()
+      input.addData(b2.toSeq); query.processAllAvailable()
+      // watermark flush: one sentinel far past every session's end
+      val maxNs = rows.map(_.ts_ns).max
+      input.addData(EventRow(999999L, maxNs + 10L * 24 * 3600 * 1000000000L, 999999L, "flush", 0.0))
+      query.processAllAvailable()
+
+      val streamed = spark.table("stream_sessions").collect()
+        .filter(_.getAs[Long]("user_id") != 999999L)
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events")))
+        .groupBy(_._1).view.mapValues(vs => (vs.length, vs.map(_._2).sum)).toMap
+      val batch = spark.createDataset(rows.toSeq).toDF()
+        .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events")).collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events")))
+        .groupBy(_._1).view.mapValues(vs => (vs.length, vs.map(_._2).sum)).toMap
+      assert(streamed == batch)
+    } finally query.stop()
+  }
+
   test("native session_window agrees with the lag/cumsum sessionization") {
     import org.apache.spark.sql.functions._
     // the streaming-capable formulation (session_window works under
