@@ -557,7 +557,60 @@ object Analytics extends QueryPack {
       .orderBy(col("event_id"))
   }
 
+  /** CUSUM mean-shift detection per event type. Change-point statistics
+    * are inherently sequential, so the scalable framing is: reduce the
+    * raw stream to a BOUNDED per-(type, day) series first (one
+    * partial-aggregated pass over the events — the only full-data
+    * cost), then run the cumulative deviation over the tiny day series
+    * (a per-type window over ~tens of rows). Flag days where the
+    * standardized cumulative deviation exceeds ±3.
+    */
+  def eventsChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(avg(col("value")).as("day_mean"))
+    val stats = daily.groupBy(col("event_type"))
+      .agg(avg(col("day_mean")).as("mu"), stddev_samp(col("day_mean")).as("sigma"))
+      .filter(col("sigma") > 0) // all-equal series cannot shift (and guards NULL/NaN divergence)
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.join(broadcast(stats), Seq("event_type"))
+      .withColumn("cusum", sum((col("day_mean") - col("mu")) / col("sigma")).over(w))
+      .select(col("event_type"), col("day"),
+        round(lit(1e-9) + col("day_mean"), 3).as("day_mean"),
+        round(lit(1e-9) + col("cusum"), 3).as("cusum"))
+      .withColumn("is_shift", abs(col("cusum")) > 3)
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** Z-order (Morton) clustering key over (l_partkey, l_suppkey): the
+    * multi-dimensional sort key a lake writer uses so min/max file
+    * statistics skip data for predicates on EITHER column. The bit
+    * interleave is pure integer Column math (codegen'd); the query
+    * aggregates per z-bucket to expose the clustering property the
+    * layout buys — each bucket spans a narrow range of BOTH keys (the
+    * spec asserts the range-tightness vs the table-wide span; on a real
+    * lake `df.repartitionByRange(col("z"))`+sortWithinPartitions(z)
+    * writes the layout).
+    */
+  def layoutZorder(spark: SparkSession, dir: String): DataFrame = {
+    val terms = (0 until 16).flatMap(j => Seq(
+      s"shiftleft(shiftright(l_partkey, $j) & 1, ${2 * j})",
+      s"shiftleft(shiftright(l_suppkey, $j) & 1, ${2 * j + 1})"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"), expr(terms.mkString(" + ")).as("z"))
+      .withColumn("z_bucket", expr("z div 4096")) // 2^12: fixes z bits >= 12, i.e. bits >= 6 of EACH key
+      .groupBy(col("z_bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("l_partkey")).as("p_min"), max(col("l_partkey")).as("p_max"),
+        min(col("l_suppkey")).as("s_min"), max(col("l_suppkey")).as("s_max"))
+      .orderBy(col("z_bucket"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "layout_zorder" -> (layoutZorder _),
+    "events_changepoint" -> (eventsChangepoint _),
     "events_funnel" -> (eventsFunnel _),
     "events_retention" -> (eventsRetention _),
     "events_anomaly" -> (eventsAnomaly _),
@@ -592,6 +645,34 @@ object Analytics extends QueryPack {
     "events_windowed_agg" -> (windowedAgg _))
 
   val oracles: Map[String, String] = Map(
+    "layout_zorder" -> {
+      val terms = (0 until 16).flatMap(j => Seq(
+        s"(((l_partkey >> $j) & 1) << ${2 * j})",
+        s"(((l_suppkey >> $j) & 1) << ${2 * j + 1})")).mkString(" + ")
+      s"""WITH z AS (
+         | SELECT l_partkey, l_suppkey, $terms AS z FROM lineitem)
+         |SELECT z // 4096 AS z_bucket, count(*) AS n,
+         | min(l_partkey) AS p_min, max(l_partkey) AS p_max,
+         | min(l_suppkey) AS s_min, max(l_suppkey) AS s_max
+         |FROM z GROUP BY 1 ORDER BY z_bucket""".stripMargin
+    },
+    "events_changepoint" ->
+      """WITH daily AS (
+        | SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |  avg(value) AS day_mean
+        | FROM events GROUP BY 1, 2),
+        |stats AS (
+        | SELECT event_type, avg(day_mean) AS mu, stddev_samp(day_mean) AS sigma
+        | FROM daily GROUP BY event_type),
+        |c AS (
+        | SELECT d.event_type, d.day, d.day_mean,
+        |  sum((d.day_mean - s.mu) / s.sigma) OVER (PARTITION BY d.event_type ORDER BY d.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+        | FROM daily d JOIN stats s USING (event_type)
+        | WHERE s.sigma > 0)
+        |SELECT event_type, day, round(1e-9 + day_mean, 3) AS day_mean,
+        | round(1e-9 + cusum, 3) AS cusum, abs(round(1e-9 + cusum, 3)) > 3 AS is_shift
+        |FROM c ORDER BY event_type, day""".stripMargin,
     "events_funnel" ->
       """WITH stages AS (
         | SELECT user_id,

@@ -44,6 +44,28 @@ class AnalyticsSpec extends SparkSpec {
       s"optimizer did not auto-broadcast at small SF:\n$plan")
   }
 
+  test("z-order buckets bound BOTH key ranges (the data-skipping property)") {
+    val rows = Analytics.layoutZorder(spark, sf).collect()
+    assert(rows.length > 1)
+    // bucket = z div 2^12 fixes bits >= 6 of each interleaved key, so
+    // within any bucket each key spans < 64 — files sorted by z carry
+    // tight min/max stats on BOTH columns
+    rows.foreach { r =>
+      assert(r.getAs[Long]("p_max") - r.getAs[Long]("p_min") < 64)
+      assert(r.getAs[Long]("s_max") - r.getAs[Long]("s_min") < 64)
+    }
+  }
+
+  test("changepoint cusum telescopes to ~0 over each full series") {
+    val rows = Analytics.eventsChangepoint(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // the final cumulative standardized deviation per type is
+    // n*(mean(day_mean) - mu)/sigma = 0 by construction
+    val finals = rows.groupBy(_.getAs[String]("event_type"))
+      .map { case (_, rs) => rs.maxBy(_.getAs[String]("day")).getAs[Double]("cusum") }
+    finals.foreach(c => assert(math.abs(c) < 0.01, s"final cusum $c"))
+  }
+
   test("window_topn keeps at most 3 orders per customer") {
     val rows = Analytics.windowTopN(spark, sf).collect()
     val perCust = rows.groupBy(_.getAs[Long]("o_custkey")).values.map(_.length)
