@@ -608,7 +608,41 @@ object Analytics extends QueryPack {
       .orderBy(col("z_bucket"))
   }
 
+  /** Market-basket pair mining: part pairs co-occurring in an order,
+    * with support count (min support 3). The pairwise step is bounded
+    * per order (k lines ⇒ k² pairs with k ≈ single digits), so the
+    * self-join on l_orderkey never goes quadratic in the table — the
+    * same bounded-bucket shape as the dedup candidate joins.
+    */
+  def basketPairs(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")).distinct()
+    val a = l.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+    val b = l.select(col("l_orderkey"), col("l_partkey").as("part_b"))
+    a.join(b, Seq("l_orderkey")).filter(col("part_a") < col("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 3)
+      .orderBy(col("support").desc, col("part_a"), col("part_b"))
+  }
+
+  /** First-order event-type transition counts per user stream (the
+    * Markov-chain fingerprint of user behavior): lag the ordered
+    * per-user stream, count (prev → next) pairs. One shuffle on
+    * user_id, then a k²-row aggregate.
+    */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "orders_basket_pairs" -> (basketPairs _),
+    "events_transitions" -> (eventTransitions _),
     "layout_zorder" -> (layoutZorder _),
     "events_changepoint" -> (eventsChangepoint _),
     "events_funnel" -> (eventsFunnel _),
@@ -645,6 +679,20 @@ object Analytics extends QueryPack {
     "events_windowed_agg" -> (windowedAgg _))
 
   val oracles: Map[String, String] = Map(
+    "orders_basket_pairs" ->
+      """WITH l AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS support
+        |FROM l a JOIN l b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2 HAVING count(*) >= 3
+        |ORDER BY support DESC, part_a, part_b""".stripMargin,
+    "events_transitions" ->
+      """WITH seq AS (
+        | SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS prev_type,
+        |  event_type AS next_type
+        | FROM events)
+        |SELECT prev_type, next_type, count(*) AS n
+        |FROM seq WHERE prev_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY prev_type, next_type""".stripMargin,
     "layout_zorder" -> {
       val terms = (0 until 16).flatMap(j => Seq(
         s"(((l_partkey >> $j) & 1) << ${2 * j})",

@@ -295,6 +295,13 @@ object TextAnalysis extends QueryPack {
     * scan, one partial-aggregated reduce to a single row), then
     * `stack`ed to one row per column. A naive per-column loop would
     * scan the 100 TB fact table once per column.
+    *
+    * The median uses EXACT interpolated percentile so the DuckDB oracle
+    * is byte-stable; exact percentile buffers the column's values in
+    * the final aggregation, so at true 100 TB scale swap it for
+    * approx_percentile (t-digest — mergeable, bounded memory) and drop
+    * that column to a rows-only check. Every other stat here is a
+    * constant-space mergeable partial.
     */
   def profileColumns(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(spark, dir)
