@@ -66,6 +66,14 @@ class IndexStore(spark: SparkSession, root: String, keyCol: String,
     * callers fall back to computing the metrics directly instead.
     */
   private def writeObserving(names: Set[String])(write: => Unit): Option[Map[String, org.apache.spark.sql.Row]] = {
+    // inside a streaming micro-batch (foreachBatch) the listener will
+    // never fire — don't pay the timeout on every batch, go straight
+    // to the caller's fallback (the stream execution thread carries
+    // the query-id local property)
+    if (spark.sparkContext.getLocalProperty("sql.streaming.queryId") != null) {
+      write
+      return None
+    }
     @volatile var rows: Map[String, org.apache.spark.sql.Row] = Map.empty
     val latch = new java.util.concurrent.CountDownLatch(1)
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
