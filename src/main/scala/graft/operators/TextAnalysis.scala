@@ -322,7 +322,47 @@ object TextAnalysis extends QueryPack {
       .orderBy(col("col_name"))
   }
 
+  /** Gopher-style repetition filters (Rae et al. 2021 §A1.1 / C4's
+    * heuristics): fraction of duplicate words, fraction of duplicate
+    * word-2-grams, and the share of the single most frequent 2-gram —
+    * boilerplate and template spam score high on all three. The `keep`
+    * flag applies the thresholds every large-scale curation pipeline
+    * tunes. One explode + two doc-scoped aggregations (keys carry
+    * doc_id, so the shuffle is skew-free by construction and the
+    * per-doc state is bounded by document length, never corpus size).
+    */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.parallelized(spark,
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")), "doc_id")
+    val base = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_words"),
+        size(array_distinct(col("w"))).cast("long").as("ndw"),
+        col("w"))
+    val grams = base.select(col("doc_id"), col("n_words"), col("ndw"),
+      explode(transform(sequence(lit(1), size(col("w")) - 1),
+        i => concat(element_at(col("w"), i), lit(" "), element_at(col("w"), i + 1)))).as("g"))
+    val counts = grams
+      .groupBy(col("doc_id"), col("n_words"), col("ndw"), col("g"))
+      .agg(count(lit(1)).as("k"))
+    val s = counts
+      .groupBy(col("doc_id"), col("n_words"), col("ndw"))
+      .agg(sum(col("k")).as("total"), max(col("k")).as("topk"), count(lit(1)).as("nd"))
+    val dupWord = lit(1.0) - col("ndw").cast("double") / col("n_words")
+    val dup2g = lit(1.0) - col("nd").cast("double") / col("total")
+    val top2g = col("topk").cast("double") / col("total")
+    s.select(
+      col("doc_id"), col("n_words"),
+      round(dupWord + 1e-9, 4).as("dup_word_frac"),
+      round(dup2g + 1e-9, 4).as("dup_2gram_frac"),
+      round(top2g + 1e-9, 4).as("top_2gram_frac"),
+      (dup2g <= 0.08 && top2g <= 0.10 && dupWord <= 0.55).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_gopher_rules" -> (gopherRules _),
     "profile_columns" -> (profileColumns _),
     "text_unigram_logprob" -> (unigramLogprob _),
     "pii_scrub" -> (piiScrub _),
@@ -342,6 +382,22 @@ object TextAnalysis extends QueryPack {
     s"len(list_filter(string_split(text,' '), t -> t IN (${ms.map(m => s"'$m'").mkString(",")})))"
 
   val oracles: Map[String, String] = Map(
+    "text_gopher_rules" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |b AS (SELECT doc_id, len(w) AS n_words, len(list_distinct(w)) AS ndw, w
+        |      FROM t WHERE len(w) >= 2),
+        |bg AS (SELECT doc_id, n_words, ndw, w[i.i] || ' ' || w[i.i + 1] AS g
+        |       FROM b, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) i),
+        |c AS (SELECT doc_id, n_words, ndw, g, count(*) AS k FROM bg GROUP BY 1, 2, 3, 4),
+        |s AS (SELECT doc_id, n_words, ndw, sum(k) AS total, max(k) AS topk, count(*) AS nd
+        |      FROM c GROUP BY 1, 2, 3)
+        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        | round(1 - ndw::DOUBLE / n_words + 1e-9, 4) AS dup_word_frac,
+        | round(1 - nd::DOUBLE / total + 1e-9, 4) AS dup_2gram_frac,
+        | round(topk::DOUBLE / total + 1e-9, 4) AS top_2gram_frac,
+        | ((1 - nd::DOUBLE / total) <= 0.08 AND topk::DOUBLE / total <= 0.10
+        |   AND (1 - ndw::DOUBLE / n_words) <= 0.55) AS keep
+        |FROM s ORDER BY doc_id""".stripMargin,
     "profile_columns" -> ProfiledCols.map(c =>
       s"""SELECT '$c' AS col_name, count($c) AS n,
          | CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,

@@ -138,16 +138,26 @@ object StreamingOps extends QueryPack {
       }
       .start()
 
+  /** Engine-portable content identity for dedup: doubles are folded to
+    * a scaled integer before hashing (Java's Double.toString and
+    * DuckDB's shortest-round-trip rendering disagree on some values, so
+    * hashing a raw double's string form would silently diverge).
+    */
+  def contentHash: org.apache.spark.sql.Column =
+    md5(concat_ws("|", col("user_id"), col("event_type"),
+      round(col("value") * 100 + 1e-9, 0).cast("long")).cast("binary"))
+
   /** Streaming exact dedup: drop events whose content hash was already
     * seen within the watermark horizon — the streaming form of
     * dedup_exact for a training-data ingest stream. State is bounded by
-    * the watermark (old hashes age out).
+    * the watermark (old hashes age out). Batch twin: [[streamDedup]],
+    * which the oracle gates (same [[contentHash]], so the two cannot
+    * diverge).
     */
   def dedupStream(events: Dataset[EventRow]): DataFrame =
     events.toDF()
       .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
-      .withColumn("content_hash", md5(concat_ws("|",
-        col("user_id"), col("event_type"), col("value")).cast("binary")))
+      .withColumn("content_hash", contentHash)
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("content_hash")
 
@@ -192,12 +202,42 @@ object StreamingOps extends QueryPack {
         col("n_events"), col("session_value"))
       .orderBy(col("user_id"), col("session_start"))
 
+  /** Batch form of [[dedupStream]]: first event per content hash wins
+    * (earliest ts, then event_id — dropDuplicates keeps the first
+    * arrival; in batch "first" is made deterministic by the sort key).
+    * n_dups carries how many copies the stream would have suppressed.
+    */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val byHash = org.apache.spark.sql.expressions.Window.partitionBy(col("content_hash"))
+    Tables.events(spark, dir)
+      .withColumn("content_hash", contentHash)
+      .withColumn("rn", row_number().over(byHash.orderBy(col("ts_ns"), col("event_id"))))
+      .withColumn("n_dups", count(lit(1)).over(byHash))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        round(col("value"), 2).as("value"), col("n_dups"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_upsert" -> (streamUpsert _),
     "stream_window" -> (streamWindow _),
-    "stream_session" -> (streamSession _))
+    "stream_session" -> (streamSession _),
+    "stream_dedup" -> (streamDedup _))
 
   val oracles: Map[String, String] = Map(
+    "stream_dedup" ->
+      """WITH h AS (
+        | SELECT event_id, ts, user_id, event_type, value,
+        |  md5(user_id::VARCHAR || '|' || event_type || '|' ||
+        |      CAST(round(value * 100 + 1e-9, 0) AS BIGINT)::VARCHAR) AS ch
+        | FROM events),
+        |r AS (
+        | SELECT *, row_number() OVER (PARTITION BY ch ORDER BY ts, event_id) AS rn,
+        |  count(*) OVER (PARTITION BY ch) AS n_dups
+        | FROM h)
+        |SELECT event_id, user_id, event_type, round(value, 2) AS value, n_dups
+        |FROM r WHERE rn = 1 ORDER BY event_id""".stripMargin,
     "stream_upsert" ->
       """WITH ranked AS (
         | SELECT user_id, event_id, event_type, value,

@@ -86,6 +86,43 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming dedup keeps exactly the batch twin's content set") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+
+    val base = Tables.events(spark, sf)
+      .selectExpr("event_id", "ts_ns", "user_id", "event_type", "value")
+      .as[EventRow].collect().sortBy(e => (e.ts_ns, e.event_id))
+    // sf0.001 has no natural content duplicates: inject copies 10 min
+    // after their originals (inside the 1 h watermark horizon)
+    val dupes = base.take(80).map(e =>
+      e.copy(event_id = e.event_id + 5000000, ts_ns = e.ts_ns + 600L * 1000000000L))
+    val rows = (base ++ dupes).sortBy(e => (e.ts_ns, e.event_id))
+
+    val input = MemoryStream[EventRow]
+    val query = StreamingOps.dedupStream(input.toDS())
+      .writeStream.format("memory").queryName("dedup_twin").outputMode("append").start()
+    try {
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      input.addData(b1.toSeq); query.processAllAvailable()
+      input.addData(b2.toSeq); query.processAllAvailable()
+      // within a micro-batch "first arrival" is racy, so compare the
+      // kept CONTENT (hash set), which both forms must agree on exactly
+      val streamed = spark.table("dedup_twin")
+        .select(col("content_hash")).collect().map(_.getString(0)).sorted
+      assert(streamed.distinct.length == streamed.length)
+      // ground truth: distinct content of the ORIGINAL corpus (the
+      // injected rows only duplicate existing content)
+      val expected = Tables.events(spark, sf).select(StreamingOps.contentHash.as("ch"))
+        .distinct().collect().map(_.getString(0)).sorted
+      assert(streamed.sameElements(expected))
+      val batch = StreamingOps.streamDedup(spark, sf)
+        .withColumn("content_hash", StreamingOps.contentHash)
+        .select(col("content_hash")).collect().map(_.getString(0)).sorted
+      assert(batch.sameElements(expected))
+    } finally query.stop()
+  }
+
   test("streaming windowed counts equal the batch windowed query") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext

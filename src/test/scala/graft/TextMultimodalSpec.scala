@@ -24,6 +24,30 @@ class TextMultimodalSpec extends SparkSpec {
     assert(rows.forall(r => r.getAs[Double]("stop_ratio") <= 1.0))
   }
 
+  test("gopher repetition stats equal a direct per-doc recompute") {
+    val got = TextAnalysis.gopherRules(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_words"), r.getAs[Double]("dup_word_frac"),
+         r.getAs[Double]("dup_2gram_frac"), r.getAs[Double]("top_2gram_frac"),
+         r.getAs[Boolean]("keep"))).toMap
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+    assert(got.size == docs.count(_.getAs[String]("text").split(" ").length >= 2))
+    docs.foreach { d =>
+      val w = d.getAs[String]("text").split(" ")
+      if (w.length >= 2) {
+        val grams = w.sliding(2).map(_.mkString(" ")).toSeq
+        val counts = grams.groupBy(identity).map(_._2.size)
+        def r4(x: Double) = math.round((x + 1e-9) * 1e4) / 1e4
+        val dupW = 1.0 - w.distinct.length.toDouble / w.length
+        val dup2 = 1.0 - counts.size.toDouble / grams.size
+        val top2 = counts.max.toDouble / grams.size
+        val (n, gw, g2, gt, keep) = got(d.getAs[Long]("doc_id"))
+        assert(n == w.length && gw == r4(dupW) && g2 == r4(dup2) && gt == r4(top2))
+        assert(keep == (dup2 <= 0.08 && top2 <= 0.10 && dupW <= 0.55))
+      }
+    }
+  }
+
   test("token counts: bpe tokenization never yields fewer tokens than whitespace") {
     val rows = TextAnalysis.tokenCounts(spark, sf).collect()
     assert(rows.forall(r => r.getAs[Long]("bpe_tokens") >= r.getAs[Long]("ws_tokens") - 1))
