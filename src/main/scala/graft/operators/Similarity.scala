@@ -111,6 +111,70 @@ object Similarity extends QueryPack {
       .limit(10)
   }
 
+  private val PqM = 4       // subspaces
+  private val PqSubDim = 16 // dims per subspace (4 × 16 = 64)
+  private val PqK = 16      // codebook size per subspace
+
+  /** Product quantization ADC top-k (Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search"): each vector is split
+    * into [[PqM]] subvectors, each encoded as its nearest cell in a
+    * per-subspace codebook (deterministic first-k seeds + one Lloyd
+    * round — the [[kmeans]] recipe per subspace), compressing 64 floats
+    * to 4 byte-codes (64×). Query-time asymmetric distance computation:
+    * one M×K distance table from the uncompressed query, then every
+    * vector's approximate distance is M table lookups — a join against
+    * a 64-row broadcast plus one groupBy, never a full-vector scan.
+    * This is the memory-bandwidth story for 100 TB of embeddings: the
+    * scan reads codes (4 bytes/vector), not vectors (256 bytes).
+    *
+    * Every assignment is a map-side-combinable min(struct(d², cell)) —
+    * no windows; codebook build shuffles only k×d-sized frames.
+    */
+  def annPq(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    val e = Tables.embeddings(spark, dir)
+    val slices = array((0 until PqM).map(m =>
+      transform(slice(col("embedding"), m * PqSubDim + 1, PqSubDim), x => x.cast("double"))): _*)
+    val sub = e.select(col("vec_id"), posexplode(slices).as(Seq("m", "sv")))
+    def d2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, c) => (x - c) * (x - c)), lit(0.0), (s, v) => s + v)
+    val seeds = sub.filter(col("vec_id") < PqK)
+      .select(col("m"), col("vec_id").cast("int").as("cell"), col("sv").as("centroid"))
+    // Lloyd round 1: assign to seed cells (carrying sv through the
+    // min-struct — cell ids are unique per subspace, so the struct
+    // order never reaches the sv field), then per-dimension means
+    val asg0 = sub.join(broadcast(seeds), Seq("m"))
+      .withColumn("dd", d2(col("sv"), col("centroid")))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("dd"), col("cell"), col("sv"))).as("mc"))
+      .select(col("m"), col("mc.cell").as("cell"), col("mc.sv").as("sv"))
+    val cents = asg0
+      .select(col("m"), col("cell"), posexplode(col("sv")).as(Seq("dim", "x")))
+      .groupBy(col("m"), col("cell"), col("dim")).agg(avg(col("x")).as("v"))
+      .groupBy(col("m"), col("cell"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("v")))).as("dv"))
+      .select(col("m"), col("cell"), transform(col("dv"), s => s.getField("v")).as("centroid"))
+      .localCheckpoint(true)
+    // encode: nearest updated centroid per (vector, subspace)
+    val codes = sub.join(broadcast(cents), Seq("m"))
+      .withColumn("dd", d2(col("sv"), col("centroid")))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("dd"), col("cell"))).as("mc"))
+      .select(col("vec_id"), col("m"), col("mc.cell").as("cell"))
+    // ADC distance table: query subvector ↔ every centroid (M×K rows)
+    val qsub = sub.filter(col("vec_id") === QueryVecId).select(col("m"), col("sv"))
+    val dtab = cents.join(broadcast(qsub), Seq("m"))
+      .select(col("m"), col("cell"), d2(col("sv"), col("centroid")).as("qd2"))
+    val top = codes.filter(col("vec_id") =!= QueryVecId)
+      .join(broadcast(dtab), Seq("m", "cell"))
+      .groupBy(col("vec_id"))
+      .agg(round(sum(col("qd2")) + 1e-9, 4).as("adc_d2"))
+      .orderBy(col("adc_d2"), col("vec_id")).limit(10)
+    top.join(e.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .select(col("vec_id"), col("label"), col("adc_d2"))
+      .orderBy(col("adc_d2"), col("vec_id"))
+  }
+
   /** Hyperplane LSH signatures: bucket = Σ (dot(v, plane_p) ≥ 0) << p
     * with md5-derived plane weights (engine-portable, no RNG).
     */
@@ -221,6 +285,7 @@ object Similarity extends QueryPack {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce_topk" -> (annBruteForce _),
     "ann_int8_topk" -> (annInt8 _),
+    "ann_pq" -> (annPq _),
     "ann_ivf" -> (annIvf _),
     "ann_lsh_bucket" -> (annLshBucket _),
     "knn_join" -> (knnJoin _))
@@ -256,6 +321,40 @@ object Similarity extends QueryPack {
        |cells AS (SELECT vec_id, cell FROM a1 WHERE rk <= $probes)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ann_pq" ->
+      s"""WITH sub AS (
+         | SELECT vec_id, m.m AS m,
+         |   list_transform(embedding[m.m*$PqSubDim+1 : m.m*$PqSubDim+$PqSubDim], x -> x::DOUBLE) AS sv
+         | FROM embeddings, (SELECT unnest(generate_series(0, ${PqM - 1})) AS m) m),
+         |seeds AS (SELECT m, CAST(vec_id AS INT) AS cell, sv AS centroid FROM sub WHERE vec_id < $PqK),
+         |a0 AS (
+         | SELECT s.vec_id, s.m, s.sv, c.cell,
+         |  row_number() OVER (PARTITION BY s.vec_id, s.m
+         |    ORDER BY list_distance(s.sv, c.centroid), c.cell) AS rk
+         | FROM sub s JOIN seeds c USING (m)),
+         |asg0 AS (SELECT m, cell, sv FROM a0 WHERE rk = 1),
+         |dims AS (
+         | SELECT m, cell, i.i AS dim, avg(sv[i.i + 1]) AS v
+         | FROM asg0, (SELECT unnest(generate_series(0, ${PqSubDim - 1})) AS i) i
+         | GROUP BY 1, 2, 3),
+         |cents AS (SELECT m, cell, list(v ORDER BY dim) AS centroid FROM dims GROUP BY 1, 2),
+         |a1 AS (
+         | SELECT s.vec_id, s.m, c.cell,
+         |  row_number() OVER (PARTITION BY s.vec_id, s.m
+         |    ORDER BY list_distance(s.sv, c.centroid), c.cell) AS rk
+         | FROM sub s JOIN cents c USING (m)),
+         |codes AS (SELECT vec_id, m, cell FROM a1 WHERE rk = 1),
+         |q AS (SELECT m, sv FROM sub WHERE vec_id = $QueryVecId),
+         |dtab AS (
+         | SELECT c.m, c.cell, list_distance(q.sv, c.centroid) * list_distance(q.sv, c.centroid) AS qd2
+         | FROM cents c JOIN q USING (m)),
+         |adc AS (
+         | SELECT vec_id, round(sum(qd2) + 1e-9, 4) AS adc_d2
+         | FROM codes JOIN dtab USING (m, cell)
+         | WHERE vec_id != $QueryVecId GROUP BY vec_id)
+         |SELECT a.vec_id, e.label, a.adc_d2
+         |FROM adc a JOIN embeddings e USING (vec_id)
+         |ORDER BY a.adc_d2, a.vec_id LIMIT 10""".stripMargin,
     "ann_bruteforce_topk" ->
       s"""SELECT e.vec_id, e.label,
          | round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS cos

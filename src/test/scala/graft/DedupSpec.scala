@@ -103,4 +103,18 @@ class DedupSpec extends SparkSpec {
       assert(cs.sameElements(cs.sortBy(-(_: Double))))
     }
   }
+
+  test("PQ ADC top-k is sorted, query-free, and overlaps brute force") {
+    val pq = Similarity.annPq(spark, sf).collect()
+    assert(pq.length == 10)
+    assert(pq.forall(_.getAs[Long]("vec_id") != 0L))
+    val ds = pq.map(_.getAs[Double]("adc_d2"))
+    assert(ds.sameElements(ds.sorted), "ADC distances not ascending")
+    // 64× compression is lossy, but the quantizer should still put some
+    // of the true top-10 (by cosine ~ L2 on these near-unit vectors) in
+    // its own top-10
+    val bf = Similarity.annBruteForce(spark, sf).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    assert(pq.count(r => bf.contains(r.getAs[Long]("vec_id"))) >= 1)
+  }
 }
