@@ -11,6 +11,7 @@ object SparkEntry {
     operators.IndexerOps,
     operators.Search,
     operators.TemporalJoins,
+    operators.Sketches,
     operators.Dedup,
     operators.Similarity,
     operators.TextAnalysis,

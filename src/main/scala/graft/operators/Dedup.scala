@@ -190,6 +190,55 @@ object Dedup extends QueryPack {
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_docs"))
       .orderBy(col("content_hash"))
 
+  private val BloomK = 3
+  private val BloomBitsPerKey = 16
+
+  /** Bloom-filter pre-screen for the incremental band-index probe: the
+    * stored corpus's (band, sig) keys (doc_id % 10 != 0, the same split
+    * as [[dedupIncremental]]) are folded into a 3-hash Bloom filter
+    * sized at build time from the stored key count (16 bits/key — the
+    * filter GROWS with the index, its false-positive rate doesn't). The
+    * filter is modeled as its distinct set-bit positions (a packed
+    * m-bit bitmap in a real deployment — kilobytes per million keys,
+    * mergeable by OR across partitions). A batch doc is `maybe_dup`
+    * when ANY of its band signatures has all 3 bits set; ground truth
+    * is the actual band-index membership, so the output exposes the
+    * (deterministic, md5-derived) false-positive behavior. At 100 TB
+    * this screens almost every novel document out BEFORE the shuffling
+    * band-index join that [[dedupIncremental]] pays — the broadcast
+    * bitmap answers "definitely new" locally, map-side.
+    */
+  def dedupBloom(spark: SparkSession, dir: String): DataFrame = {
+    val bands = bandIndex(spark, dir)
+    val corpus = bands.filter(col("doc_id") % 10 =!= 0)
+    val batch = bands.filter(col("doc_id") % 10 === 0)
+    val mFrame = corpus.agg((count(lit(1)) * BloomBitsPerKey).as("m"))
+    def bit(i: Int): Column =
+      conv(substring(md5(concat(lit(s"$i:"), col("band").cast("string"), lit(":"), col("sig"))
+        .cast("binary")), 1, 8), 16, 10).cast("long") % col("m")
+    val bitsArr = array((0 until BloomK).map(bit): _*)
+    val cbits = corpus.crossJoin(broadcast(mFrame))
+      .select(explode(bitsArr).as("bit")).distinct()
+    val probes = batch.crossJoin(broadcast(mFrame))
+      .select(col("doc_id"), col("band"), explode(bitsArr).as("bit"))
+    val maybe = probes.join(broadcast(cbits), Seq("bit"))
+      .groupBy(col("doc_id"), col("band")).agg(count(lit(1)).as("hits"))
+      .filter(col("hits") === BloomK)
+      .select(col("doc_id")).distinct()
+      .withColumn("maybe_dup", lit(true))
+    val truth = batch.join(corpus.select(col("band"), col("sig")), Seq("band", "sig"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .withColumn("is_dup", lit(true))
+    batch.select(col("doc_id")).distinct()
+      .join(maybe, Seq("doc_id"), "left")
+      .join(truth, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("maybe_dup"), lit(false)).as("maybe_dup"),
+        coalesce(col("is_dup"), lit(false)).as("is_dup"))
+      .withColumn("false_positive", col("maybe_dup") && !col("is_dup"))
+      .orderBy(col("doc_id"))
+  }
+
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
     candidatePairs(spark, dir).orderBy(col("a"), col("b"))
 
@@ -374,6 +423,7 @@ object Dedup extends QueryPack {
     "dedup_clusters" -> (dedupClusters _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_exact" -> (dedupExact _),
+    "dedup_bloom" -> (dedupBloom _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_simhash_pairs" -> (dedupSimhashPairs _),
@@ -416,6 +466,31 @@ object Dedup extends QueryPack {
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper, count(*) AS n_docs
         |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
+    "dedup_bloom" ->
+      s"""WITH bands AS ($bandsSql),
+         |corpus AS (SELECT * FROM bands WHERE doc_id % 10 != 0),
+         |batch AS (SELECT * FROM bands WHERE doc_id % 10 = 0),
+         |m AS (SELECT count(*) * $BloomBitsPerKey AS m FROM corpus),
+         |cbits AS (
+         | SELECT DISTINCT
+         |  ('0x'||substring(md5(i.i::VARCHAR||':'||band::VARCHAR||':'||sig),1,8))::BIGINT % m.m AS bit
+         | FROM corpus, m, (SELECT unnest(generate_series(0, ${BloomK - 1})) AS i) i),
+         |probes AS (
+         | SELECT doc_id, band,
+         |  ('0x'||substring(md5(i.i::VARCHAR||':'||band::VARCHAR||':'||sig),1,8))::BIGINT % m.m AS bit
+         | FROM batch, m, (SELECT unnest(generate_series(0, ${BloomK - 1})) AS i) i),
+         |bandhits AS (
+         | SELECT doc_id, band, count(*) AS hits
+         | FROM probes JOIN cbits USING (bit) GROUP BY 1, 2),
+         |maybe AS (SELECT DISTINCT doc_id FROM bandhits WHERE hits = $BloomK),
+         |truth AS (SELECT DISTINCT b.doc_id FROM batch b JOIN corpus c USING (band, sig)),
+         |docs AS (SELECT DISTINCT doc_id FROM batch)
+         |SELECT d.doc_id,
+         | (mb.doc_id IS NOT NULL) AS maybe_dup,
+         | (t.doc_id IS NOT NULL) AS is_dup,
+         | (mb.doc_id IS NOT NULL AND t.doc_id IS NULL) AS false_positive
+         |FROM docs d LEFT JOIN maybe mb USING (doc_id) LEFT JOIN truth t USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     "dedup_minhash_lsh" -> (pairsSql + " ORDER BY a, b"),
     "dedup_incremental" ->
       s"""SELECT DISTINCT l.doc_id AS new_doc, r.doc_id AS existing_doc

@@ -1,0 +1,251 @@
+package graft.operators
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Mergeable cardinality / frequency sketches over the events stream.
+  *
+  * Both sketches are built the way a 1000-executor cluster would build
+  * them: one narrow projection of the fact table, a map-side-combinable
+  * groupBy whose key space is the SKETCH (256 HLL registers, 4×256 CMS
+  * counters — kilobytes, independent of data size), and a final
+  * estimate read off the tiny sketch frame. Nothing downstream of the
+  * first aggregation scales with row count, which is what makes a
+  * 100 TB cardinality estimate a single cheap pass — and the register /
+  * counter frames are associatively mergeable across days or
+  * partitions (max for HLL, + for CMS).
+  *
+  * Everything is md5-derived and integer-exact until the final
+  * estimate arithmetic (whose IEEE ops are bit-deterministic across
+  * engines), so the DuckDB oracle hash-matches.
+  */
+object Sketches extends QueryPack {
+
+  private val HllBuckets = 256           // p = 8 ⇒ ~6.5% standard error
+  private val HllRemBits = 24            // low 24 bits feed the rank
+  private val HllRem = 1 << HllRemBits
+  private val HllRho0 = HllRemBits + 1   // rank when the low bits are all zero
+  private val HllLcThreshold = 2.5 * HllBuckets
+  // 0.7213/(1 + 1.079/m) — the standard bias constant; built from the
+  // same literals in the oracle SQL so both engines get the same double
+  private val HllAlphaSql = s"(0.7213/(1.0 + 1.079/$HllBuckets.0))"
+  private val CmsDepth = 4
+  private val CmsWidth = 256
+
+  /** HyperLogLog (Flajolet et al. 2007) distinct-user estimate per
+    * event type — with the standard linear-counting fallback in the
+    * small-range regime — next to the exact count and relative error. The
+    * 32-bit hash comes from the first 8 md5 hex chars (engine-portable,
+    * no RNG): top 8 bits pick one of 256 registers, the rank is the
+    * leading-zero count of the low 24 bits (via floor(log2)). Registers
+    * are a groupBy(type, bucket) max — map-side combinable, 256 rows per
+    * type. Z-sums of 2⁻ʳ are dyadic rationals ≥ 2⁻²⁵ so the fp sum is
+    * exact in any order; the alpha·m²/Z estimate is a fixed IEEE
+    * expression both engines evaluate identically.
+    */
+  def eventsHll(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select(col("event_type"), col("user_id"))
+    val hashed = e
+      .withColumn("h",
+        conv(substring(md5(col("user_id").cast("string").cast("binary")), 1, 8), 16, 10).cast("long"))
+      .withColumn("bucket", expr(s"h div $HllRem"))
+      .withColumn("r", col("h") % HllRem)
+      .withColumn("rho",
+        when(col("r") === 0, lit(HllRho0))
+          .otherwise(lit(HllRemBits) - floor(log2(col("r"))).cast("int")))
+    val registers = hashed.groupBy(col("event_type"), col("bucket"))
+      .agg(max(col("rho")).as("mr"))
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(HllBuckets.toDouble))
+    val z = registers.groupBy(col("event_type"))
+      .agg((sum(pow(lit(2.0), -col("mr"))) + (lit(HllBuckets) - count(lit(1)))).as("zsum"),
+        (lit(HllBuckets) - count(lit(1))).as("v"))
+      .withColumn("raw", alpha * lit(HllBuckets.toDouble) * lit(HllBuckets.toDouble) / col("zsum"))
+      // small-range regime (raw ≤ 2.5m with empty registers): linear
+      // counting m·ln(m/V) — raw HLL is badly biased high when most
+      // registers are empty
+      .withColumn("est",
+        when(col("raw") <= lit(HllLcThreshold) && col("v") > 0,
+          lit(HllBuckets.toDouble) * log(lit(HllBuckets.toDouble) / col("v")))
+          .otherwise(col("raw")))
+    val exact = e.groupBy(col("event_type"))
+      .agg(count_distinct(col("user_id")).as("exact_users"))
+    z.join(exact, Seq("event_type"))
+      .select(col("event_type"),
+        round(lit(1e-9) + col("est"), 2).as("hll_estimate"),
+        col("exact_users"),
+        round(lit(1e-9) + abs(col("est") - col("exact_users")) / col("exact_users"), 4).as("rel_err"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Rolling 7-day distinct users per day, computed by MERGING daily
+    * HLL registers — the pattern that replaces count(distinct) window
+    * re-scans at 100 TB: the raw stream is reduced ONCE to per-day
+    * registers (256 rows/day), and every rolling window is a groupBy-max
+    * over those tiny frames, never a second pass over the data. The
+    * window itself is an explode of each source day to the ≤ 7 target
+    * days it feeds (a narrow map, no range join), so the whole merge is
+    * map-side-combinable. Exact counts ride along to surface the
+    * sketch's (deterministic) error.
+    */
+  def eventsHllRolling(spark: SparkSession, dir: String): DataFrame = {
+    val hashed = Tables.events(spark, dir)
+      .select(expr("ts_ns div 86400000000000").as("day"), col("user_id"))
+      .withColumn("h",
+        conv(substring(md5(col("user_id").cast("string").cast("binary")), 1, 8), 16, 10).cast("long"))
+      .withColumn("bucket", expr(s"h div $HllRem"))
+      .withColumn("r", col("h") % HllRem)
+      .withColumn("rho",
+        when(col("r") === 0, lit(HllRho0))
+          .otherwise(lit(HllRemBits) - floor(log2(col("r"))).cast("int")))
+    val regs = hashed.groupBy(col("day"), col("bucket")).agg(max(col("rho")).as("mr"))
+    val days = regs.select(col("day")).distinct()
+    // source day s feeds targets s..s+6 (t sees s ∈ [t-6, t]); targets
+    // past the observed range drop out in the semi join
+    val merged = regs
+      .withColumn("t", explode(sequence(col("day"), col("day") + 6)))
+      .join(broadcast(days.select(col("day").as("t"))), Seq("t"), "left_semi")
+      .groupBy(col("t"), col("bucket")).agg(max(col("mr")).as("mr"))
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(HllBuckets.toDouble))
+    val est = merged.groupBy(col("t"))
+      .agg((sum(pow(lit(2.0), -col("mr"))) + (lit(HllBuckets) - count(lit(1)))).as("zsum"),
+        (lit(HllBuckets) - count(lit(1))).as("v"))
+      .withColumn("raw", alpha * lit(HllBuckets.toDouble) * lit(HllBuckets.toDouble) / col("zsum"))
+      .withColumn("est",
+        when(col("raw") <= lit(HllLcThreshold) && col("v") > 0,
+          lit(HllBuckets.toDouble) * log(lit(HllBuckets.toDouble) / col("v")))
+          .otherwise(col("raw")))
+    val exact = hashed
+      .withColumn("t", explode(sequence(col("day"), col("day") + 6)))
+      .join(broadcast(days.select(col("day").as("t"))), Seq("t"), "left_semi")
+      .groupBy(col("t")).agg(count_distinct(col("user_id")).as("exact_users"))
+    est.join(exact, Seq("t"))
+      .select(col("t").as("day"),
+        round(lit(1e-9) + col("est"), 2).as("hll_users"),
+        col("exact_users"),
+        round(lit(1e-9) + abs(col("est") - col("exact_users")) / col("exact_users"), 4).as("rel_err"))
+      .orderBy(col("day"))
+  }
+
+  /** Count-Min sketch (Cormode & Muthukrishnan 2005) heavy hitters:
+    * per-user event counts read back from a 4×256 counter grid, vs the
+    * exact counts. Build = explode 4 hash rows per event and count by
+    * (row, cell) — one shuffle whose key space is 1024 regardless of
+    * data size. Read = join the DISTINCT keys against the broadcast
+    * counter frame and take the min over rows (the CMS point estimate,
+    * an upper bound that overcounts only on collisions). Top-20 by
+    * estimate, integer-exact end to end.
+    */
+  def eventsCms(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select(col("user_id"))
+    def cell(i: org.apache.spark.sql.Column) =
+      conv(substring(md5(concat(i.cast("string"), lit("_"), col("user_id").cast("string")).cast("binary")), 1, 4), 16, 10)
+        .cast("long") % CmsWidth
+    val rows = e.select(col("user_id"), explode(array((0 until CmsDepth).map(lit(_)): _*)).as("i"))
+      .withColumn("cell", cell(col("i")))
+    val counters = rows.groupBy(col("i"), col("cell")).agg(count(lit(1)).as("c"))
+    val keys = e.distinct()
+      .select(col("user_id"), explode(array((0 until CmsDepth).map(lit(_)): _*)).as("i"))
+      .withColumn("cell", cell(col("i")))
+    val est = keys.join(broadcast(counters), Seq("i", "cell"))
+      .groupBy(col("user_id")).agg(min(col("c")).as("est_count"))
+    val exact = e.groupBy(col("user_id")).agg(count(lit(1)).as("exact_count"))
+    est.join(exact, Seq("user_id"))
+      .select(col("user_id"), col("est_count"), col("exact_count"),
+        (col("est_count") - col("exact_count")).as("overcount"))
+      .orderBy(col("est_count").desc, col("user_id"))
+      .limit(20)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_hll" -> (eventsHll _),
+    "events_hll_rolling" -> (eventsHllRolling _),
+    "events_cms" -> (eventsCms _))
+
+  val oracles: Map[String, String] = Map(
+    "events_hll" ->
+      s"""WITH h AS (
+         | SELECT event_type, user_id,
+         |  ('0x'||substring(md5(user_id::VARCHAR),1,8))::BIGINT AS h
+         | FROM events),
+         |b AS (
+         | SELECT event_type, h // $HllRem AS bucket, h % $HllRem AS r FROM h),
+         |reg AS (
+         | SELECT event_type, bucket,
+         |  max(CASE WHEN r = 0 THEN $HllRho0 ELSE $HllRemBits - CAST(floor(log2(r)) AS INT) END) AS mr
+         | FROM b GROUP BY 1, 2),
+         |z AS (
+         | SELECT event_type,
+         |  sum(power(2.0, -mr)) + ($HllBuckets - count(*)) AS zsum,
+         |  $HllBuckets - count(*) AS v
+         | FROM reg GROUP BY 1),
+         |e0 AS (
+         | SELECT event_type,
+         |  $HllAlphaSql * $HllBuckets.0 * $HllBuckets.0 / zsum AS raw, v
+         | FROM z),
+         |e1 AS (
+         | SELECT event_type,
+         |  CASE WHEN raw <= $HllLcThreshold AND v > 0 THEN $HllBuckets.0 * ln($HllBuckets.0 / v) ELSE raw END AS est
+         | FROM e0),
+         |ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_users FROM events GROUP BY 1)
+         |SELECT e1.event_type,
+         | round(1e-9 + est, 2) AS hll_estimate,
+         | ex.exact_users,
+         | round(1e-9 + abs(est - exact_users) / exact_users, 4) AS rel_err
+         |FROM e1 JOIN ex USING (event_type)
+         |ORDER BY event_type""".stripMargin,
+    "events_hll_rolling" ->
+      s"""WITH h AS (
+         | SELECT epoch_ns(ts) // 86400000000000 AS day, user_id,
+         |  ('0x'||substring(md5(user_id::VARCHAR),1,8))::BIGINT AS h
+         | FROM events),
+         |b AS (
+         | SELECT day, h // $HllRem AS bucket, h % $HllRem AS r FROM h),
+         |reg AS (
+         | SELECT day, bucket,
+         |  max(CASE WHEN r = 0 THEN $HllRho0 ELSE $HllRemBits - CAST(floor(log2(r)) AS INT) END) AS mr
+         | FROM b GROUP BY 1, 2),
+         |days AS (SELECT DISTINCT day FROM reg),
+         |mreg AS (
+         | SELECT t.t AS t, bucket, max(mr) AS mr
+         | FROM reg, LATERAL (SELECT unnest(generate_series(day, day + 6)) AS t) t
+         | WHERE t.t IN (SELECT day FROM days)
+         | GROUP BY 1, 2),
+         |z AS (
+         | SELECT t, sum(power(2.0, -mr)) + ($HllBuckets - count(*)) AS zsum,
+         |  $HllBuckets - count(*) AS v
+         | FROM mreg GROUP BY 1),
+         |e0 AS (
+         | SELECT t, $HllAlphaSql * $HllBuckets.0 * $HllBuckets.0 / zsum AS raw, v FROM z),
+         |e1 AS (
+         | SELECT t, CASE WHEN raw <= $HllLcThreshold AND v > 0 THEN $HllBuckets.0 * ln($HllBuckets.0 / v) ELSE raw END AS est
+         | FROM e0),
+         |ex AS (
+         | SELECT t.t AS t, count(DISTINCT user_id) AS exact_users
+         | FROM h, LATERAL (SELECT unnest(generate_series(day, day + 6)) AS t) t
+         | WHERE t.t IN (SELECT day FROM days)
+         | GROUP BY 1)
+         |SELECT e1.t AS day,
+         | round(1e-9 + est, 2) AS hll_users,
+         | ex.exact_users,
+         | round(1e-9 + abs(est - exact_users) / exact_users, 4) AS rel_err
+         |FROM e1 JOIN ex USING (t)
+         |ORDER BY day""".stripMargin,
+    "events_cms" ->
+      s"""WITH rows_h AS (
+         | SELECT user_id, i.i AS i,
+         |  ('0x'||substring(md5(i.i::VARCHAR || '_' || user_id::VARCHAR),1,4))::BIGINT % $CmsWidth AS cell
+         | FROM events, (SELECT unnest(generate_series(0, ${CmsDepth - 1})) AS i) i),
+         |counters AS (SELECT i, cell, count(*) AS c FROM rows_h GROUP BY 1, 2),
+         |keys_h AS (
+         | SELECT DISTINCT user_id, i.i AS i,
+         |  ('0x'||substring(md5(i.i::VARCHAR || '_' || user_id::VARCHAR),1,4))::BIGINT % $CmsWidth AS cell
+         | FROM events, (SELECT unnest(generate_series(0, ${CmsDepth - 1})) AS i) i),
+         |est AS (
+         | SELECT user_id, min(c) AS est_count
+         | FROM keys_h JOIN counters USING (i, cell) GROUP BY 1),
+         |exact AS (SELECT user_id, count(*) AS exact_count FROM events GROUP BY 1)
+         |SELECT user_id, est_count, exact_count, est_count - exact_count AS overcount
+         |FROM est JOIN exact USING (user_id)
+         |ORDER BY est_count DESC, user_id LIMIT 20""".stripMargin)
+}

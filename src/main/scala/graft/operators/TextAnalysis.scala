@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryPack, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data curation: language ID,
@@ -287,6 +288,41 @@ object TextAnalysis extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** Top-3 tf-idf terms per document. Same skew-safe shape as
+    * [[unigramLogprob]]: the (doc, tok) pre-aggregate shuffles on a
+    * composite key, and the document-frequency join splits at rank 1024
+    * so the Zipf head rides a broadcast while the shuffled tail has a
+    * hard per-key bound. The final top-3 window partitions by doc_id —
+    * per-doc vocabulary is bounded, so no straggler partitions. Ties
+    * (equal tf and df ⇒ bit-identical tfidf in both engines) break on
+    * the token string.
+    */
+  def tfidfTop(spark: SparkSession, dir: String): DataFrame = {
+    val HeadK = 1024
+    val docs = Tables.parallelized(spark,
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")), "doc_id")
+    val dt = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val dfreq = dt.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val head = dfreq.orderBy(col("df").desc, col("tok")).limit(HeadK).localCheckpoint(true)
+    val tail = dfreq.join(broadcast(head.select(col("tok"))), Seq("tok"), "left_anti")
+    val scored = dt.join(broadcast(head), Seq("tok"))
+      .unionByName(
+        dt.join(broadcast(head.select(col("tok"))), Seq("tok"), "left_anti")
+          .join(tail, Seq("tok")))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", col("tf") * log(col("n_docs") / col("df")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("tok"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("tok"), col("tf"), col("df"),
+        round(lit(1e-9) + col("tfidf"), 4).as("tfidf"), col("rk"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
   private val ProfiledCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
   /** Column profiling — the data-quality pass a curation pipeline runs
@@ -365,6 +401,7 @@ object TextAnalysis extends QueryPack {
     "text_gopher_rules" -> (gopherRules _),
     "profile_columns" -> (profileColumns _),
     "text_unigram_logprob" -> (unigramLogprob _),
+    "text_tfidf" -> (tfidfTop _),
     "pii_scrub" -> (piiScrub _),
     "decontaminate" -> (decontaminate _),
     "sample_deterministic" -> (sampleDeterministic _),
@@ -417,6 +454,21 @@ object TextAnalysis extends QueryPack {
         | CAST(sum(k) AS BIGINT) AS n_tokens
         |FROM dt JOIN freq USING (tok), total
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_tfidf" ->
+      """WITH toks AS (
+        | SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |dt AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+        |dfreq AS (SELECT tok, count(*) AS df FROM dt GROUP BY tok),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |s AS (
+        | SELECT doc_id, tok, tf, df, tf * ln(n_docs / df) AS tfidf
+        | FROM dt JOIN dfreq USING (tok), n),
+        |r AS (
+        | SELECT doc_id, tok, tf, df, tfidf,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS INT) AS rk
+        | FROM s)
+        |SELECT doc_id, tok, tf, df, round(1e-9 + tfidf, 4) AS tfidf, rk
+        |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
     "pii_scrub" ->
       """SELECT doc_id,
         | CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+\.[a-zA-Z]+')) AS BIGINT) AS n_emails,

@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.Sketches
+import org.apache.spark.sql.functions._
+
+class SketchesSpec extends SparkSpec {
+
+  test("HLL estimate is within the expected error band of exact") {
+    val rows = Sketches.eventsHll(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val est = r.getAs[Double]("hll_estimate")
+      val exact = r.getAs[Long]("exact_users")
+      // 1.04/sqrt(64) ≈ 13% standard error; allow 3σ
+      assert(math.abs(est - exact) / exact < 0.4,
+        s"${r.getAs[String]("event_type")}: est $est vs exact $exact")
+      assert(r.getAs[Double]("rel_err") >= 0.0)
+    }
+  }
+
+  test("CMS point estimates are upper bounds that match exact sans collisions") {
+    val rows = Sketches.eventsCms(spark, sf).collect()
+    assert(rows.length > 0 && rows.length <= 20)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("est_count") >= r.getAs[Long]("exact_count"),
+        s"user ${r.getAs[Long]("user_id")} undercounted")
+      assert(r.getAs[Long]("overcount") == r.getAs[Long]("est_count") - r.getAs[Long]("exact_count"))
+    }
+    // estimates are sorted descending
+    val ests = rows.map(_.getAs[Long]("est_count"))
+    assert(ests.sameElements(ests.sortBy(-(_: Long))))
+  }
+
+  test("Bloom screen never false-negatives against the band index") {
+    val rows = operators.Dedup.dedupBloom(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      if (r.getAs[Boolean]("is_dup"))
+        assert(r.getAs[Boolean]("maybe_dup"),
+          s"doc ${r.getAs[Long]("doc_id")}: in-index doc screened out")
+      assert(r.getAs[Boolean]("false_positive") ==
+        (r.getAs[Boolean]("maybe_dup") && !r.getAs[Boolean]("is_dup")))
+    }
+  }
+
+  test("tf-idf emits ranked top-3 per doc with descending scores") {
+    val rows = operators.TextAnalysis.tfidfTop(spark, sf).collect()
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.nonEmpty)
+    byDoc.values.foreach { ts =>
+      val ranked = ts.sortBy(_.getAs[Int]("rk"))
+      assert(ranked.map(_.getAs[Int]("rk")).sameElements(1 to ranked.length))
+      val scores = ranked.map(_.getAs[Double]("tfidf"))
+      assert(scores.sameElements(scores.sortBy(-(_: Double))))
+    }
+  }
+}
