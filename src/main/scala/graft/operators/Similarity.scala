@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{QueryPack, Tables}
 import graft.functions.Vectors
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -130,39 +130,58 @@ object Similarity extends QueryPack {
     * Every assignment is a map-side-combinable min(struct(d², cell)) —
     * no windows; codebook build shuffles only k×d-sized frames.
     */
+  private def pqSubvectors(e: DataFrame): DataFrame = {
+    val slices = array((0 until PqM).map(m =>
+      transform(slice(col("embedding"), m * PqSubDim + 1, PqSubDim), x => x.cast("double"))): _*)
+    e.select(col("vec_id"), posexplode(slices).as(Seq("m", "sv")))
+  }
+
+  private def pqD2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, c) => (x - c) * (x - c)), lit(0.0), (s, v) => s + v)
+
+  /** (codebook, codes) for the snapshot — built once per corpus via
+    * [[graft.sources.IndexCache]] like the other ANN index structures
+    * (the PQ codebook at scale lives beside the IVF lists; queries only
+    * ever read it).
+    */
+  private def pqIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    graft.sources.IndexCache.getOrBuild(spark, "pq_index", dir) {
+      val sub = pqSubvectors(Tables.embeddings(spark, dir))
+      val seeds = sub.filter(col("vec_id") < PqK)
+        .select(col("m"), col("vec_id").cast("int").as("cell"), col("sv").as("centroid"))
+      // Lloyd round 1: assign to seed cells (carrying sv through the
+      // min-struct — cell ids are unique per subspace, so the struct
+      // order never reaches the sv field), then per-dimension means
+      val asg0 = sub.join(broadcast(seeds), Seq("m"))
+        .withColumn("dd", pqD2(col("sv"), col("centroid")))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min(struct(col("dd"), col("cell"), col("sv"))).as("mc"))
+        .select(col("m"), col("mc.cell").as("cell"), col("mc.sv").as("sv"))
+      val cents = asg0
+        .select(col("m"), col("cell"), posexplode(col("sv")).as(Seq("dim", "x")))
+        .groupBy(col("m"), col("cell"), col("dim")).agg(avg(col("x")).as("v"))
+        .groupBy(col("m"), col("cell"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("v")))).as("dv"))
+        .select(col("m"), col("cell"), transform(col("dv"), s => s.getField("v")).as("centroid"))
+        .localCheckpoint(true)
+      // encode: nearest updated centroid per (vector, subspace)
+      val codes = sub.join(broadcast(cents), Seq("m"))
+        .withColumn("dd", pqD2(col("sv"), col("centroid")))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min(struct(col("dd"), col("cell"))).as("mc"))
+        .select(col("vec_id"), col("m"), col("mc.cell").as("cell"))
+        .localCheckpoint(true)
+      (cents, codes)
+    }
+
   def annPq(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.Column
     val e = Tables.embeddings(spark, dir)
-    val slices = array((0 until PqM).map(m =>
-      transform(slice(col("embedding"), m * PqSubDim + 1, PqSubDim), x => x.cast("double"))): _*)
-    val sub = e.select(col("vec_id"), posexplode(slices).as(Seq("m", "sv")))
-    def d2(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, c) => (x - c) * (x - c)), lit(0.0), (s, v) => s + v)
-    val seeds = sub.filter(col("vec_id") < PqK)
-      .select(col("m"), col("vec_id").cast("int").as("cell"), col("sv").as("centroid"))
-    // Lloyd round 1: assign to seed cells (carrying sv through the
-    // min-struct — cell ids are unique per subspace, so the struct
-    // order never reaches the sv field), then per-dimension means
-    val asg0 = sub.join(broadcast(seeds), Seq("m"))
-      .withColumn("dd", d2(col("sv"), col("centroid")))
-      .groupBy(col("vec_id"), col("m"))
-      .agg(min(struct(col("dd"), col("cell"), col("sv"))).as("mc"))
-      .select(col("m"), col("mc.cell").as("cell"), col("mc.sv").as("sv"))
-    val cents = asg0
-      .select(col("m"), col("cell"), posexplode(col("sv")).as(Seq("dim", "x")))
-      .groupBy(col("m"), col("cell"), col("dim")).agg(avg(col("x")).as("v"))
-      .groupBy(col("m"), col("cell"))
-      .agg(array_sort(collect_list(struct(col("dim"), col("v")))).as("dv"))
-      .select(col("m"), col("cell"), transform(col("dv"), s => s.getField("v")).as("centroid"))
-      .localCheckpoint(true)
-    // encode: nearest updated centroid per (vector, subspace)
-    val codes = sub.join(broadcast(cents), Seq("m"))
-      .withColumn("dd", d2(col("sv"), col("centroid")))
-      .groupBy(col("vec_id"), col("m"))
-      .agg(min(struct(col("dd"), col("cell"))).as("mc"))
-      .select(col("vec_id"), col("m"), col("mc.cell").as("cell"))
+    def d2(a: Column, b: Column): Column = pqD2(a, b)
+    val (cents, codes) = pqIndex(spark, dir)
     // ADC distance table: query subvector ↔ every centroid (M×K rows)
-    val qsub = sub.filter(col("vec_id") === QueryVecId).select(col("m"), col("sv"))
+    val qsub = pqSubvectors(e.filter(col("vec_id") === QueryVecId))
+      .select(col("m"), col("sv"))
     val dtab = cents.join(broadcast(qsub), Seq("m"))
       .select(col("m"), col("cell"), d2(col("sv"), col("centroid")).as("qd2"))
     val top = codes.filter(col("vec_id") =!= QueryVecId)
