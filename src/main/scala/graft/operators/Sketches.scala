@@ -127,6 +127,49 @@ object Sketches extends QueryPack {
       .orderBy(col("day"))
   }
 
+  /** Mergeable binned-quantile sketch: p50/p95/p99 of `value` per event
+    * type read from a 1024-bin equi-width histogram. One pass reduces
+    * the stream to (type, bin) counts — map-side combinable, ≤ 1024
+    * rows per type, mergeable by + across partitions/days — then the
+    * quantiles are a cumulative-sum walk over the tiny histogram.
+    * Rank thresholds use INTEGER cross-multiplication (100·cum ≥ k·n),
+    * so bin selection involves no floating-point at all; only the final
+    * midpoint estimate does double math (identical IEEE expressions in
+    * both engines). The degenerate all-equal case (max = min) pins
+    * bin 0 rather than dividing by zero.
+    */
+  def eventsQuantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select(col("event_type"), col("value"))
+    val stats = e.groupBy(col("event_type"))
+      .agg(min(col("value")).as("mn"), max(col("value")).as("mx"), count(lit(1)).as("n"))
+    val binned = e.join(broadcast(stats), Seq("event_type"))
+      .withColumn("bin",
+        when(col("mx") > col("mn"),
+          least(lit(1023), floor((col("value") - col("mn")) / (col("mx") - col("mn")) * 1024).cast("int")))
+          .otherwise(lit(0)))
+      .groupBy(col("event_type"), col("bin")).agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = binned.withColumn("cum", sum(col("c")).over(w))
+      .join(broadcast(stats), Seq("event_type"))
+    def estAt(pct: Int): org.apache.spark.sql.Column = {
+      val qbin = min(when(col("cum") * 100 >= col("n") * pct, col("bin")))
+      when(col("mx_") > col("mn_"),
+        col("mn_") + (qbin + lit(0.5)) * ((col("mx_") - col("mn_")) / lit(1024.0)))
+        .otherwise(col("mn_"))
+    }
+    cum
+      .withColumnRenamed("mn", "mn_").withColumnRenamed("mx", "mx_")
+      .groupBy(col("event_type"), col("mn_"), col("mx_"), col("n"))
+      .agg(
+        round(lit(1e-9) + estAt(50), 4).as("p50_est"),
+        round(lit(1e-9) + estAt(95), 4).as("p95_est"),
+        round(lit(1e-9) + estAt(99), 4).as("p99_est"))
+      .select(col("event_type"), col("n"), col("p50_est"), col("p95_est"), col("p99_est"))
+      .orderBy(col("event_type"))
+  }
+
   /** Count-Min sketch (Cormode & Muthukrishnan 2005) heavy hitters:
     * per-user event counts read back from a 4×256 counter grid, vs the
     * exact counts. Build = explode 4 hash rows per event and count by
@@ -160,6 +203,7 @@ object Sketches extends QueryPack {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_hll" -> (eventsHll _),
     "events_hll_rolling" -> (eventsHllRolling _),
+    "events_quantile_sketch" -> (eventsQuantileSketch _),
     "events_cms" -> (eventsCms _))
 
   val oracles: Map[String, String] = Map(
@@ -231,6 +275,28 @@ object Sketches extends QueryPack {
          | round(1e-9 + abs(est - exact_users) / exact_users, 4) AS rel_err
          |FROM e1 JOIN ex USING (t)
          |ORDER BY day""".stripMargin,
+    "events_quantile_sketch" ->
+      """WITH stats AS (
+        | SELECT event_type, min(value) AS mn, max(value) AS mx, count(*) AS n
+        | FROM events GROUP BY 1),
+        |binned AS (
+        | SELECT e.event_type,
+        |  CASE WHEN s.mx > s.mn
+        |   THEN least(1023, CAST(floor((e.value - s.mn)/(s.mx - s.mn)*1024) AS INT))
+        |   ELSE 0 END AS bin,
+        |  count(*) AS c
+        | FROM events e JOIN stats s USING (event_type) GROUP BY 1, 2),
+        |cum AS (
+        | SELECT event_type, bin,
+        |  sum(c) OVER (PARTITION BY event_type ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum
+        | FROM binned),
+        |j AS (SELECT c.event_type, c.bin, c.cum, s.mn, s.mx, s.n FROM cum c JOIN stats s USING (event_type))
+        |SELECT event_type, n,
+        | round(1e-9 + CASE WHEN mx > mn THEN mn + (min(CASE WHEN cum*100 >= n*50 THEN bin END) + 0.5) * ((mx - mn)/1024.0) ELSE mn END, 4) AS p50_est,
+        | round(1e-9 + CASE WHEN mx > mn THEN mn + (min(CASE WHEN cum*100 >= n*95 THEN bin END) + 0.5) * ((mx - mn)/1024.0) ELSE mn END, 4) AS p95_est,
+        | round(1e-9 + CASE WHEN mx > mn THEN mn + (min(CASE WHEN cum*100 >= n*99 THEN bin END) + 0.5) * ((mx - mn)/1024.0) ELSE mn END, 4) AS p99_est
+        |FROM j GROUP BY event_type, mn, mx, n
+        |ORDER BY event_type""".stripMargin,
     "events_cms" ->
       s"""WITH rows_h AS (
          | SELECT user_id, i.i AS i,

@@ -31,6 +31,26 @@ class SketchesSpec extends SparkSpec {
     assert(ests.sameElements(ests.sortBy(-(_: Long))))
   }
 
+  test("binned quantile sketch brackets the rank-ceil(qn) order statistic") {
+    val est = operators.Sketches.eventsQuantileSketch(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Double]("p50_est"), r.getAs[Double]("p95_est"), r.getAs[Double]("p99_est"))).toMap
+    assert(est.nonEmpty)
+    val byType = Tables.events(spark, sf).select(col("event_type"), col("value")).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Double]("value")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    // the sketch picks the bin holding the ceil(q·n)-th smallest value,
+    // so its midpoint is within half a bin width of that order statistic
+    byType.foreach { case (t, vs) =>
+      val binw = (vs.last - vs.head) / 1024.0
+      def rankStat(pct: Int): Double = vs((pct * vs.length + 99) / 100 - 1)
+      val (e50, e95, e99) = est(t)
+      assert(math.abs(e50 - rankStat(50)) <= binw, s"$t p50")
+      assert(math.abs(e95 - rankStat(95)) <= binw, s"$t p95")
+      assert(math.abs(e99 - rankStat(99)) <= binw, s"$t p99")
+    }
+  }
+
   test("Bloom screen never false-negatives against the band index") {
     val rows = operators.Dedup.dedupBloom(spark, sf).collect()
     assert(rows.nonEmpty)
