@@ -44,16 +44,23 @@ object Sketches extends QueryPack {
     * exact in any order; the alpha·m²/Z estimate is a fixed IEEE
     * expression both engines evaluate identically.
     */
+  /** Adds (bucket, rho) register coordinates derived from `user_id` —
+    * shared by the batch estimators and the streaming register
+    * maintenance (the same expression graph works under a streaming
+    * aggregation, because register max is just a groupBy max).
+    */
+  private[graft] def withHllCoords(df: DataFrame): DataFrame = df
+    .withColumn("h",
+      conv(substring(md5(col("user_id").cast("string").cast("binary")), 1, 8), 16, 10).cast("long"))
+    .withColumn("bucket", expr(s"h div $HllRem"))
+    .withColumn("r", col("h") % HllRem)
+    .withColumn("rho",
+      when(col("r") === 0, lit(HllRho0))
+        .otherwise(lit(HllRemBits) - floor(log2(col("r"))).cast("int")))
+
   def eventsHll(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir).select(col("event_type"), col("user_id"))
-    val hashed = e
-      .withColumn("h",
-        conv(substring(md5(col("user_id").cast("string").cast("binary")), 1, 8), 16, 10).cast("long"))
-      .withColumn("bucket", expr(s"h div $HllRem"))
-      .withColumn("r", col("h") % HllRem)
-      .withColumn("rho",
-        when(col("r") === 0, lit(HllRho0))
-          .otherwise(lit(HllRemBits) - floor(log2(col("r"))).cast("int")))
+    val hashed = withHllCoords(e)
     val registers = hashed.groupBy(col("event_type"), col("bucket"))
       .agg(max(col("rho")).as("mr"))
     val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(HllBuckets.toDouble))
@@ -89,15 +96,8 @@ object Sketches extends QueryPack {
     * sketch's (deterministic) error.
     */
   def eventsHllRolling(spark: SparkSession, dir: String): DataFrame = {
-    val hashed = Tables.events(spark, dir)
-      .select(expr("ts_ns div 86400000000000").as("day"), col("user_id"))
-      .withColumn("h",
-        conv(substring(md5(col("user_id").cast("string").cast("binary")), 1, 8), 16, 10).cast("long"))
-      .withColumn("bucket", expr(s"h div $HllRem"))
-      .withColumn("r", col("h") % HllRem)
-      .withColumn("rho",
-        when(col("r") === 0, lit(HllRho0))
-          .otherwise(lit(HllRemBits) - floor(log2(col("r"))).cast("int")))
+    val hashed = withHllCoords(Tables.events(spark, dir)
+      .select(expr("ts_ns div 86400000000000").as("day"), col("user_id")))
     val regs = hashed.groupBy(col("day"), col("bucket")).agg(max(col("rho")).as("mr"))
     val days = regs.select(col("day")).distinct()
     // source day s feeds targets s..s+6 (t sees s ∈ [t-6, t]); targets

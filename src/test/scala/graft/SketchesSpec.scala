@@ -31,6 +31,36 @@ class SketchesSpec extends SparkSpec {
     assert(ests.sameElements(ests.sortBy(-(_: Long))))
   }
 
+  test("streaming HLL register maintenance converges to the batch registers") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+
+    val rows = Tables.events(spark, sf).select(col("user_id"))
+      .as[Long].collect()
+    val input = MemoryStream[Long]
+    val query = operators.Sketches.withHllCoords(input.toDS().toDF("user_id"))
+      .groupBy(col("bucket")).agg(max(col("rho")).as("mr"))
+      .writeStream.format("memory").queryName("hll_regs")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      input.addData(b1.toSeq); query.processAllAvailable()
+      input.addData(b2.toSeq); query.processAllAvailable()
+      // Update mode emits every register revision; the final state per
+      // bucket is the max — exactly the merge the sketch permits
+      val streamed = spark.table("hll_regs").collect()
+        .map(r => (r.getAs[Long]("bucket"), r.getAs[Int]("mr")))
+        .groupBy(_._1).map { case (b, vs) => (b, vs.map(_._2).max) }
+      val batch = operators.Sketches.withHllCoords(
+        Tables.events(spark, sf).select(col("user_id")))
+        .groupBy(col("bucket")).agg(max(col("rho")).as("mr")).collect()
+        .map(r => (r.getAs[Long]("bucket"), r.getAs[Int]("mr"))).toMap
+      assert(streamed.toMap == batch)
+    } finally query.stop()
+  }
+
   test("binned quantile sketch brackets the rank-ceil(qn) order statistic") {
     val est = operators.Sketches.eventsQuantileSketch(spark, sf).collect()
       .map(r => r.getAs[String]("event_type") ->
