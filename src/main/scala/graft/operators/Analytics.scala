@@ -230,18 +230,20 @@ object Analytics extends QueryPack {
       .orderBy(col("o_custkey"), col("rn"))
   }
 
-  /** Exact interpolated percentiles per event type (p50/p95). Exact
-    * percentile needs the full sorted group — fine for bounded group
-    * counts like event types; at very high cardinality switch to
-    * approx_percentile (t-digest) and drop the oracle to rows-only.
+  /** p50/p95 of `value` per event type via the mergeable 1024-bin
+    * quantile sketch ([[Sketches.binnedQuantiles]]). This IS the scale
+    * form, not a stand-in: group sizes here grow with the data (every
+    * event of a type lands in one group), so an exact `percentile`
+    * aggregate would buffer whole groups in the final reduce — the
+    * sketch reduces each group to ≤ 1024 mergeable bin counts before
+    * anything non-map-side runs. The oracle applies byte-identical
+    * binning and integer rank selection.
     */
   def eventPercentiles(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .groupBy(col("event_type"))
-      .agg(
-        round(expr("percentile(value, 0.5)") + 1e-9, 4).as("p50"),
-        round(expr("percentile(value, 0.95)") + 1e-9, 4).as("p95"),
-        count(lit(1)).as("n"))
+    Sketches.binnedQuantiles(
+      Tables.events(spark, dir).select(col("event_type"), col("value")),
+      key = "event_type", value = "value", pcts = Seq(50, 95))
+      .select(col("event_type"), col("p50_est").as("p50"), col("p95_est").as("p95"), col("n"))
       .orderBy(col("event_type"))
 
   /** Q7 analog: shipping volume between nation pairs per year. */
@@ -898,11 +900,10 @@ object Analytics extends QueryPack {
         |FROM events GROUP BY ROLLUP (event_type, day)
         |ORDER BY event_type ASC NULLS FIRST, day ASC NULLS FIRST""".stripMargin,
     "events_percentiles" ->
-      """SELECT event_type,
-        | round(quantile_cont(value, 0.5) + 1e-9, 4) AS p50,
-        | round(quantile_cont(value, 0.95) + 1e-9, 4) AS p95,
-        | count(*) AS n
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+      s"""WITH u AS (SELECT event_type, value FROM events),
+         |${graft.operators.Sketches.binnedQuantilesSql("event_type", Seq(50, 95))}
+         |SELECT event_type, p50_est AS p50, p95_est AS p95, n
+         |FROM bq ORDER BY event_type""".stripMargin,
     "topk_agg" ->
       """SELECT o_custkey, o_orderkey, CAST(rn AS BIGINT) AS rn
         |FROM (

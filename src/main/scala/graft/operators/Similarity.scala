@@ -210,8 +210,13 @@ object Similarity extends QueryPack {
       .withColumn("bit", when(col("proj") >= 0, 1L).otherwise(0L))
     val buckets = sigBits.groupBy(col("vec_id"))
       .agg(sum(col("bit") * pow(lit(2.0), col("plane")).cast("long")).cast("long").as("bucket"))
-    buckets
-      .withColumn("bucket_size", count(lit(1)).over(Window.partitionBy(col("bucket"))))
+    // bucket_size via groupBy + broadcast join back, not a per-bucket
+    // window: a window partitioned on the bucket key sorts the hottest
+    // bucket on one task, while the groupBy partial-aggregates map-side
+    // and the size frame is at most 2^Planes rows — skew-proof.
+    val sizes = buckets.groupBy(col("bucket")).agg(count(lit(1)).as("bucket_size"))
+    buckets.join(broadcast(sizes), Seq("bucket"))
+      .select(col("vec_id"), col("bucket"), col("bucket_size"))
       .orderBy(col("vec_id"))
   }
 
@@ -256,17 +261,42 @@ object Similarity extends QueryPack {
     *   the edge of two cells lands in both, so near-dup pairs split by
     *   a boundary still meet in one bucket.
     */
+  private def centroidD2: Column = aggregate(
+    zip_with(col("embedding"), col("centroid"), (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+    lit(0.0), (acc, v) => acc + v)
+
+  /** Multi-probe nearest-cell assignment as a map-side-combinable
+    * aggregate: the bounded `probes`-entry heap ([[graft.expressions.TopKIds]]
+    * on -d²) partial-aggregates per input partition, so only one partial
+    * row per vector reaches the shuffle. The per-vector `row_number`
+    * window this replaces shuffled all n×k candidate rows — with
+    * k = √(n/16) ([[cellCount]]) that is O(n^1.5) shuffled rows at
+    * corpus scale (~8×10¹² rows at n=10⁹). Ties on d² break cell-asc,
+    * identical to the window's orderBy(d2, cell). Package-private so
+    * the plan-shape spec can assert partial-aggregate-before-exchange
+    * and no Window on the executed plan.
+    */
+  private[graft] def assignToCells(e: DataFrame, centroids: DataFrame, probes: Int): DataFrame =
+    e.crossJoin(broadcast(centroids))
+      .withColumn("d2", centroidD2)
+      .groupBy(col("vec_id"))
+      .agg(Vectors.topKIds(negate(col("d2")), col("cell").cast("long"), probes).as("nearest"))
+      .select(col("vec_id"), posexplode(col("nearest")).as(Seq("pos", "cellL")))
+      .select(col("vec_id"), col("cellL").cast("int").as("cell"),
+        (col("pos") + 1).cast("int").as("rk"))
+
   def kmeans(spark: SparkSession, dir: String, k: Int, iters: Int, probes: Int = 1): (DataFrame, DataFrame) = {
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")).persist()
-    // assign: nearest centroid by squared L2 (dot trick not needed at k~16)
+    // assign (Lloyd rounds): nearest centroid via min(struct(d2, cell,
+    // embedding)) — map-side combinable like [[pqIndex]]'s encoder; cell
+    // ids are unique per vector so the (d2, cell) prefix always decides
+    // the min before the carried embedding field is ever compared.
     def assign(centroids: DataFrame): DataFrame =
       e.crossJoin(broadcast(centroids))
-        .withColumn("d2", aggregate(
-          zip_with(col("embedding"), col("centroid"), (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
-          lit(0.0), (acc, v) => acc + v))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cell"))))
-        .filter(col("rk") === 1)
+        .withColumn("d2", centroidD2)
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("d2"), col("cell"), col("embedding"))).as("mc"))
+        .select(col("vec_id"), col("mc.cell").as("cell"), col("mc.embedding").as("embedding"))
     try {
       // init: first k vectors (deterministic), read straight off the
       // persisted input. Each UPDATED centroid table is a tiny k×d
@@ -285,14 +315,7 @@ object Similarity extends QueryPack {
           .select(col("cell"), transform(col("dm"), s => s.getField("m")).as("centroid"))
           .localCheckpoint(true)
       }
-      val finalAssign = e.crossJoin(broadcast(centroids))
-        .withColumn("d2", aggregate(
-          zip_with(col("embedding"), col("centroid"), (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
-          lit(0.0), (acc, v) => acc + v))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cell"))))
-        .filter(col("rk") <= probes)
-        .select(col("vec_id"), col("cell"), col("rk"))
+      val finalAssign = assignToCells(e, centroids, probes)
         .localCheckpoint(true)
       // with zero iterations the centroid frame is still lazy over the
       // about-to-be-released input — pin it so both outputs are safe

@@ -138,21 +138,39 @@ object Sketches extends QueryPack {
     * both engines). The degenerate all-equal case (max = min) pins
     * bin 0 rather than dividing by zero.
     */
-  def eventsQuantileSketch(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(spark, dir).select(col("event_type"), col("value"))
-    val stats = e.groupBy(col("event_type"))
-      .agg(min(col("value")).as("mn"), max(col("value")).as("mx"), count(lit(1)).as("n"))
-    val binned = e.join(broadcast(stats), Seq("event_type"))
+  def eventsQuantileSketch(spark: SparkSession, dir: String): DataFrame =
+    binnedQuantiles(
+      Tables.events(spark, dir).select(col("event_type"), col("value")),
+      key = "event_type", value = "value", pcts = Seq(50, 95, 99))
+      .orderBy(col("event_type"))
+
+  /** The reusable form of the 1024-bin sketch: per `key` group, binned
+    * estimates of `value` at the given integer percentiles, as columns
+    * `p{pct}_est` next to `n`. Everything upstream of the final walk is
+    * a constant-space mergeable aggregate (group stats, then ≤ 1024
+    * (key, bin) counts), so this is the percentile form the engine uses
+    * wherever group sizes grow with data — the exact `percentile`
+    * aggregate buffers whole groups in the final reduce. The cum-sum
+    * window runs over the ≤ 1024-row histogram per key, never the data.
+    * The DuckDB twin is [[binnedQuantilesSql]]; `value` must be
+    * non-null (filter first — both engines — so ranks agree).
+    */
+  private[graft] def binnedQuantiles(e: DataFrame, key: String, value: String,
+      pcts: Seq[Int]): DataFrame = {
+    val v = col(value)
+    val stats = e.groupBy(col(key))
+      .agg(min(v).as("mn"), max(v).as("mx"), count(lit(1)).as("n"))
+    val binned = e.join(broadcast(stats), Seq(key))
       .withColumn("bin",
         when(col("mx") > col("mn"),
-          least(lit(1023), floor((col("value") - col("mn")) / (col("mx") - col("mn")) * 1024).cast("int")))
+          least(lit(1023), floor((v - col("mn")) / (col("mx") - col("mn")) * 1024).cast("int")))
           .otherwise(lit(0)))
-      .groupBy(col("event_type"), col("bin")).agg(count(lit(1)).as("c"))
+      .groupBy(col(key), col("bin")).agg(count(lit(1)).as("c"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("event_type")).orderBy(col("bin"))
+      .partitionBy(col(key)).orderBy(col("bin"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val cum = binned.withColumn("cum", sum(col("c")).over(w))
-      .join(broadcast(stats), Seq("event_type"))
+      .join(broadcast(stats), Seq(key))
     def estAt(pct: Int): org.apache.spark.sql.Column = {
       val qbin = min(when(col("cum") * 100 >= col("n") * pct, col("bin")))
       when(col("mx_") > col("mn_"),
@@ -161,13 +179,38 @@ object Sketches extends QueryPack {
     }
     cum
       .withColumnRenamed("mn", "mn_").withColumnRenamed("mx", "mx_")
-      .groupBy(col("event_type"), col("mn_"), col("mx_"), col("n"))
+      .groupBy(col(key), col("mn_"), col("mx_"), col("n"))
       .agg(
-        round(lit(1e-9) + estAt(50), 4).as("p50_est"),
-        round(lit(1e-9) + estAt(95), 4).as("p95_est"),
-        round(lit(1e-9) + estAt(99), 4).as("p99_est"))
-      .select(col("event_type"), col("n"), col("p50_est"), col("p95_est"), col("p99_est"))
-      .orderBy(col("event_type"))
+        round(lit(1e-9) + estAt(pcts.head), 4).as(s"p${pcts.head}_est"),
+        pcts.tail.map(p => round(lit(1e-9) + estAt(p), 4).as(s"p${p}_est")): _*)
+      .select(col(key) +: col("n") +: pcts.map(p => col(s"p${p}_est")): _*)
+  }
+
+  /** DuckDB twin of [[binnedQuantiles]]: CTE fragment over a relation
+    * `u(key, value)` defining `bq(key, n, p{pct}_est…)` — byte-identical
+    * binning and integer rank selection, so sketch outputs hash-match.
+    */
+  private[graft] def binnedQuantilesSql(key: String, pcts: Seq[Int]): String = {
+    val ests = pcts.map(p =>
+      s"round(1e-9 + CASE WHEN s.mx > s.mn THEN s.mn + (min(CASE WHEN c.cum*100 >= s.n*$p THEN c.bin END) + 0.5) * ((s.mx - s.mn)/1024.0) ELSE s.mn END, 4) AS p${p}_est")
+      .mkString(",\n |  ")
+    s"""bstats AS (SELECT $key, min(value) AS mn, max(value) AS mx, count(*) AS n FROM u GROUP BY 1),
+       |bbinned AS (
+       | SELECT u.$key,
+       |  CASE WHEN s.mx > s.mn
+       |   THEN least(1023, CAST(floor((u.value - s.mn)/(s.mx - s.mn)*1024) AS INT))
+       |   ELSE 0 END AS bin,
+       |  count(*) AS c
+       | FROM u JOIN bstats s USING ($key) GROUP BY 1, 2),
+       |bcum AS (
+       | SELECT $key, bin,
+       |  sum(c) OVER (PARTITION BY $key ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum
+       | FROM bbinned),
+       |bq AS (
+       | SELECT c.$key, s.n,
+       |  $ests
+       | FROM bcum c JOIN bstats s USING ($key)
+       | GROUP BY c.$key, s.mn, s.mx, s.n)""".stripMargin
   }
 
   /** Count-Min sketch (Cormode & Muthukrishnan 2005) heavy hitters:

@@ -327,16 +327,18 @@ object TextAnalysis extends QueryPack {
 
   /** Column profiling — the data-quality pass a curation pipeline runs
     * before training: per-column count/nulls/min/max/mean/stddev/median
-    * for the numeric fact columns, ALL in one aggregation pass (one
-    * scan, one partial-aggregated reduce to a single row), then
-    * `stack`ed to one row per column. A naive per-column loop would
-    * scan the 100 TB fact table once per column.
+    * for the numeric fact columns. The moment stats all come from ONE
+    * aggregation pass (one scan, one partial-aggregated reduce to a
+    * single row), then `stack`ed to one row per column. A naive
+    * per-column loop would scan the 100 TB fact table once per column.
     *
-    * The median uses EXACT interpolated percentile so the DuckDB oracle
-    * is byte-stable; exact percentile buffers the column's values in
-    * the final aggregation, so at true 100 TB scale swap it for
-    * approx_percentile (t-digest — mergeable, bounded memory) and drop
-    * that column to a rows-only check. Every other stat here is a
+    * The median goes through the mergeable 1024-bin quantile sketch
+    * ([[Sketches.binnedQuantiles]] over the stacked (col_name, value)
+    * frame) — this IS the scale form: an exact `percentile` here would
+    * buffer every value of every profiled column in one final-reduce
+    * task, while the sketch reduces each column to ≤ 1024 mergeable
+    * bin counts map-side. The oracle applies byte-identical binning,
+    * so the p50 still hash-matches. Every stat in this query is a
     * constant-space mergeable partial.
     */
   def profileColumns(spark: SparkSession, dir: String): DataFrame = {
@@ -347,14 +349,23 @@ object TextAnalysis extends QueryPack {
       round(lit(1e-9) + min(col(c)), 4).as(s"${c}_min"),
       round(lit(1e-9) + max(col(c)), 4).as(s"${c}_max"),
       round(lit(1e-9) + avg(col(c)), 4).as(s"${c}_mean"),
-      round(lit(1e-9) + stddev_samp(col(c)), 4).as(s"${c}_std"),
-      round(expr(s"percentile($c, 0.5)") + 1e-9, 4).as(s"${c}_p50")))
+      round(lit(1e-9) + stddev_samp(col(c)), 4).as(s"${c}_std")))
     val one = l.agg(aggs.head, aggs.tail: _*)
     val stackArgs = ProfiledCols.map(c =>
-      s"'$c', ${c}_n, ${c}_nulls, ${c}_min, ${c}_max, ${c}_mean, ${c}_std, ${c}_p50")
+      s"'$c', ${c}_n, ${c}_nulls, ${c}_min, ${c}_max, ${c}_mean, ${c}_std")
       .mkString(", ")
-    one.selectExpr(
-      s"stack(${ProfiledCols.length}, $stackArgs) AS (col_name, n, n_null, min, max, mean, std, p50)")
+    val stats = one.selectExpr(
+      s"stack(${ProfiledCols.length}, $stackArgs) AS (col_name, n, n_null, min, max, mean, std)")
+    // unpivot to (col_name, value) and sketch all columns in one build;
+    // the p50 frame is ProfiledCols.length rows — broadcast the join back
+    val unpivot = l.selectExpr(
+      s"stack(${ProfiledCols.length}, ${ProfiledCols.map(c => s"'$c', $c").mkString(", ")}) AS (col_name, value)")
+      .filter(col("value").isNotNull)
+    val p50 = Sketches.binnedQuantiles(unpivot, key = "col_name", value = "value", pcts = Seq(50))
+      .select(col("col_name"), col("p50_est").as("p50"))
+    stats.join(broadcast(p50), Seq("col_name"))
+      .select(col("col_name"), col("n"), col("n_null"), col("min"), col("max"),
+        col("mean"), col("std"), col("p50"))
       .orderBy(col("col_name"))
   }
 
@@ -435,14 +446,27 @@ object TextAnalysis extends QueryPack {
         | ((1 - nd::DOUBLE / total) <= 0.08 AND topk::DOUBLE / total <= 0.10
         |   AND (1 - ndw::DOUBLE / n_words) <= 0.55) AS keep
         |FROM s ORDER BY doc_id""".stripMargin,
-    "profile_columns" -> ProfiledCols.map(c =>
-      s"""SELECT '$c' AS col_name, count($c) AS n,
-         | CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
-         | round(1e-9 + min($c), 4) AS min, round(1e-9 + max($c), 4) AS max,
-         | round(1e-9 + avg($c), 4) AS mean, round(1e-9 + stddev_samp($c), 4) AS std,
-         | round(quantile_cont($c, 0.5) + 1e-9, 4) AS p50
-         |FROM lineitem""".stripMargin)
-      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
+    "profile_columns" -> {
+      val base = ProfiledCols.map(c =>
+        s"""SELECT '$c' AS col_name, count($c) AS n,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           |  round(1e-9 + min($c), 4) AS min, round(1e-9 + max($c), 4) AS max,
+           |  round(1e-9 + avg($c), 4) AS mean, round(1e-9 + stddev_samp($c), 4) AS std
+           | FROM lineitem""".stripMargin)
+        .mkString(" UNION ALL\n")
+      val unpivot = ProfiledCols.map(c =>
+        s"SELECT '$c' AS col_name, $c AS value FROM lineitem WHERE $c IS NOT NULL")
+        .mkString(" UNION ALL\n ")
+      s"""WITH u AS (
+         | $unpivot),
+         |${graft.operators.Sketches.binnedQuantilesSql("col_name", Seq(50))},
+         |base AS (
+         |$base)
+         |SELECT base.col_name, base.n, base.n_null, base.min, base.max, base.mean, base.std,
+         | bq.p50_est AS p50
+         |FROM base JOIN bq USING (col_name)
+         |ORDER BY col_name""".stripMargin
+    },
     "text_unigram_logprob" ->
       """WITH toks AS (
         | SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),

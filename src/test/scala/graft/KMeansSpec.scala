@@ -33,6 +33,45 @@ class KMeansSpec extends SparkSpec {
     assert(c3 <= c1 + 1e-6, s"cost increased: $c1 -> $c3")
   }
 
+  test("kmeans assignment is a map-side partial aggregate, not a per-vector window") {
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cell"),
+        transform(col("embedding"), x => x.cast("double")).as("centroid"))
+    val asg = Similarity.assignToCells(e, cents, probes = 2)
+    val rows = asg.collect()
+    assert(rows.length == 2 * Tables.embeddings(spark, sf).count(),
+      "every vector must carry exactly `probes` assignments")
+    val plan = asg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"assignment must not use a window:\n$plan")
+    // partial aggregate BELOW the exchange: Spark prints Partial-mode
+    // TopKIds as `partial_top_k_ids` in the map-side ObjectHashAggregate,
+    // i.e. the n×k candidate rows are reduced to one bounded-heap
+    // partial per vector before any shuffle.
+    assert(plan.contains("partial_top_k_ids"),
+      s"expected a map-side partial_top_k_ids aggregate before the exchange:\n$plan")
+  }
+
+  test("multi-probe assignment ranks cells nearest-first with cell-asc tiebreak") {
+    // probes=2 must equal the top-2 rows of the brute-force (d2, cell)
+    // ordering per vector — the contract knn_join/dedup_embedding rely on.
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cell"),
+        transform(col("embedding"), x => x.cast("double")).as("centroid"))
+    val got = Similarity.assignToCells(e, cents, probes = 2)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("rk")) -> r.getAs[Int]("cell")).toMap
+    val brute = e.crossJoin(broadcast(cents))
+      .withColumn("d2", aggregate(
+        zip_with(col("embedding"), col("centroid"), (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+        lit(0.0), (acc, v) => acc + v))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cell"))))
+      .filter(col("rk") <= 2)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("rk")) -> r.getAs[Int]("cell")).toMap
+    assert(got == brute)
+  }
+
   test("IVF over kmeans cells recovers most brute-force neighbors (recall)") {
     val (assign, cents) = Similarity.kmeans(spark, sf, k = 8, iters = 2)
     val q = Tables.embeddings(spark, sf).filter(col("vec_id") === 0)
