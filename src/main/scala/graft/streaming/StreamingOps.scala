@@ -24,6 +24,24 @@ final case class KeyState(
     last_ts_ns: Long,
     n_events: Long)
 
+/** Replay-idempotent metrics for the streaming indexer: counts are
+  * keyed by micro-batch id and overwritten on re-record, so an
+  * at-least-once replay of a batch (crash between store write and
+  * checkpoint commit) leaves totals unchanged instead of double-
+  * counting — the accumulator formulation this replaces could only
+  * ever add.
+  */
+final class IndexerStreamMetrics {
+  private val dead = scala.collection.concurrent.TrieMap.empty[Long, Long]
+  def recordDeadLetters(batchId: Long, n: Long): Unit = { dead.update(batchId, n); () }
+  def deadLetters: Long = dead.values.sum
+  /** batch ids seen more than is strictly once (re-records) — exposed so
+    * tests can prove a replay actually happened. */
+  private val seen = scala.collection.concurrent.TrieMap.empty[Long, Int]
+  private[graft] def noteBatch(batchId: Long): Unit = { seen.update(batchId, seen.getOrElse(batchId, 0) + 1); () }
+  private[graft] def timesSeen(batchId: Long): Int = seen.getOrElse(batchId, 0)
+}
+
 /** Structured-Streaming operators. Each has a batch-equivalent query
   * (registered below, oracle-checked) and a true streaming form driven
   * in the specs via MemoryStream — same semantics, so the batch oracle
@@ -101,22 +119,30 @@ object StreamingOps extends QueryPack {
     * DatalakePathIndexerFunc/PathIndexerFunc.cs:18-60, the service-bus
     * trigger doing exactly this per message batch).
     */
-  /** @param deadLetters optional accumulator incremented per malformed
-    *   envelope (the reference's caught deserialization failures) —
-    *   without it corrupt events would vanish untraceably.
+  /** @param metrics optional per-batch metrics sink counting malformed
+    *   envelopes (the reference's caught deserialization failures) —
+    *   without it corrupt events would vanish untraceably. Recorded
+    *   KEYED BY batchId with last-write-wins semantics, because the
+    *   foreachBatch sink is at-least-once: after a crash between the
+    *   store write and the checkpoint commit, the batch REPLAYS, and a
+    *   plain accumulator would double-count it. Per-batch overwrite
+    *   makes the metrics as idempotent as the merge itself — the same
+    *   contract the reference's at-least-once service-bus consumer
+    *   needs (PathIndexerFunc.cs:18-38).
     */
   def indexBlobEventStream(envelopes: DataFrame, store: graft.sources.IndexStore,
                            checkpointDir: String,
-                           deadLetters: Option[org.apache.spark.util.LongAccumulator] = None)
+                           metrics: Option[IndexerStreamMetrics] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
     envelopes.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        metrics.foreach(_.noteBatch(batchId))
         if (!batch.isEmpty) {
           val parsed = graft.operators.PathIndexOps.parseBlobEnvelopes(batch).persist()
           try {
-            deadLetters.foreach(acc =>
-              acc.add(parsed.filter(col("action") === "dead-letter").count()))
+            metrics.foreach(m => m.recordDeadLetters(batchId,
+              parsed.filter(col("action") === "dead-letter").count()))
             // eventTime compares as a TIMESTAMP: lexicographic strings
             // misorder mixed fractional precision ("…01Z" vs "…01.5Z")
             // and non-Z offsets, which could resurrect a deleted blob
