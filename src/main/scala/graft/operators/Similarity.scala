@@ -246,6 +246,95 @@ object Similarity extends QueryPack {
       .orderBy(col("q"), col("rk"))
   }
 
+  /** Incremental ANN-index maintenance — the vector twin of
+    * dedup_incremental's batch-vs-corpus pattern (Dedup.scala
+    * incrementalCandidates): the coarse quantizer is built ONCE on the
+    * stored corpus; a new vector batch is assigned to the EXISTING
+    * centroids with the map-side aggregate and appended to the cell
+    * lists — never a full rebuild. At 100 TB this is the daily
+    * operation of an embedding store: one broadcast of k centroids +
+    * one map-side aggregate over just the batch, then an append; cells
+    * whose population crosses a bound are re-split locally
+    * ([[resplitOversized]], spec-gated) rather than re-clustering the
+    * corpus. Probing the merged index is byte-identical to ann_ivf's
+    * probe. vec_id % 10 == 0 plays the incoming batch (the same split
+    * convention as dedup_incremental).
+    */
+  def annIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val corpus = e.filter(col("vec_id") % 10 =!= 0).select(col("vec_id"), col("embedding"))
+    val batch = e.filter(col("vec_id") % 10 === 0).select(col("vec_id"), col("embedding"))
+    val (corpusCells, cents) =
+      graft.sources.IndexCache.getOrBuild(spark, "kmeans_inc_corpus", dir) {
+        val n = corpus.count()
+        kmeansOn(corpus, k = cellCount(n), iters = 1, probes = 1)
+      }
+    val newCells = assignToCells(batch, cents, probes = 1).localCheckpoint(true)
+    val merged = corpusCells.select(col("vec_id"), col("cell"))
+      .union(newCells.select(col("vec_id"), col("cell")))
+    val q = queryVec(spark, dir)
+    val probed = cents.crossJoin(broadcast(q))
+      .select(col("cell"), Vectors.cosineExpr(col("centroid"), col("qv")).as("ccos"))
+      .orderBy(col("ccos").desc, col("cell")).limit(2).select(col("cell"))
+    merged.join(broadcast(probed), Seq("cell"))
+      .filter(col("vec_id") =!= QueryVecId)
+      .join(e, Seq("vec_id"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        round(Vectors.cosine(col("embedding"), col("qv")), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** Split every cell whose population exceeds `bound` into two
+    * children: one assignment round against two deterministic seed
+    * vectors (the cell's min- and max-vec_id members — no RNG), child
+    * ids = cell (near lo-seed) and cell + offset (near hi-seed), child
+    * centroids recomputed as member means. Cells at or under the bound
+    * are untouched, so the cost scales with the oversized population
+    * only — the maintenance op that keeps probe cost bounded as an
+    * incrementally-grown index drifts. The assignment is the same
+    * map-side min(struct) as everywhere else. At scale the caller
+    * iterates to a fixpoint; one round halves the worst cell.
+    */
+  private[graft] def resplitOversized(cells: DataFrame, centroids: DataFrame,
+      e: DataFrame, bound: Long): (DataFrame, DataFrame) = {
+    val pops = cells.groupBy(col("cell")).agg(count(lit(1)).as("pop"))
+    val over = pops.filter(col("pop") > bound).select(col("cell"))
+    // scalar read of a k-row aggregate frame (like the watermark read)
+    val offset = centroids.agg(max(col("cell"))).first().getInt(0) + 1
+    val members = cells.join(broadcast(over), Seq("cell"))
+      .join(e, Seq("vec_id"))
+      .select(col("cell"), col("vec_id"), col("embedding"))
+    val bounds = members.groupBy(col("cell"))
+      .agg(min(col("vec_id")).as("lo"), max(col("vec_id")).as("hi"))
+    val seedVecs = bounds
+      .join(e.select(col("vec_id").as("lo"), col("embedding").as("lov")), Seq("lo"))
+      .join(e.select(col("vec_id").as("hi"), col("embedding").as("hiv")), Seq("hi"))
+      .select(col("cell"), explode(array(
+        struct(lit(0).as("side"), transform(col("lov"), x => x.cast("double")).as("centroid")),
+        struct(lit(1).as("side"), transform(col("hiv"), x => x.cast("double")).as("centroid")))).as("s"))
+      .select(col("cell"), col("s.side").as("side"), col("s.centroid").as("centroid"))
+    val reassigned = members.join(broadcast(seedVecs), Seq("cell"))
+      .withColumn("d2", centroidD2)
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(min(struct(col("d2"), col("side"))).as("mc"))
+      .select(col("vec_id"),
+        (col("cell") + col("mc.side") * offset).cast("int").as("cell"))
+    val keptCells = cells.join(broadcast(over), Seq("cell"), "left_anti")
+      .select(col("vec_id"), col("cell"))
+    val newCells = keptCells.union(reassigned)
+    val childCentroids = reassigned.join(e, Seq("vec_id"))
+      .select(col("cell"), posexplode(transform(col("embedding"), x => x.cast("double"))).as(Seq("dim", "x")))
+      .groupBy(col("cell"), col("dim")).agg(avg(col("x")).as("m"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+      .select(col("cell"), transform(col("dm"), s => s.getField("m")).as("centroid"))
+    val keptCentroids = centroids.join(broadcast(over), Seq("cell"), "left_anti")
+      .select(col("cell"), col("centroid"))
+    (newCells, keptCentroids.union(childCentroids))
+  }
+
   /** Deterministic Lloyd's k-means over the embedding column: initial
     * centroids are the first k vectors by vec_id (no RNG), then
     * `iters` assign/update rounds. Each round is one broadcast of k×d
@@ -285,8 +374,18 @@ object Similarity extends QueryPack {
       .select(col("vec_id"), col("cellL").cast("int").as("cell"),
         (col("pos") + 1).cast("int").as("rk"))
 
-  def kmeans(spark: SparkSession, dir: String, k: Int, iters: Int, probes: Int = 1): (DataFrame, DataFrame) = {
-    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")).persist()
+  def kmeans(spark: SparkSession, dir: String, k: Int, iters: Int, probes: Int = 1): (DataFrame, DataFrame) =
+    kmeansOn(Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+      k, iters, probes)
+
+  /** [[kmeans]] over an arbitrary (vec_id, embedding) frame — the form
+    * the incremental index path needs, where the quantizer is built on
+    * the stored corpus only. Seeds are the k smallest vec_ids (a
+    * TakeOrdered of a k-row frame; on the dense-id full corpus this is
+    * identical to the `vec_id < k` filter the oracle mirrors).
+    */
+  private[graft] def kmeansOn(e0: DataFrame, k: Int, iters: Int, probes: Int = 1): (DataFrame, DataFrame) = {
+    val e = e0.persist()
     // assign (Lloyd rounds): nearest centroid via min(struct(d2, cell,
     // embedding)) — map-side combinable like [[pqIndex]]'s encoder; cell
     // ids are unique per vector so the (d2, cell) prefix always decides
@@ -302,7 +401,7 @@ object Similarity extends QueryPack {
       // persisted input. Each UPDATED centroid table is a tiny k×d
       // frame, eagerly checkpointed so per-iteration lineage never
       // compounds and the final plans don't re-run every Lloyd round.
-      var centroids = e.filter(col("vec_id") < k)
+      var centroids = e.orderBy(col("vec_id")).limit(k)
         .select(col("vec_id").cast("int").as("cell"),
           transform(col("embedding"), x => x.cast("double")).as("centroid"))
       for (_ <- 1 to iters) {
@@ -330,6 +429,7 @@ object Similarity extends QueryPack {
     "ann_pq" -> (annPq _),
     "ann_ivf" -> (annIvf _),
     "ann_lsh_bucket" -> (annLshBucket _),
+    "ann_incremental" -> (annIncremental _),
     "knn_join" -> (knnJoin _))
 
   /** DuckDB twin of [[kmeans]] (k = [[cellCount]] derived in SQL, one
@@ -446,6 +546,37 @@ object Similarity extends QueryPack {
          |SELECT vec_id, bucket, count(*) OVER (PARTITION BY bucket) AS bucket_size
          |FROM buckets ORDER BY vec_id""".stripMargin
     },
+    "ann_incremental" ->
+      s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 0),
+         |kp AS (SELECT greatest(8, CAST(ceil(sqrt(count(*) / 16.0)) AS BIGINT)) AS k FROM corpus),
+         |seeds AS (SELECT vec_id AS cell, embedding FROM corpus ORDER BY vec_id LIMIT (SELECT k FROM kp)),
+         |a0 AS (
+         |  SELECT e.vec_id, s.cell, e.embedding,
+         |   row_number() OVER (PARTITION BY e.vec_id
+         |     ORDER BY list_distance(e.embedding::DOUBLE[], s.embedding::DOUBLE[]), s.cell) AS rk
+         |  FROM corpus e, seeds s),
+         |asg0 AS (SELECT vec_id, cell, embedding FROM a0 WHERE rk = 1),
+         |dims AS (
+         |  SELECT cell, i.i AS dim, avg(embedding[i.i + 1]::DOUBLE) AS m
+         |  FROM asg0, (SELECT unnest(generate_series(0, 63)) AS i) i
+         |  GROUP BY cell, i.i),
+         |cents AS (SELECT cell, list(m ORDER BY dim) AS centroid FROM dims GROUP BY cell),
+         |a1 AS (
+         |  SELECT e.vec_id, c.cell,
+         |   row_number() OVER (PARTITION BY e.vec_id
+         |     ORDER BY list_distance(e.embedding::DOUBLE[], c.centroid), c.cell) AS rk
+         |  FROM embeddings e, cents c),
+         |cells AS (SELECT vec_id, cell FROM a1 WHERE rk <= 1),
+         |q AS (SELECT embedding FROM embeddings WHERE vec_id = $QueryVecId),
+         |probed AS (
+         | SELECT c.cell FROM cents c, q
+         | ORDER BY list_cosine_similarity(c.centroid, q.embedding::DOUBLE[]) DESC, c.cell
+         | LIMIT 2)
+         |SELECT e.vec_id, e.label,
+         | round(list_cosine_similarity(e.embedding::DOUBLE[], qq.embedding::DOUBLE[]), 4) AS cos
+         |FROM embeddings e JOIN cells USING (vec_id) JOIN probed USING (cell), q qq
+         |WHERE e.vec_id <> $QueryVecId
+         |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin,
     "knn_join" ->
       s"""WITH ${kmeansCellsSql(probes = 2)},
          |cand AS (

@@ -72,6 +72,59 @@ class KMeansSpec extends SparkSpec {
     assert(got == brute)
   }
 
+  test("incremental index merge equals a fresh rebuild against the same codebook") {
+    // The incremental contract (the vector twin of dedup_incremental's):
+    // assigning the batch to the EXISTING centroids and appending must
+    // produce the byte-identical index a full re-assignment of every
+    // vector against that codebook would — merge loses nothing vs
+    // rebuild. (A rebuild that also re-derives the codebook from
+    // corpus+batch legitimately drifts; the stored-codebook index is
+    // the thing being maintained.)
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val corpus = e.filter(col("vec_id") % 10 =!= 0)
+    val batch = e.filter(col("vec_id") % 10 === 0)
+    val k = Similarity.cellCount(corpus.count())
+    val (corpusCells, cents) = Similarity.kmeansOn(corpus, k = k, iters = 1, probes = 1)
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
+    val merged = asMap(corpusCells.select(col("vec_id"), col("cell"))) ++
+      asMap(Similarity.assignToCells(batch, cents, probes = 1))
+    val rebuilt = asMap(Similarity.assignToCells(e, cents, probes = 1))
+    assert(merged == rebuilt)
+    assert(merged.size == e.count())
+  }
+
+  test("resplitOversized splits only oversized cells, preserves membership, bounds children") {
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    // k=4 forces large cells so a bound at half the max population
+    // guarantees at least one split
+    val (cells0, cents) = Similarity.kmeansOn(e, k = 4, iters = 1, probes = 1)
+    val cells = cells0.select(col("vec_id"), col("cell"))
+    val pops = cells.groupBy(col("cell")).count().collect()
+      .map(r => r.getAs[Int]("cell") -> r.getAs[Long]("count")).toMap
+    val bound = pops.values.max / 2
+    assert(pops.values.exists(_ > bound))
+    val (nc, ncents) = Similarity.resplitOversized(cells, cents, e, bound)
+    val npops = nc.groupBy(col("cell")).count().collect()
+      .map(r => r.getAs[Int]("cell") -> r.getAs[Long]("count")).toMap
+    val offset = cents.agg(max(col("cell"))).head().getInt(0) + 1
+    // membership preserved exactly (no vector lost or duplicated)
+    assert(nc.count() == cells.count())
+    assert(nc.select(col("vec_id")).distinct().count() == cells.count())
+    pops.foreach { case (c, p) =>
+      if (p <= bound) assert(npops.get(c).contains(p), s"untouched cell $c changed")
+      else {
+        val lo = npops.getOrElse(c, 0L)
+        val hi = npops.getOrElse(c + offset, 0L)
+        assert(lo + hi == p, s"split of cell $c lost members")
+        assert(lo > 0 && hi > 0 && lo < p && hi < p, s"split of cell $c degenerate: $lo/$hi")
+      }
+    }
+    // every surviving cell has a centroid, and vice versa
+    val centCells = ncents.select(col("cell")).collect().map(_.getInt(0)).toSet
+    assert(centCells == npops.keySet)
+  }
+
   test("IVF over kmeans cells recovers most brute-force neighbors (recall)") {
     val (assign, cents) = Similarity.kmeans(spark, sf, k = 8, iters = 2)
     val q = Tables.embeddings(spark, sf).filter(col("vec_id") === 0)
