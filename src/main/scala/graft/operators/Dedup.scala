@@ -419,7 +419,54 @@ object Dedup extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  private val SubGram = 8  // words per gram (the Lee et al. match unit, sandbox-scaled)
+  private val SubDfCap = 8 // stop-gram cap: grams in more docs than this are boilerplate
+
+  /** Cross-document SUBSTRING dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"-shaped): the whole-doc
+    * family (exact/minhash/simhash) misses documents that share long
+    * verbatim PASSAGES without being near-duplicates overall — quoted
+    * boilerplate, licence blocks, copied paragraphs. Every sliding
+    * [[SubGram]]-word window is hashed (only the 16-byte hash and its
+    * first position leave the document — per-doc state is bounded by
+    * doc length); colliding grams yield (doc_a, doc_b) passage pairs
+    * with shared-gram counts and first-overlap offsets.
+    *
+    * Skew/scale: grams occurring in more than [[SubDfCap]] distinct
+    * docs are dropped BEFORE the pair join (the head/tail split
+    * text_tfidf uses, in cap form) — ubiquitous boilerplate would
+    * otherwise quadratically explode exactly like an LSH hot bucket;
+    * under the cap each gram contributes ≤ C(cap,2)=28 pairs, so the
+    * pair stage is linear in surviving gram rows. Grams in a single
+    * doc are dropped too (they can't pair). The detector stays
+    * subquadratic end to end at corpus scale.
+    */
+  def dedupSubstring(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= SubGram)
+    val grams = docs
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(col("t")) - SubGram),
+        i => struct(i.cast("long").as("pos"),
+          md5(concat_ws(" ", slice(col("t"), i + 1, lit(SubGram))).cast("binary")).as("g")))).as("pg"))
+      .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.g").as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(min(col("pos")).as("pos"))
+    val keep = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= SubDfCap)
+      .select(col("g"))
+    val kept = grams.join(keep, Seq("g"))
+    kept.select(col("g"), col("doc_id").as("doc_a"), col("pos").as("pos_a"))
+      .join(kept.select(col("g"), col("doc_id").as("doc_b"), col("pos").as("pos_b")), Seq("g"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared_grams"),
+        min(col("pos_a")).as("a_start"), min(col("pos_b")).as("b_start"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_substring" -> (dedupSubstring _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_exact" -> (dedupExact _),
@@ -453,6 +500,25 @@ object Dedup extends QueryPack {
        | ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "dedup_substring" ->
+      s"""WITH docs AS (
+         | SELECT doc_id, string_split(text, ' ') AS t FROM documents
+         | WHERE len(string_split(text, ' ')) >= $SubGram),
+         |p AS (
+         | SELECT doc_id, t, unnest(generate_series(0, len(t) - $SubGram)) AS pos FROM docs),
+         |g0 AS (
+         | SELECT doc_id, pos,
+         |  md5(array_to_string(t[pos + 1 : pos + $SubGram], ' ')) AS g
+         | FROM p),
+         |gd AS (SELECT doc_id, g, min(pos) AS pos FROM g0 GROUP BY 1, 2),
+         |keep AS (
+         | SELECT g FROM (SELECT g, count(*) AS df FROM gd GROUP BY 1)
+         | WHERE df BETWEEN 2 AND $SubDfCap),
+         |k AS (SELECT gd.doc_id, gd.g, gd.pos FROM gd JOIN keep USING (g))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_grams,
+         | min(a.pos) AS a_start, min(b.pos) AS b_start
+         |FROM k a JOIN k b ON a.g = b.g AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_clusters" ->
       s"""WITH RECURSIVE pairs AS ($pairsSql),
          |edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),

