@@ -8,17 +8,22 @@ object Bench {
     // broadcast threshold, extensions) — bench what a cluster would run
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional subset (comma-separated names) for extra scale points —
+    // the driver's per-round run leaves this unset and benches all
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val selected = SparkEntry.queries.filter { case (k, _) => only.forall(_.contains(k)) }
     // Warm up JVM/codegen per query on the tiny sf so the timed numbers
     // measure steady-state plan execution, not first-run JIT + codegen.
     val warmDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.foreach { case (_, fn) =>
+    selected.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
     // best of 3 timed runs per query: steady-state plan execution,
     // robust to co-tenant load spikes (the round-3 recorded bench was
     // 3× inflated by machine load; best-of-3 plus the recorded load
     // averages below let a reader adjudicate without a re-run)
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
