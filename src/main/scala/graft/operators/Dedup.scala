@@ -465,7 +465,51 @@ object Dedup extends QueryPack {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  private val SubOccCap = 16 // total-occurrence cap for the span variant
+
+  /** Maximal shared-PASSAGE extraction — the actual output shape of
+    * Lee et al.'s suffix-array dedup, recovered Spark-style: where
+    * [[dedupSubstring]] counts colliding grams per doc pair, this
+    * merges CONSECUTIVE gram hits into maximal spans. Two hits
+    * (pa, pb) and (pa+1, pb+1) lie on the same alignment diagonal
+    * (pa − pb); islands of consecutive pa within a (pair, diagonal)
+    * group are one duplicated passage of `run + gram − 1` words. The
+    * island window partitions by (doc_a, doc_b, diagonal) — group size
+    * is bounded by document length, never corpus size, so the sort is
+    * skew-free by construction. Gram hits keep ALL positions here (a
+    * passage can repeat), so the stop-gram guard adds a total-
+    * occurrence cap on top of the doc-frequency cap.
+    */
+  def dedupSubstringSpans(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= SubGram)
+    val g0 = docs
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(col("t")) - SubGram),
+        i => struct(i.cast("long").as("pos"),
+          md5(concat_ws(" ", slice(col("t"), i + 1, lit(SubGram))).cast("binary")).as("g")))).as("pg"))
+      .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.g").as("g"))
+    val keep = g0.groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("occ"))
+      .filter(col("df") >= 2 && col("df") <= SubDfCap && col("occ") <= SubOccCap)
+      .select(col("g"))
+    val kept = g0.join(keep, Seq("g"))
+    val m = kept.select(col("g"), col("doc_id").as("doc_a"), col("pos").as("pa"))
+      .join(kept.select(col("g"), col("doc_id").as("doc_b"), col("pos").as("pb")), Seq("g"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("pa"), col("pb"))
+    m.withColumn("grp", col("pa") - row_number().over(
+        Window.partitionBy(col("doc_a"), col("doc_b"), col("pa") - col("pb")).orderBy(col("pa"))))
+      .groupBy(col("doc_a"), col("doc_b"), (col("pa") - col("pb")).as("diag"), col("grp"))
+      .agg(min(col("pa")).as("a_start"), min(col("pb")).as("b_start"),
+        (count(lit(1)) + SubGram - 1).as("span_words"))
+      .select(col("doc_a"), col("doc_b"), col("a_start"), col("b_start"), col("span_words"))
+      .orderBy(col("doc_a"), col("doc_b"), col("a_start"), col("b_start"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_substring_spans" -> (dedupSubstringSpans _),
     "dedup_substring" -> (dedupSubstring _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_incremental" -> (dedupIncremental _),
@@ -500,6 +544,32 @@ object Dedup extends QueryPack {
        | ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "dedup_substring_spans" ->
+      s"""WITH docs AS (
+         | SELECT doc_id, string_split(text, ' ') AS t FROM documents
+         | WHERE len(string_split(text, ' ')) >= $SubGram),
+         |p AS (
+         | SELECT doc_id, t, unnest(generate_series(0, len(t) - $SubGram)) AS pos FROM docs),
+         |g0 AS (
+         | SELECT doc_id, pos,
+         |  md5(array_to_string(t[pos + 1 : pos + $SubGram], ' ')) AS g
+         | FROM p),
+         |keep AS (
+         | SELECT g FROM (
+         |  SELECT g, count(DISTINCT doc_id) AS df, count(*) AS occ FROM g0 GROUP BY 1)
+         | WHERE df BETWEEN 2 AND $SubDfCap AND occ <= $SubOccCap),
+         |k AS (SELECT g0.doc_id, g0.pos, g0.g FROM g0 JOIN keep USING (g)),
+         |m AS (
+         | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+         | FROM k a JOIN k b ON a.g = b.g AND a.doc_id < b.doc_id),
+         |i AS (
+         | SELECT *, pa - row_number() OVER (
+         |   PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS grp
+         | FROM m)
+         |SELECT doc_a, doc_b, min(pa) AS a_start, min(pb) AS b_start,
+         | count(*) + ${SubGram - 1} AS span_words
+         |FROM i GROUP BY doc_a, doc_b, pa - pb, grp
+         |ORDER BY doc_a, doc_b, a_start, b_start""".stripMargin,
     "dedup_substring" ->
       s"""WITH docs AS (
          | SELECT doc_id, string_split(text, ' ') AS t FROM documents

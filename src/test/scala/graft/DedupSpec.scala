@@ -130,6 +130,26 @@ class DedupSpec extends SparkSpec {
     assert(pairs.nonEmpty, "synthetic corpus has near-dups; expected shared passages")
   }
 
+  test("substring spans are verbatim-identical passages in both documents") {
+    import org.apache.spark.sql.functions._
+    val spans = Dedup.dedupSubstringSpans(spark, sf).collect()
+    assert(spans.nonEmpty)
+    val texts = Tables.documents(spark, sf).select(col("doc_id"), col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").split(" ")).toMap
+    spans.foreach { r =>
+      val a = texts(r.getAs[Long]("doc_a"))
+      val b = texts(r.getAs[Long]("doc_b"))
+      val as = r.getAs[Long]("a_start").toInt
+      val bs = r.getAs[Long]("b_start").toInt
+      val n = r.getAs[Long]("span_words").toInt
+      assert(a.slice(as, as + n).sameElements(b.slice(bs, bs + n)),
+        s"span (${r.getAs[Long]("doc_a")},${r.getAs[Long]("doc_b")}) at ($as,$bs,+$n) is not verbatim-equal")
+    }
+    // merging really happened: shared passages longer than one gram
+    assert(spans.exists(_.getAs[Long]("span_words") > 8),
+      "expected at least one multi-gram merged span")
+  }
+
   test("PQ ADC top-k is sorted, query-free, and overlaps brute force") {
     val pq = Similarity.annPq(spark, sf).collect()
     assert(pq.length == 10)
