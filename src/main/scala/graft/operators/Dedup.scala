@@ -441,16 +441,26 @@ object Dedup extends QueryPack {
     * doc are dropped too (they can't pair). The detector stays
     * subquadratic end to end at corpus scale.
     */
+  /** (doc_id, pos, gram-hash) sliding-window table, built once per
+    * corpus snapshot via [[graft.sources.IndexCache]] — the substring
+    * family's shared index, exactly as the LSH band table serves the
+    * minhash family. Only the 16-byte hash and position leave the doc.
+    */
+  private def gramIndex(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.IndexCache.getOrBuild(spark, "substr_grams", dir) {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= SubGram)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(0), size(col("t")) - SubGram),
+          i => struct(i.cast("long").as("pos"),
+            md5(concat_ws(" ", slice(col("t"), i + 1, lit(SubGram))).cast("binary")).as("g")))).as("pg"))
+        .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.g").as("g"))
+        .localCheckpoint(true)
+    }
+
   def dedupSubstring(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
-      .filter(size(col("t")) >= SubGram)
-    val grams = docs
-      .select(col("doc_id"), explode(transform(
-        sequence(lit(0), size(col("t")) - SubGram),
-        i => struct(i.cast("long").as("pos"),
-          md5(concat_ws(" ", slice(col("t"), i + 1, lit(SubGram))).cast("binary")).as("g")))).as("pg"))
-      .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.g").as("g"))
+    val grams = gramIndex(spark, dir)
       .groupBy(col("doc_id"), col("g")).agg(min(col("pos")).as("pos"))
     val keep = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= SubDfCap)
@@ -481,15 +491,7 @@ object Dedup extends QueryPack {
     * occurrence cap on top of the doc-frequency cap.
     */
   def dedupSubstringSpans(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
-      .filter(size(col("t")) >= SubGram)
-    val g0 = docs
-      .select(col("doc_id"), explode(transform(
-        sequence(lit(0), size(col("t")) - SubGram),
-        i => struct(i.cast("long").as("pos"),
-          md5(concat_ws(" ", slice(col("t"), i + 1, lit(SubGram))).cast("binary")).as("g")))).as("pg"))
-      .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.g").as("g"))
+    val g0 = gramIndex(spark, dir)
     val keep = g0.groupBy(col("g"))
       .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("occ"))
       .filter(col("df") >= 2 && col("df") <= SubDfCap && col("occ") <= SubOccCap)
@@ -508,7 +510,42 @@ object Dedup extends QueryPack {
       .orderBy(col("doc_a"), col("doc_b"), col("a_start"), col("b_start"))
   }
 
+  /** APPLY the substring dedup — Lee et al.'s actual intervention:
+    * rewrite each document with its duplicated passages removed,
+    * keeping the FIRST occurrence corpus-wide (spans are removed from
+    * the higher doc_id of each pair). Span word-intervals are unioned
+    * per doc (overlapping spans from different partners collapse via
+    * the position-distinct), the doc's tokens are anti-joined against
+    * the removal set, and the survivors reassemble in position order.
+    * Every stage is doc-keyed (skew-free) and the removal set is
+    * bounded by the span table, not the corpus.
+    */
+  def dedupPassageScrub(spark: SparkSession, dir: String): DataFrame = {
+    val spans = dedupSubstringSpans(spark, dir)
+    val removed = spans
+      .select(col("doc_b").as("doc_id"),
+        explode(sequence(col("b_start"), col("b_start") + col("span_words") - 1)).as("pos"))
+      .distinct()
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("w"))
+    val kept = toks.join(removed, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(
+        concat_ws(" ", transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+          s => s.getField("w"))).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_words"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (col("n_words") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_passage_scrub" -> (dedupPassageScrub _),
     "dedup_substring_spans" -> (dedupSubstringSpans _),
     "dedup_substring" -> (dedupSubstring _),
     "dedup_clusters" -> (dedupClusters _),
@@ -543,33 +580,60 @@ object Dedup extends QueryPack {
        |FROM ($bandsSql) l JOIN ($bandsSql) r
        | ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id""".stripMargin
 
+  /** Shared DuckDB CTE chain ending in `spansq(doc_a, doc_b, a_start,
+    * b_start, span_words)` — the twin of [[dedupSubstringSpans]], used
+    * by both the spans oracle and the passage-scrub oracle.
+    */
+  private def spansCteSql: String =
+    s"""docs AS (
+       | SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       | WHERE len(string_split(text, ' ')) >= $SubGram),
+       |p AS (
+       | SELECT doc_id, t, unnest(generate_series(0, len(t) - $SubGram)) AS pos FROM docs),
+       |g0 AS (
+       | SELECT doc_id, pos,
+       |  md5(array_to_string(t[pos + 1 : pos + $SubGram], ' ')) AS g
+       | FROM p),
+       |keep AS (
+       | SELECT g FROM (
+       |  SELECT g, count(DISTINCT doc_id) AS df, count(*) AS occ FROM g0 GROUP BY 1)
+       | WHERE df BETWEEN 2 AND $SubDfCap AND occ <= $SubOccCap),
+       |k AS (SELECT g0.doc_id, g0.pos, g0.g FROM g0 JOIN keep USING (g)),
+       |m AS (
+       | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+       | FROM k a JOIN k b ON a.g = b.g AND a.doc_id < b.doc_id),
+       |i AS (
+       | SELECT *, pa - row_number() OVER (
+       |   PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS grp
+       | FROM m),
+       |spansq AS (
+       | SELECT doc_a, doc_b, min(pa) AS a_start, min(pb) AS b_start,
+       |  count(*) + ${SubGram - 1} AS span_words
+       | FROM i GROUP BY doc_a, doc_b, pa - pb, grp)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "dedup_substring_spans" ->
-      s"""WITH docs AS (
-         | SELECT doc_id, string_split(text, ' ') AS t FROM documents
-         | WHERE len(string_split(text, ' ')) >= $SubGram),
-         |p AS (
-         | SELECT doc_id, t, unnest(generate_series(0, len(t) - $SubGram)) AS pos FROM docs),
-         |g0 AS (
-         | SELECT doc_id, pos,
-         |  md5(array_to_string(t[pos + 1 : pos + $SubGram], ' ')) AS g
-         | FROM p),
-         |keep AS (
-         | SELECT g FROM (
-         |  SELECT g, count(DISTINCT doc_id) AS df, count(*) AS occ FROM g0 GROUP BY 1)
-         | WHERE df BETWEEN 2 AND $SubDfCap AND occ <= $SubOccCap),
-         |k AS (SELECT g0.doc_id, g0.pos, g0.g FROM g0 JOIN keep USING (g)),
-         |m AS (
-         | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
-         | FROM k a JOIN k b ON a.g = b.g AND a.doc_id < b.doc_id),
-         |i AS (
-         | SELECT *, pa - row_number() OVER (
-         |   PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS grp
-         | FROM m)
-         |SELECT doc_a, doc_b, min(pa) AS a_start, min(pb) AS b_start,
-         | count(*) + ${SubGram - 1} AS span_words
-         |FROM i GROUP BY doc_a, doc_b, pa - pb, grp
-         |ORDER BY doc_a, doc_b, a_start, b_start""".stripMargin,
+      s"""WITH $spansCteSql
+         |SELECT doc_a, doc_b, a_start, b_start, span_words
+         |FROM spansq ORDER BY doc_a, doc_b, a_start, b_start""".stripMargin,
+    "dedup_passage_scrub" ->
+      s"""WITH $spansCteSql,
+         |rem AS (SELECT DISTINCT doc_id, pos FROM (
+         | SELECT doc_b AS doc_id,
+         |  unnest(generate_series(b_start, b_start + span_words - 1)) AS pos
+         | FROM spansq)),
+         |dt AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |tp AS (SELECT doc_id, t, unnest(generate_series(0, len(t) - 1)) AS pos FROM dt),
+         |tw AS (SELECT doc_id, pos, t[pos + 1] AS w FROM tp),
+         |kept AS (
+         | SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS clean_text,
+         |  count(*) AS n_kept
+         | FROM tw ANTI JOIN rem USING (doc_id, pos) GROUP BY doc_id)
+         |SELECT d.doc_id,
+         | coalesce(k.clean_text, '') AS clean_text,
+         | CAST(len(string_split(d.text, ' ')) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed
+         |FROM documents d LEFT JOIN kept k USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "dedup_substring" ->
       s"""WITH docs AS (
          | SELECT doc_id, string_split(text, ' ') AS t FROM documents

@@ -246,6 +246,28 @@ object Similarity extends QueryPack {
       .orderBy(col("q"), col("rk"))
   }
 
+  /** k-NN label prediction over the bounded [[knnJoin]]: majority vote
+    * of each probe's top-5 neighbors' labels (ties break to the
+    * smaller label — deterministic), next to the probe's own label for
+    * an accuracy readout. This is the label-propagation / weak-
+    * annotation step a curation pipeline runs over an embedding store;
+    * the added cost over the k-NN join is one map-side-combinable
+    * count per (probe, label) and a min(struct) argmax — no windows,
+    * nothing scales beyond the k·probes vote rows.
+    */
+  def knnClassify(spark: SparkSession, dir: String): DataFrame = {
+    val labels = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
+    val votes = knnJoin(spark, dir)
+      .join(labels.select(col("vec_id").as("n"), col("label").as("nl")), Seq("n"))
+      .groupBy(col("q"), col("nl")).agg(count(lit(1)).as("votes"))
+    val pred = votes.groupBy(col("q"))
+      .agg(min(struct(negate(col("votes")).as("nv"), col("nl").as("nl"))).as("mv"))
+      .select(col("q"), col("mv.nl").as("pred_label"), negate(col("mv.nv")).as("votes"))
+    pred.join(labels.select(col("vec_id").as("q"), col("label").as("true_label")), Seq("q"))
+      .select(col("q"), col("true_label"), col("pred_label"), col("votes"))
+      .orderBy(col("q"))
+  }
+
   /** Incremental ANN-index maintenance — the vector twin of
     * dedup_incremental's batch-vs-corpus pattern (Dedup.scala
     * incrementalCandidates): the coarse quantizer is built ONCE on the
@@ -430,7 +452,8 @@ object Similarity extends QueryPack {
     "ann_ivf" -> (annIvf _),
     "ann_lsh_bucket" -> (annLshBucket _),
     "ann_incremental" -> (annIncremental _),
-    "knn_join" -> (knnJoin _))
+    "knn_join" -> (knnJoin _),
+    "knn_classify" -> (knnClassify _))
 
   /** DuckDB twin of [[kmeans]] (k = [[cellCount]] derived in SQL, one
     * Lloyd round, first-k seeds): a WITH-clause fragment defining
@@ -591,5 +614,30 @@ object Similarity extends QueryPack {
          |  JOIN embeddings en ON en.vec_id = c.n),
          |ranked AS (
          | SELECT *, row_number() OVER (PARTITION BY q ORDER BY cos DESC, n) AS rk FROM scored)
-         |SELECT q, n, cos, rk FROM ranked WHERE rk <= 5 ORDER BY q, rk""".stripMargin)
+         |SELECT q, n, cos, rk FROM ranked WHERE rk <= 5 ORDER BY q, rk""".stripMargin,
+    "knn_classify" ->
+      s"""WITH ${kmeansCellsSql(probes = 2)},
+         |cand AS (
+         | SELECT DISTINCT cq.vec_id AS q, cn.vec_id AS n
+         | FROM cells cq JOIN cells cn ON cn.cell = cq.cell
+         | WHERE cq.vec_id < 20 AND cq.vec_id <> cn.vec_id),
+         |scored AS (
+         | SELECT c.q, c.n,
+         |  round(list_cosine_similarity(eq.embedding::DOUBLE[], en.embedding::DOUBLE[]), 4) AS cos
+         | FROM cand c
+         |  JOIN embeddings eq ON eq.vec_id = c.q
+         |  JOIN embeddings en ON en.vec_id = c.n),
+         |ranked AS (
+         | SELECT *, row_number() OVER (PARTITION BY q ORDER BY cos DESC, n) AS rk FROM scored),
+         |top5 AS (SELECT q, n FROM ranked WHERE rk <= 5),
+         |votes AS (
+         | SELECT t.q, e.label AS nl, count(*) AS votes
+         | FROM top5 t JOIN embeddings e ON e.vec_id = t.n GROUP BY 1, 2),
+         |pred AS (
+         | SELECT q, nl AS pred_label, votes,
+         |  row_number() OVER (PARTITION BY q ORDER BY votes DESC, nl) AS vrk
+         | FROM votes)
+         |SELECT p.q, e.label AS true_label, p.pred_label, p.votes
+         |FROM pred p JOIN embeddings e ON e.vec_id = p.q
+         |WHERE p.vrk = 1 ORDER BY p.q""".stripMargin)
 }

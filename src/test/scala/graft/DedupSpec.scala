@@ -150,6 +150,33 @@ class DedupSpec extends SparkSpec {
       "expected at least one multi-gram merged span")
   }
 
+  test("passage scrub removes only duplicated words; first occurrences stay intact") {
+    import org.apache.spark.sql.functions._
+    val out = Dedup.dedupPassageScrub(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("clean_text"), r.getAs[Long]("n_removed"))).toMap
+    val texts = Tables.documents(spark, sf).select(col("doc_id"), col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(out.keySet == texts.keySet, "every document must survive the scrub")
+    assert(out.values.map(_._2).sum > 0, "synthetic near-dups exist; something must be removed")
+    // spans are removed from the HIGHER doc_id only — docs never on the
+    // b side are byte-identical; every clean text is an in-order
+    // subsequence of its original (scrubbing deletes, never reorders)
+    val bDocs = Dedup.dedupSubstringSpans(spark, sf).collect()
+      .map(_.getAs[Long]("doc_b")).toSet
+    texts.foreach { case (id, orig) =>
+      val (clean, nRemoved) = out(id)
+      if (!bDocs.contains(id)) {
+        assert(clean == orig && nRemoved == 0L, s"untouched doc $id changed")
+      } else {
+        val ow = orig.split(" "); val cw = if (clean.isEmpty) Array.empty[String] else clean.split(" ")
+        assert(cw.length + nRemoved == ow.length, s"doc $id word accounting off")
+        var i = 0
+        cw.foreach { w => while (i < ow.length && ow(i) != w) i += 1; assert(i < ow.length, s"doc $id not a subsequence"); i += 1 }
+      }
+    }
+  }
+
   test("PQ ADC top-k is sorted, query-free, and overlaps brute force") {
     val pq = Similarity.annPq(spark, sf).collect()
     assert(pq.length == 10)
