@@ -627,6 +627,38 @@ object Analytics extends QueryPack {
       .orderBy(col("support").desc, col("part_a"), col("part_b"))
   }
 
+  /** Association rules over the basket pairs: confidence and lift for
+    * both directions of every co-occurring part pair, from three
+    * map-side-combinable counts — pair support, per-item basket
+    * counts, and the total basket count (a broadcast 1-row frame, the
+    * customers_rfm scalar pattern). conf(a→b) = supp(ab)/supp(a);
+    * lift(a→b) = conf(a→b) / (supp(b)/N) — symmetric, >1 means the
+    * pair co-occurs above independence. Nothing here scales beyond
+    * the pair table the support floor already bounds.
+    */
+  def basketRules(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")).distinct()
+    val items = l.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_item"))
+    val tot = l.select(countDistinct(col("l_orderkey")).as("n_baskets"))
+    val a = l.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+    val b = l.select(col("l_orderkey"), col("l_partkey").as("part_b"))
+    val pairs = a.join(b, Seq("l_orderkey")).filter(col("part_a") < col("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("pair_supp"))
+      .filter(col("pair_supp") >= 3)
+    val both = pairs.select(col("part_a").as("ante"), col("part_b").as("cons"), col("pair_supp"))
+      .union(pairs.select(col("part_b").as("ante"), col("part_a").as("cons"), col("pair_supp")))
+    both
+      .join(items.select(col("l_partkey").as("ante"), col("n_item").as("n_ante")), Seq("ante"))
+      .join(items.select(col("l_partkey").as("cons"), col("n_item").as("n_cons")), Seq("cons"))
+      .crossJoin(broadcast(tot))
+      .select(col("ante"), col("cons"), col("pair_supp"),
+        round(col("pair_supp").cast("double") / col("n_ante") + 1e-9, 4).as("confidence"),
+        round(col("pair_supp").cast("double") * col("n_baskets") /
+          (col("n_ante") * col("n_cons")) + 1e-9, 4).as("lift"))
+      .orderBy(col("ante"), col("cons"))
+  }
+
   /** First-order event-type transition counts per user stream (the
     * Markov-chain fingerprint of user behavior): lag the ordered
     * per-user stream, count (prev → next) pairs. One shuffle on
@@ -644,6 +676,7 @@ object Analytics extends QueryPack {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "orders_basket_pairs" -> (basketPairs _),
+    "orders_basket_rules" -> (basketRules _),
     "events_transitions" -> (eventTransitions _),
     "layout_zorder" -> (layoutZorder _),
     "events_changepoint" -> (eventsChangepoint _),
@@ -687,6 +720,25 @@ object Analytics extends QueryPack {
         |FROM l a JOIN l b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         |GROUP BY 1, 2 HAVING count(*) >= 3
         |ORDER BY support DESC, part_a, part_b""".stripMargin,
+    "orders_basket_rules" ->
+      """WITH l AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |items AS (SELECT l_partkey, count(*) AS n_item FROM l GROUP BY 1),
+        |tot AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM l),
+        |pairs AS (
+        | SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS pair_supp
+        | FROM l a JOIN l b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        | GROUP BY 1, 2 HAVING count(*) >= 3),
+        |bidir AS (
+        | SELECT part_a AS ante, part_b AS cons, pair_supp FROM pairs
+        | UNION ALL
+        | SELECT part_b AS ante, part_a AS cons, pair_supp FROM pairs)
+        |SELECT bidir.ante, bidir.cons, bidir.pair_supp,
+        | round(pair_supp::DOUBLE / ia.n_item + 1e-9, 4) AS confidence,
+        | round(pair_supp::DOUBLE * tot.n_baskets / (ia.n_item * ic.n_item) + 1e-9, 4) AS lift
+        |FROM bidir
+        | JOIN items ia ON ia.l_partkey = bidir.ante
+        | JOIN items ic ON ic.l_partkey = bidir.cons, tot
+        |ORDER BY ante, cons""".stripMargin,
     "events_transitions" ->
       """WITH seq AS (
         | SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS prev_type,

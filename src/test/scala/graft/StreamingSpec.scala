@@ -40,6 +40,57 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("watermarked stream-stream interval join equals the batch twin") {
+    // the streaming form of attribution (views joined to purchases in a
+    // 1-hour lookback, both sides unbounded streams): watermarks bound
+    // the join state on BOTH sides — the shape a 100 TB/day attribution
+    // pipeline runs; batch executes the identical join expression, so
+    // the oracle-checked batch twin gates the streaming semantics.
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+
+    val rows = Tables.events(spark, sf)
+      .filter(col("event_type").isin("purchase", "view"))
+      .selectExpr("event_id", "ts_ns", "user_id", "event_type", "value")
+      .as[EventRow].collect().sortBy(e => (e.ts_ns, e.event_id))
+
+    def purchases(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        timestamp_micros(expr("ts_ns div 1000")).as("p_ts"))
+    def views(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        timestamp_micros(expr("ts_ns div 1000")).as("v_ts"))
+    val cond = expr("p_user = v_user AND v_ts >= p_ts - interval 1 hour AND v_ts <= p_ts")
+
+    val pIn = MemoryStream[EventRow]
+    val vIn = MemoryStream[EventRow]
+    val joined = purchases(pIn.toDF()).withWatermark("p_ts", "2 hours")
+      .join(views(vIn.toDF()).withWatermark("v_ts", "2 hours"), cond)
+      .select(col("purchase_id"), col("view_id"))
+    val query = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // two micro-batches per side, split mid-stream: pairs spanning the
+      // batch boundary must come from buffered join state
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      pIn.addData(b1.toSeq); vIn.addData(b1.toSeq); query.processAllAvailable()
+      pIn.addData(b2.toSeq); vIn.addData(b2.toSeq); query.processAllAvailable()
+      val streamed = spark.table("ssj").collect()
+        .map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("view_id"))).toSet
+
+      val all = spark.createDataset(rows.toSeq).toDF()
+      val batch = purchases(all).join(views(all), cond)
+        .select(col("purchase_id"), col("view_id")).collect()
+        .map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("view_id"))).toSet
+
+      assert(streamed == batch, s"stream ${streamed.size} pairs, batch ${batch.size}")
+      assert(batch.nonEmpty)
+    } finally query.stop()
+  }
+
   test("stream-static join enriches events against a static index") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
