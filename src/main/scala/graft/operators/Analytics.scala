@@ -350,6 +350,61 @@ object Analytics extends QueryPack {
       .orderBy(col("s_suppkey"))
   }
 
+  /** Q2 analog (min-cost supplier; reference has no partsupp table, so
+    * the supply relation is derived from lineitem): per (part, supplier)
+    * the cost is min(l_extendedprice / l_quantity); for STANDARD size-15
+    * parts, report the EUROPE suppliers offering each part at its
+    * minimum European cost. The per-part argmin is a map-side
+    * combinable groupBy-min (never a window); the supplier/nation/region
+    * enrichment frame is nation×region-filtered — suppliers stay
+    * unhinted so AQE broadcasts them only while they fit.
+    */
+  def q2(spark: SparkSession, dir: String): DataFrame = {
+    val supply = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("cost"))
+    val eu = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val best = supply.join(eu, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey")).agg(min(col("cost")).as("min_cost"))
+    val p = Tables.part(spark, dir)
+      .filter(col("p_size") === 15 && col("p_type") === "STANDARD")
+    best.join(supply,
+        best("l_partkey") === supply("l_partkey") && col("cost") === col("min_cost"))
+      .join(eu, col("l_suppkey") === col("s_suppkey"))
+      .join(p, best("l_partkey") === col("p_partkey"))
+      .select(round(col("s_acctbal"), 2).as("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), round(col("min_cost") + 1e-9, 2).as("supply_cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(100)
+  }
+
+  /** Q11 analog (important stock): per-part value held by ASIA-region
+    * suppliers, keeping parts above 1.5× the mean per-part value. The
+    * threshold is mean-relative (TPC-H's fixed fraction shrinks as
+    * 1/part-count and returns nothing at other scale factors); the mean
+    * is a 1-row broadcast, never a window over the full value frame.
+    */
+  def q11(spark: SparkSession, dir: String): DataFrame = {
+    val asia = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"))
+    val value = Tables.lineitem(spark, dir)
+      .join(asia, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("l_extendedprice")).as("value"))
+    val mean = value.agg(avg(col("value")).as("mean_value"))
+    value.crossJoin(broadcast(mean))
+      .filter(col("value") > col("mean_value") * 1.5)
+      .select(col("l_partkey").as("p_partkey"), round(col("value") + 1e-9, 2).as("value"))
+      .orderBy(col("value").desc, col("p_partkey"))
+  }
+
   /** Q17 analog: revenue of small-quantity lines (below 50% of the
     * part's average quantity) — a correlated-avg pattern as a join.
     */
@@ -690,6 +745,8 @@ object Analytics extends QueryPack {
     "q21_antijoin" -> (q21 _),
     "q22_scalarsub" -> (q22 _),
     "events_pivot" -> (eventsPivot _),
+    "q2_mincost" -> (q2 _),
+    "q11_stockshare" -> (q11 _),
     "q7_nations" -> (q7 _),
     "q13_distribution" -> (q13 _),
     "q15_maxrev" -> (q15 _),
@@ -714,6 +771,42 @@ object Analytics extends QueryPack {
     "events_windowed_agg" -> (windowedAgg _))
 
   val oracles: Map[String, String] = Map(
+    "q2_mincost" ->
+      """WITH supply AS (
+        |  SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS cost
+        |  FROM lineitem GROUP BY 1, 2),
+        |eu AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |best AS (
+        |  SELECT s.l_partkey, min(s.cost) AS min_cost
+        |  FROM supply s JOIN eu ON s.l_suppkey = eu.s_suppkey
+        |  GROUP BY 1)
+        |SELECT round(eu.s_acctbal, 2) AS s_acctbal, eu.s_name, eu.n_name,
+        |       p.p_partkey, round(b.min_cost + 1e-9, 2) AS supply_cost
+        |FROM best b
+        |JOIN supply s ON s.l_partkey = b.l_partkey AND s.cost = b.min_cost
+        |JOIN eu ON s.l_suppkey = eu.s_suppkey
+        |JOIN part p ON p.p_partkey = b.l_partkey
+        |WHERE p.p_size = 15 AND p.p_type = 'STANDARD'
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+    "q11_stockshare" ->
+      """WITH asia AS (
+        |  SELECT s_suppkey FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA'),
+        |val AS (
+        |  SELECT l_partkey, sum(l_extendedprice) AS value
+        |  FROM lineitem JOIN asia ON l_suppkey = s_suppkey
+        |  GROUP BY 1)
+        |SELECT l_partkey AS p_partkey, round(value + 1e-9, 2) AS value
+        |FROM val, (SELECT avg(value) AS mean_value FROM val) t
+        |WHERE value > 1.5 * t.mean_value
+        |ORDER BY value DESC, p_partkey""".stripMargin,
     "orders_basket_pairs" ->
       """WITH l AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
         |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS support

@@ -66,6 +66,27 @@ class AnalyticsSpec extends SparkSpec {
     finals.foreach(c => assert(math.abs(c) < 0.01, s"final cusum $c"))
   }
 
+  test("q2 min-cost supplier: every row carries its part's European minimum") {
+    val rows = Analytics.q2(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // one minimum per part: each part's supply_cost values are all equal
+    rows.groupBy(_.getAs[Long]("p_partkey")).values.foreach { rs =>
+      assert(rs.map(_.getAs[Double]("supply_cost")).distinct.length == 1)
+    }
+    val bals = rows.map(_.getAs[Double]("s_acctbal"))
+    assert(bals.sameElements(bals.sortBy(-_)))
+  }
+
+  test("q11 keeps only parts above 1.5x the mean value, via one broadcast scalar") {
+    val df = Analytics.q11(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"mean threshold must not be a window:\n$plan")
+    val vals = rows.map(_.getAs[Double]("value"))
+    assert(vals.sameElements(vals.sortBy(-_)))
+  }
+
   test("window_topn keeps at most 3 orders per customer") {
     val rows = Analytics.windowTopN(spark, sf).collect()
     val perCust = rows.groupBy(_.getAs[Long]("o_custkey")).values.map(_.length)
