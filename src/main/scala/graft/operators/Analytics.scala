@@ -714,6 +714,58 @@ object Analytics extends QueryPack {
       .orderBy(col("ante"), col("cons"))
   }
 
+  /** SCD2 (slowly-changing-dimension type-2) history build from the
+    * events change-log: each event closes the user's previous version
+    * and opens a new one — valid_from = event time, valid_to = next
+    * event's time (NULL while current). The whole build is ONE shuffle
+    * on the dimension key plus per-key sorted windows (lead +
+    * row_number); at 100 TB this is the standard daily
+    * dimension-history merge and the key (user) is high-cardinality,
+    * so no skew and no global sort.
+    */
+  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("version", row_number().over(w))
+      .withColumn("next_ts", lead(col("ts"), 1).over(w))
+      .select(
+        col("user_id"), col("version"),
+        col("event_type"), round(col("value") + 1e-9, 2).as("value"),
+        date_format(col("ts"), TsFmt).as("valid_from"),
+        date_format(col("next_ts"), TsFmt).as("valid_to"),
+        col("next_ts").isNull.as("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  /** Zone-map build + data-skipping audit — the parquet row-group /
+    * file-statistics story made explicit: bucket the fact table into
+    * "files" (1000 order keys each), compute per-bucket min/max of the
+    * predicate column and the rows a given scan predicate would
+    * actually match, and flag which buckets the zone map keeps. ONE
+    * map-side-combinable pass computes stats and match counts
+    * together (no second scan); skipped buckets provably contain zero
+    * matches (`n_match = 0` whenever kept = false — asserted in spec).
+    * At 100 TB this is the layout audit run after a z-order/compaction
+    * job to measure how much of the table a time-ranged query reads.
+    */
+  def zonemapPrune(spark: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1995-01-01").cast("timestamp")
+    val hi = lit("1995-03-31").cast("timestamp")
+    Tables.lineitem(spark, dir)
+      .groupBy((col("l_orderkey") / 1000).cast("long").as("bucket"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        date_format(min(col("l_shipdate")), TsFmt).as("min_ship"),
+        date_format(max(col("l_shipdate")), TsFmt).as("max_ship"),
+        sum(when(col("l_shipdate").between(lo, hi), 1L).otherwise(0L)).as("n_match"))
+      .withColumn("kept",
+        col("max_ship") >= lit("1995-01-01 00:00:00") &&
+        col("min_ship") <= lit("1995-03-31 00:00:00"))
+      .select(col("bucket"), col("n_rows"), col("min_ship"), col("max_ship"),
+        col("kept"), col("n_match"))
+      .orderBy(col("bucket"))
+  }
+
   /** First-order event-type transition counts per user stream (the
     * Markov-chain fingerprint of user behavior): lag the ordered
     * per-user stream, count (prev → next) pairs. One shuffle on
@@ -747,6 +799,8 @@ object Analytics extends QueryPack {
     "events_pivot" -> (eventsPivot _),
     "q2_mincost" -> (q2 _),
     "q11_stockshare" -> (q11 _),
+    "scd2_history" -> (scd2History _),
+    "zonemap_prune" -> (zonemapPrune _),
     "q7_nations" -> (q7 _),
     "q13_distribution" -> (q13 _),
     "q15_maxrev" -> (q15 _),
@@ -807,6 +861,29 @@ object Analytics extends QueryPack {
         |FROM val, (SELECT avg(value) AS mean_value FROM val) t
         |WHERE value > 1.5 * t.mean_value
         |ORDER BY value DESC, p_partkey""".stripMargin,
+    "scd2_history" ->
+      """SELECT user_id,
+        |  CAST(row_number() OVER w AS INT) AS version,
+        |  event_type, round(value + 1e-9, 2) AS value,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        |  strftime(lead(ts, 1) OVER w, '%Y-%m-%d %H:%M:%S') AS valid_to,
+        |  (lead(ts, 1) OVER w IS NULL) AS is_current
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, version""".stripMargin,
+    "zonemap_prune" ->
+      """WITH z AS (
+        |  SELECT CAST(floor(l_orderkey / 1000) AS BIGINT) AS bucket,
+        |    count(*) AS n_rows,
+        |    strftime(min(l_shipdate), '%Y-%m-%d %H:%M:%S') AS min_ship,
+        |    strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S') AS max_ship,
+        |    CAST(sum(CASE WHEN l_shipdate BETWEEN TIMESTAMP '1995-01-01'
+        |      AND TIMESTAMP '1995-03-31' THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+        |  FROM lineitem GROUP BY 1)
+        |SELECT bucket, n_rows, min_ship, max_ship,
+        |  (max_ship >= '1995-01-01 00:00:00' AND min_ship <= '1995-03-31 00:00:00') AS kept,
+        |  n_match
+        |FROM z ORDER BY bucket""".stripMargin,
     "orders_basket_pairs" ->
       """WITH l AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
         |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS support

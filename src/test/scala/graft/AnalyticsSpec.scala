@@ -87,6 +87,33 @@ class AnalyticsSpec extends SparkSpec {
     assert(vals.sameElements(vals.sortBy(-_)))
   }
 
+  test("scd2 history: intervals chain per user and exactly one current version") {
+    val rows = Analytics.scd2History(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("user_id")).values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Int]("version"))
+      // one open (current) interval per user, and it is the last version
+      assert(sorted.count(_.getAs[Boolean]("is_current")) == 1)
+      assert(sorted.last.getAs[Boolean]("is_current"))
+      // each version's valid_to equals the next version's valid_from
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[String]("valid_to") == b.getAs[String]("valid_from"))
+        case _ =>
+      }
+    }
+  }
+
+  test("zone-map pruning: skipped buckets contain zero matching rows") {
+    val rows = Analytics.zonemapPrune(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.filterNot(_.getAs[Boolean]("kept"))
+      .foreach(r => assert(r.getAs[Long]("n_match") == 0))
+    // the audit must cover every row of the table exactly once
+    assert(rows.map(_.getAs[Long]("n_rows")).sum ==
+      Tables.lineitem(spark, sf).count())
+  }
+
   test("window_topn keeps at most 3 orders per customer") {
     val rows = Analytics.windowTopN(spark, sf).collect()
     val perCust = rows.groupBy(_.getAs[Long]("o_custkey")).values.map(_.length)
