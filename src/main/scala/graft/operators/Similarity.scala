@@ -194,6 +194,55 @@ object Similarity extends QueryPack {
       .orderBy(col("adc_d2"), col("vec_id"))
   }
 
+  /** IVF-PQ: the two index structures composed the way a production
+    * ANN store runs them (FAISS's IVFPQ layout) — the coarse quantizer
+    * bounds the candidate set (query probes its 2 nearest cells), then
+    * candidates are ranked by PQ ADC distance read from the 4-byte
+    * codes, never from the raw vectors. At 100 TB the scan cost is
+    * |probed cells| × 4 bytes/vector; both index structures are the
+    * cached per-snapshot builds ([[cellIndex]], [[pqIndex]]), so the
+    * query itself is two broadcasts (probed cell ids, M×K distance
+    * table) and one map-side-combinable groupBy-sum.
+    */
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val (cells, centroids) = cellIndex(spark, dir, probes = 1)
+    val q = queryVec(spark, dir)
+    val probed = centroids.crossJoin(broadcast(q))
+      .select(col("cell"), Vectors.cosineExpr(col("centroid"), col("qv")).as("ccos"))
+      .orderBy(col("ccos").desc, col("cell")).limit(2).select(col("cell"))
+    val cand = cells.join(broadcast(probed), Seq("cell"))
+      .filter(col("vec_id") =!= QueryVecId).select(col("vec_id"))
+    val (cents, codes) = pqIndex(spark, dir)
+    val qsub = pqSubvectors(
+      Tables.embeddings(spark, dir).filter(col("vec_id") === QueryVecId))
+      .select(col("m"), col("sv"))
+    val dtab = cents.join(broadcast(qsub), Seq("m"))
+      .select(col("m"), col("cell"), pqD2(col("sv"), col("centroid")).as("qd2"))
+    val top = codes.join(cand, Seq("vec_id"))
+      .join(broadcast(dtab), Seq("m", "cell"))
+      .groupBy(col("vec_id"))
+      .agg(round(sum(col("qd2")) + 1e-9, 4).as("adc_d2"))
+      .orderBy(col("adc_d2"), col("vec_id")).limit(10)
+    top.join(Tables.embeddings(spark, dir).select(col("vec_id"), col("label")), Seq("vec_id"))
+      .select(col("vec_id"), col("label"), col("adc_d2"))
+      .orderBy(col("adc_d2"), col("vec_id"))
+  }
+
+  /** Measured recall@10 of the IVF probe against the brute-force
+    * baseline — the quality readout every approximate index ships
+    * with (the number a 100 TB deployment watches when tuning nprobe /
+    * cell count). Both sides are 10-row frames, so the intersection
+    * join costs nothing beyond the two searches themselves.
+    */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val bf = annBruteForce(spark, dir).select(col("vec_id"))
+    val ivf = annIvf(spark, dir).select(col("vec_id"))
+    bf.join(ivf, Seq("vec_id"))
+      .agg(count(lit(1)).as("n_common"))
+      .select(lit(10).as("k"), col("n_common"),
+        round(col("n_common") / 10.0 + 1e-9, 2).as("recall_at_k"))
+  }
+
   /** Hyperplane LSH signatures: bucket = Σ (dot(v, plane_p) ≥ 0) << p
     * with md5-derived plane weights (engine-portable, no RNG).
     */
@@ -452,6 +501,8 @@ object Similarity extends QueryPack {
     "ann_ivf" -> (annIvf _),
     "ann_lsh_bucket" -> (annLshBucket _),
     "ann_incremental" -> (annIncremental _),
+    "ann_ivfpq" -> (annIvfPq _),
+    "ann_recall" -> (annRecall _),
     "knn_join" -> (knnJoin _),
     "knn_classify" -> (knnClassify _))
 
@@ -520,6 +571,71 @@ object Similarity extends QueryPack {
          |SELECT a.vec_id, e.label, a.adc_d2
          |FROM adc a JOIN embeddings e USING (vec_id)
          |ORDER BY a.adc_d2, a.vec_id LIMIT 10""".stripMargin,
+    "ann_ivfpq" ->
+      s"""WITH ${kmeansCellsSql(probes = 1)},
+         |q AS (SELECT embedding FROM embeddings WHERE vec_id = $QueryVecId),
+         |probed AS (
+         | SELECT c.cell FROM cents c, q
+         | ORDER BY list_cosine_similarity(c.centroid, q.embedding::DOUBLE[]) DESC, c.cell
+         | LIMIT 2),
+         |cand AS (
+         | SELECT vec_id FROM cells JOIN probed USING (cell)
+         | WHERE vec_id <> $QueryVecId),
+         |psub AS (
+         | SELECT vec_id, m.m AS m,
+         |   list_transform(embedding[m.m*$PqSubDim+1 : m.m*$PqSubDim+$PqSubDim], x -> x::DOUBLE) AS sv
+         | FROM embeddings, (SELECT unnest(generate_series(0, ${PqM - 1})) AS m) m),
+         |pseeds AS (SELECT m, CAST(vec_id AS INT) AS cell, sv AS centroid FROM psub WHERE vec_id < $PqK),
+         |pa0 AS (
+         | SELECT s.vec_id, s.m, s.sv, c.cell,
+         |  row_number() OVER (PARTITION BY s.vec_id, s.m
+         |    ORDER BY list_distance(s.sv, c.centroid), c.cell) AS rk
+         | FROM psub s JOIN pseeds c USING (m)),
+         |pasg0 AS (SELECT m, cell, sv FROM pa0 WHERE rk = 1),
+         |pdims AS (
+         | SELECT m, cell, i.i AS dim, avg(sv[i.i + 1]) AS v
+         | FROM pasg0, (SELECT unnest(generate_series(0, ${PqSubDim - 1})) AS i) i
+         | GROUP BY 1, 2, 3),
+         |pcents AS (SELECT m, cell, list(v ORDER BY dim) AS centroid FROM pdims GROUP BY 1, 2),
+         |pa1 AS (
+         | SELECT s.vec_id, s.m, c.cell,
+         |  row_number() OVER (PARTITION BY s.vec_id, s.m
+         |    ORDER BY list_distance(s.sv, c.centroid), c.cell) AS rk
+         | FROM psub s JOIN pcents c USING (m)),
+         |pcodes AS (SELECT vec_id, m, cell FROM pa1 WHERE rk = 1),
+         |pquery AS (SELECT m, sv FROM psub WHERE vec_id = $QueryVecId),
+         |dtab AS (
+         | SELECT c.m, c.cell, list_distance(q.sv, c.centroid) * list_distance(q.sv, c.centroid) AS qd2
+         | FROM pcents c JOIN pquery q USING (m)),
+         |adc AS (
+         | SELECT vec_id, round(sum(qd2) + 1e-9, 4) AS adc_d2
+         | FROM pcodes JOIN cand USING (vec_id) JOIN dtab USING (m, cell)
+         | GROUP BY vec_id)
+         |SELECT a.vec_id, e.label, a.adc_d2
+         |FROM adc a JOIN embeddings e USING (vec_id)
+         |ORDER BY a.adc_d2, a.vec_id LIMIT 10""".stripMargin,
+    "ann_recall" ->
+      s"""WITH ${kmeansCellsSql(probes = 1)},
+         |q AS (SELECT embedding FROM embeddings WHERE vec_id = $QueryVecId),
+         |probed AS (
+         | SELECT c.cell FROM cents c, q
+         | ORDER BY list_cosine_similarity(c.centroid, q.embedding::DOUBLE[]) DESC, c.cell
+         | LIMIT 2),
+         |ivf AS (
+         | SELECT e.vec_id
+         | FROM embeddings e JOIN cells USING (vec_id) JOIN probed USING (cell), q qq
+         | WHERE e.vec_id <> $QueryVecId
+         | ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], qq.embedding::DOUBLE[]), 4) DESC, e.vec_id
+         | LIMIT 10),
+         |brute AS (
+         | SELECT e.vec_id
+         | FROM embeddings e, q qq
+         | WHERE e.vec_id <> $QueryVecId
+         | ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], qq.embedding::DOUBLE[]), 4) DESC, e.vec_id
+         | LIMIT 10)
+         |SELECT 10 AS k, count(*) AS n_common,
+         |  round(count(*) / 10.0 + 1e-9, 2) AS recall_at_k
+         |FROM ivf JOIN brute USING (vec_id)""".stripMargin,
     "ann_bruteforce_topk" ->
       s"""SELECT e.vec_id, e.label,
          | round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS cos

@@ -125,6 +125,26 @@ class KMeansSpec extends SparkSpec {
     assert(centCells == npops.keySet)
   }
 
+  test("ann_recall reports the measured IVF/brute-force intersection in [0,1]") {
+    val r = Similarity.annRecall(spark, sf).collect().head
+    val n = r.getAs[Long]("n_common")
+    val rec = r.getAs[Double]("recall_at_k")
+    assert(n >= 0 && n <= 10)
+    assert(math.abs(rec - n / 10.0) < 0.01)
+  }
+
+  test("ann_ivfpq ranks by ascending ADC distance and stays within 10 rows") {
+    val rows = Similarity.annIvfPq(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val ds = rows.map(_.getAs[Double]("adc_d2"))
+    assert(ds.sameElements(ds.sorted), s"ADC distances not ascending: ${ds.mkString(",")}")
+    // ADC ranking over probed cells should agree substantially with the
+    // exact-ranked IVF result (same candidate cells, approximate metric)
+    val ivf = Similarity.annIvf(spark, sf).collect().map(_.getAs[Long]("vec_id")).toSet
+    val pq = rows.map(_.getAs[Long]("vec_id")).toSet
+    assert(ivf.intersect(pq).size >= 3, s"IVFPQ diverges from IVF: $pq vs $ivf")
+  }
+
   test("IVF over kmeans cells recovers most brute-force neighbors (recall)") {
     val (assign, cents) = Similarity.kmeans(spark, sf, k = 8, iters = 2)
     val q = Tables.embeddings(spark, sf).filter(col("vec_id") === 0)
