@@ -714,6 +714,58 @@ object Analytics extends QueryPack {
       .orderBy(col("ante"), col("cons"))
   }
 
+  /** PageRank over the part co-purchase graph (parts linked when they
+    * co-occur in ≥2 orders) — the iterative-graph pattern (Pregel /
+    * GraphX shape) expressed in DataFrames: the edge table is built
+    * once and persisted, each of the 3 power iterations is ONE
+    * join + ONE map-side-combinable groupBy-sum, and the only moving
+    * frame is the (node, pr) table, localCheckpointed per round so
+    * lineage never compounds. Undirected edges mean no dangling mass.
+    * Ranks are reported mean-normalized (pr × N, ≈1.0 scale) so the
+    * 4-digit rounding is far above fp summation noise. At 100 TB the
+    * edge table shuffles once on src and that partitioning is reused
+    * every iteration; pr is node-sized, never edge-sized.
+    */
+  def graphPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val pairs = l.select(col("l_orderkey"), col("l_partkey").as("pa"))
+      .join(l.select(col("l_orderkey"), col("l_partkey").as("pb")), Seq("l_orderkey"))
+      .filter(col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+    val edges = pairs.select(col("pa").as("src"), col("pb").as("dst"))
+      .union(pairs.select(col("pb").as("src"), col("pa").as("dst")))
+      .repartition(col("src")).persist()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg")).persist()
+    val nodes = deg.select(col("src").as("node"))
+    // 1-row frame, eagerly pinned so the final projection doesn't hold
+    // the whole edge lineage after unpersist
+    val nCnt = nodes.agg(count(lit(1)).cast("double").as("n")).localCheckpoint(true)
+    var pr = nodes.crossJoin(broadcast(nCnt))
+      .select(col("node"), (lit(1.0) / col("n")).as("pr"))
+      .localCheckpoint(true)
+    for (_ <- 1 to 3) {
+      val contrib = edges
+        .join(deg, Seq("src"))
+        .join(pr.select(col("node").as("src"), col("pr")), Seq("src"))
+        .groupBy(col("dst")).agg(sum(col("pr") / col("deg")).as("s"))
+      pr = nodes
+        .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .crossJoin(broadcast(nCnt))
+        .select(col("node"),
+          (lit(0.15) / col("n") + lit(0.85) * coalesce(col("s"), lit(0.0))).as("pr"))
+        .localCheckpoint(true)
+    }
+    val out = pr.crossJoin(broadcast(nCnt))
+      .select(col("node").as("p_partkey"),
+        round(col("pr") * col("n") + 1e-9, 4).as("pr_norm"))
+      .orderBy(col("pr_norm").desc, col("p_partkey"))
+      .limit(20)
+    edges.unpersist(); deg.unpersist()
+    out
+  }
+
   /** SCD2 (slowly-changing-dimension type-2) history build from the
     * events change-log: each event closes the user's previous version
     * and opens a new one — valid_from = event time, valid_to = next
@@ -801,6 +853,7 @@ object Analytics extends QueryPack {
     "q11_stockshare" -> (q11 _),
     "scd2_history" -> (scd2History _),
     "zonemap_prune" -> (zonemapPrune _),
+    "graph_pagerank" -> (graphPagerank _),
     "q7_nations" -> (q7 _),
     "q13_distribution" -> (q13 _),
     "q15_maxrev" -> (q15 _),
@@ -861,6 +914,33 @@ object Analytics extends QueryPack {
         |FROM val, (SELECT avg(value) AS mean_value FROM val) t
         |WHERE value > 1.5 * t.mean_value
         |ORDER BY value DESC, p_partkey""".stripMargin,
+    "graph_pagerank" ->
+      """WITH l AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        |  FROM l a JOIN l b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |edges AS (SELECT pa AS src, pb AS dst FROM pairs UNION ALL SELECT pb, pa FROM pairs),
+        |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |p0 AS (SELECT node, 1.0 / n.n AS pr FROM nodes, n),
+        |s1 AS (SELECT e.dst, sum(p.pr / d.deg) AS s FROM edges e
+        |       JOIN p0 p ON p.node = e.src JOIN deg d ON d.src = e.src GROUP BY 1),
+        |p1 AS (SELECT nd.node, 0.15 / n.n + 0.85 * coalesce(s1.s, 0) AS pr
+        |       FROM nodes nd CROSS JOIN n LEFT JOIN s1 ON s1.dst = nd.node),
+        |s2 AS (SELECT e.dst, sum(p.pr / d.deg) AS s FROM edges e
+        |       JOIN p1 p ON p.node = e.src JOIN deg d ON d.src = e.src GROUP BY 1),
+        |p2 AS (SELECT nd.node, 0.15 / n.n + 0.85 * coalesce(s2.s, 0) AS pr
+        |       FROM nodes nd CROSS JOIN n LEFT JOIN s2 ON s2.dst = nd.node),
+        |s3 AS (SELECT e.dst, sum(p.pr / d.deg) AS s FROM edges e
+        |       JOIN p2 p ON p.node = e.src JOIN deg d ON d.src = e.src GROUP BY 1),
+        |p3 AS (SELECT nd.node, 0.15 / n.n + 0.85 * coalesce(s3.s, 0) AS pr
+        |       FROM nodes nd CROSS JOIN n LEFT JOIN s3 ON s3.dst = nd.node)
+        |SELECT p3.node AS p_partkey, round(p3.pr * n.n + 1e-9, 4) AS pr_norm
+        |FROM p3, n
+        |ORDER BY pr_norm DESC, p_partkey
+        |LIMIT 20""".stripMargin,
     "scd2_history" ->
       """SELECT user_id,
         |  CAST(row_number() OVER w AS INT) AS version,

@@ -544,7 +544,32 @@ object Dedup extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** The dedup pipeline's KEEP decision: within each multi-doc
+    * near-dup cluster ([[dedupClusters]]), keep the member with the
+    * highest quality score ([[TextAnalysis.quality]], the rounded
+    * score the curation pipeline already computes), ties to the
+    * smaller doc_id. The argmax is a map-side-combinable
+    * min(struct(-quality, doc_id)) per cluster — never a window —
+    * and only multi-doc clusters reach it, so the stage is sized by
+    * the duplicate population, not the corpus.
+    */
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = dedupClusters(spark, dir).filter(col("cluster_size") > 1)
+    val q = TextAnalysis.quality(spark, dir).select(col("doc_id"), col("quality"))
+    clusters.join(q, Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(
+        count(lit(1)).as("cluster_size"),
+        min(struct(negate(col("quality")).as("nq"), col("doc_id").as("d"))).as("mv"))
+      .select(col("cluster_id"), col("cluster_size"),
+        col("mv.d").as("keep_doc"),
+        round(negate(col("mv.nq")), 4).as("best_quality"),
+        (col("cluster_size") - 1).as("n_dropped"))
+      .orderBy(col("cluster_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_keep_best" -> (dedupKeepBest _),
     "dedup_passage_scrub" -> (dedupPassageScrub _),
     "dedup_substring_spans" -> (dedupSubstringSpans _),
     "dedup_substring" -> (dedupSubstring _),
@@ -663,6 +688,24 @@ object Dedup extends QueryPack {
          |clusters AS (SELECT doc AS doc_id, min(r) AS cluster_id FROM reach GROUP BY doc)
          |SELECT doc_id, cluster_id, count(*) OVER (PARTITION BY cluster_id) AS cluster_size
          |FROM clusters ORDER BY doc_id""".stripMargin,
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE pairs AS ($pairsSql),
+         |edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+         |reach(doc, r) AS (
+         | SELECT doc_id, doc_id FROM documents
+         | UNION
+         | SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.doc),
+         |clusters AS (SELECT doc AS doc_id, min(r) AS cluster_id FROM reach GROUP BY doc),
+         |csz AS (SELECT cluster_id, count(*) AS cluster_size FROM clusters GROUP BY 1),
+         |q AS (${TextAnalysis.qualityScoreSql}),
+         |ranked AS (
+         | SELECT c.cluster_id, sz.cluster_size, c.doc_id, q.quality,
+         |  row_number() OVER (PARTITION BY c.cluster_id ORDER BY q.quality DESC, c.doc_id) AS rk
+         | FROM clusters c JOIN csz sz USING (cluster_id) JOIN q USING (doc_id)
+         | WHERE sz.cluster_size > 1)
+         |SELECT cluster_id, cluster_size, doc_id AS keep_doc,
+         | round(quality, 4) AS best_quality, cluster_size - 1 AS n_dropped
+         |FROM ranked WHERE rk = 1 ORDER BY cluster_id""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper, count(*) AS n_docs
         |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,

@@ -23,6 +23,18 @@ object TextAnalysis extends QueryPack {
 
   private val Stopwords = Seq("the", "a", "of", "and", "to", "in")
 
+  /** DuckDB fragment: (doc_id, quality) with the same rounded score as
+    * [[quality]] — shared with the dedup keep-decision oracle so both
+    * gates price documents identically.
+    */
+  private[operators] val qualityScoreSql: String =
+    s"""SELECT doc_id,
+       | round(least(len(string_split(text,' ')) / 100.0, 1.0) * 0.4
+       |  + (1.0 - (len(text) - len(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')))::DOUBLE / len(text)) * 0.3
+       |  + (1.0 - len(list_filter(string_split(text,' '), x -> x IN (${Stopwords.map(s => s"'$s'").mkString(",")})))::DOUBLE
+       |      / len(string_split(text,' '))) * 0.3 + 1e-9, 4) AS quality
+       |FROM documents""".stripMargin
+
   /** n-gram/marker-profile language ID: score each language by its
     * marker-token hits; argmax with alphabetical tiebreak, 'und'
     * (undetermined) when nothing matches.

@@ -87,6 +87,16 @@ class AnalyticsSpec extends SparkSpec {
     assert(vals.sameElements(vals.sortBy(-_)))
   }
 
+  test("pagerank: mean-normalized ranks are positive and descending") {
+    val rows = Analytics.graphPagerank(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val prs = rows.map(_.getAs[Double]("pr_norm"))
+    assert(prs.forall(_ > 0))
+    assert(prs.sameElements(prs.sortBy(-_)))
+    // a hub should outrank the mean (normalized mean = 1.0)
+    assert(prs.head > 1.0, s"top rank ${prs.head} not above mean")
+  }
+
   test("scd2 history: intervals chain per user and exactly one current version") {
     val rows = Analytics.scd2History(spark, sf).collect()
     assert(rows.nonEmpty)

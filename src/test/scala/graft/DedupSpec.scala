@@ -104,6 +104,27 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("keep-best keeps each cluster's highest-quality member") {
+    val best = Dedup.dedupKeepBest(spark, sf).collect()
+    assert(best.nonEmpty)
+    val clusters = Dedup.dedupClusters(spark, sf).collect()
+      .groupBy(_.getAs[Long]("cluster_id"))
+    val quality = operators.TextAnalysis.quality(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality")).toMap
+    best.foreach { r =>
+      val cid = r.getAs[Long]("cluster_id")
+      val members = clusters(cid).map(_.getAs[Long]("doc_id"))
+      val keeper = r.getAs[Long]("keep_doc")
+      assert(members.contains(keeper))
+      assert(r.getAs[Long]("cluster_size") == members.length)
+      assert(r.getAs[Long]("n_dropped") == members.length - 1)
+      val maxQ = members.map(quality).max
+      assert(quality(keeper) == maxQ)
+      // tie-break: smallest doc_id among max-quality members
+      assert(keeper == members.filter(d => quality(d) == maxQ).min)
+    }
+  }
+
   test("substring dedup finds planted shared passages and honors the stop-gram cap") {
     import org.apache.spark.sql.functions._
     val pairs = Dedup.dedupSubstring(spark, sf).collect()
