@@ -300,6 +300,84 @@ object TextAnalysis extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** Bigram-LM quality score — the next step up from
+    * [[unigramLogprob]]'s KenLM stand-in: per doc the mean
+    * −ln P(wᵢ | wᵢ₋₁) with P(b|a) = c(a,b) / c(a,·), both counts from
+    * the corpus itself. The shapes that keep it 100 TB-safe:
+    * occurrence streams only ever shuffle on the COMPOSITE bigram key
+    * (doc-level pre-aggregate first, so per-key multiplicity is
+    * document frequency, not occurrence count); the prefix totals
+    * c(a,·) are derived from the bigram vocabulary table by a
+    * map-side-combinable groupBy (never from the occurrence stream),
+    * and the vocab-level prefix join splits at rank 1024 so Zipf-head
+    * prefixes ("the …") ride a broadcast.
+    */
+  def bigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val HeadK = 1024
+    val toks = Tables.parallelized(spark,
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")), "doc_id")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    // adjacent pairs: zip t with its tail (no self-join on position)
+    val bigrams = toks.select(col("doc_id"),
+      explode(zip_with(slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1),
+        (a, b) => struct(a.as("a"), b.as("b")))).as("g"))
+      .select(col("doc_id"), col("g.a").as("a"), col("g.b").as("b"))
+    val dtb = bigrams.groupBy(col("doc_id"), col("a"), col("b"))
+      .agg(count(lit(1)).as("k"))
+      .localCheckpoint(true)
+    val bfreq = dtb.groupBy(col("a"), col("b")).agg(sum(col("k")).as("c_ab"))
+      .localCheckpoint(true)
+    val pref = bfreq.groupBy(col("a")).agg(sum(col("c_ab")).as("c_a"))
+    val head = pref.orderBy(col("c_a").desc, col("a")).limit(HeadK).localCheckpoint(true)
+    val tail = pref.join(broadcast(head.select(col("a"))), Seq("a"), "left_anti")
+    val enriched = bfreq.join(broadcast(head), Seq("a"))
+      .unionByName(
+        bfreq.join(broadcast(head.select(col("a"))), Seq("a"), "left_anti")
+          .join(tail, Seq("a")))
+    dtb.join(enriched, Seq("a", "b"))
+      .groupBy(col("doc_id"))
+      .agg(
+        round(lit(1e-9) + sum(col("k") * -log(col("c_ab") / col("c_a"))) / sum(col("k")), 4)
+          .as("mean_neg_logprob"),
+        sum(col("k")).as("n_bigrams"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Feature-hashed document embedding (the hashing trick:
+    * Weinberger et al. 2009) — the deterministic "vectorize" stage
+    * that bridges the text corpus to the similarity/ANN family
+    * without a model: token → md5-hashed dimension in [0,64) with a
+    * ±1 md5 sign bit, weights = signed term counts, L2-normalized.
+    * Emitted SPARSE ((doc_id, dim, weight), absent dims are zero) —
+    * the shape the downstream index builders consume, and scalar
+    * columns keep the oracle hash-compare exact. The squared norm is
+    * a sum of squared INTEGER counts, so normalization divides by the
+    * same exact value in both engines — no fp-summation drift. One
+    * shuffle on the (doc, tok) pre-aggregate, one on (doc, dim);
+    * both keys are doc-scoped, skew-free.
+    */
+  def hashEmbed(spark: SparkSession, dir: String): DataFrame = {
+    val dt = Tables.parallelized(spark,
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")), "doc_id")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("k"))
+    val hashed = dt.select(
+      col("doc_id"),
+      (expr("conv(substring(md5(tok), 1, 8), 16, 10)").cast("long") % 64).as("dim"),
+      (expr("conv(substring(md5(tok), 9, 1), 16, 10)").cast("long") % 2 * 2 - 1).as("sign"),
+      col("k"))
+    val dims = hashed.groupBy(col("doc_id"), col("dim"))
+      .agg(sum(col("sign") * col("k")).as("s"))
+      .filter(col("s") =!= 0)
+    val norms = dims.groupBy(col("doc_id"))
+      .agg(sum(col("s") * col("s")).as("sq")) // exact integer
+    dims.join(norms, Seq("doc_id"))
+      .select(col("doc_id"), col("dim"),
+        round(col("s") / sqrt(col("sq").cast("double")) + 1e-9, 4).as("weight"))
+      .orderBy(col("doc_id"), col("dim"))
+  }
+
   /** Top-3 tf-idf terms per document. Same skew-safe shape as
     * [[unigramLogprob]]: the (doc, tok) pre-aggregate shuffles on a
     * composite key, and the document-frequency join splits at rank 1024
@@ -424,6 +502,8 @@ object TextAnalysis extends QueryPack {
     "text_gopher_rules" -> (gopherRules _),
     "profile_columns" -> (profileColumns _),
     "text_unigram_logprob" -> (unigramLogprob _),
+    "text_bigram_logprob" -> (bigramLogprob _),
+    "text_hash_embed" -> (hashEmbed _),
     "text_tfidf" -> (tfidfTop _),
     "pii_scrub" -> (piiScrub _),
     "decontaminate" -> (decontaminate _),
@@ -490,6 +570,36 @@ object TextAnalysis extends QueryPack {
         | CAST(sum(k) AS BIGINT) AS n_tokens
         |FROM dt JOIN freq USING (tok), total
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_bigram_logprob" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |bg AS (
+        | SELECT doc_id, w[i.i] AS a, w[i.i + 1] AS b
+        | FROM t, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) i),
+        |dtb AS (SELECT doc_id, a, b, count(*) AS k FROM bg GROUP BY 1, 2, 3),
+        |bfreq AS (SELECT a, b, CAST(sum(k) AS BIGINT) AS c_ab FROM dtb GROUP BY 1, 2),
+        |pref AS (SELECT a, CAST(sum(c_ab) AS BIGINT) AS c_a FROM bfreq GROUP BY 1)
+        |SELECT doc_id,
+        | round(1e-9 + sum(k * -ln(c_ab::DOUBLE / c_a)) / sum(k), 4) AS mean_neg_logprob,
+        | CAST(sum(k) AS BIGINT) AS n_bigrams
+        |FROM dtb JOIN bfreq USING (a, b) JOIN pref USING (a)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_hash_embed" ->
+      """WITH toks AS (
+        | SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |dt AS (SELECT doc_id, tok, count(*) AS k FROM toks GROUP BY doc_id, tok),
+        |hashed AS (
+        | SELECT doc_id,
+        |  ('0x' || substring(md5(tok), 1, 8))::BIGINT % 64 AS dim,
+        |  ('0x' || substring(md5(tok), 9, 1))::BIGINT % 2 * 2 - 1 AS sign,
+        |  k
+        | FROM dt),
+        |dims AS (
+        | SELECT doc_id, dim, CAST(sum(sign * k) AS BIGINT) AS s
+        | FROM hashed GROUP BY 1, 2 HAVING sum(sign * k) <> 0),
+        |norms AS (SELECT doc_id, CAST(sum(s * s) AS BIGINT) AS sq FROM dims GROUP BY 1)
+        |SELECT doc_id, dim, round(s / sqrt(sq::DOUBLE) + 1e-9, 4) AS weight
+        |FROM dims JOIN norms USING (doc_id)
+        |ORDER BY doc_id, dim""".stripMargin,
     "text_tfidf" ->
       """WITH toks AS (
         | SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),

@@ -72,6 +72,30 @@ class TextMultimodalSpec extends SparkSpec {
     } else succeed // whole vocabulary fits in the broadcast head: no shuffled tail at all
   }
 
+  test("bigram logprob counts exactly n_words - 1 transitions per doc") {
+    val rows = TextAnalysis.bigramLogprob(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val words = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("nw")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("nw")).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_bigrams") == words(r.getAs[Long]("doc_id")) - 1)
+      assert(r.getAs[Double]("mean_neg_logprob") >= 0)
+    }
+  }
+
+  test("hash embeddings are unit-norm and within 64 dims") {
+    val rows = TextAnalysis.hashEmbed(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val d = r.getAs[Long]("dim"); assert(d >= 0 && d < 64)
+    }
+    rows.groupBy(_.getAs[Long]("doc_id")).values.foreach { ds =>
+      val sq = ds.map(r => { val w = r.getAs[Double]("weight"); w * w }).sum
+      assert(math.abs(sq - 1.0) < 0.01, s"norm^2 = $sq")
+    }
+  }
+
   test("weighted sample is reproducible and favors heavy docs") {
     import org.apache.spark.sql.functions._
     val s1 = TextAnalysis.sampleWeighted(spark, sf).collect()
