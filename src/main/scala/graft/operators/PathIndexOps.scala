@@ -229,7 +229,41 @@ object PathIndexOps extends QueryPack {
         date_format(col("ts"), TsFmt).as("deletedAt"))
       .orderBy(col("key"))
 
+  /** Snapshot diff between two indexer runs — the operational "what
+    * changed since the last run" readout (the reference's run listing
+    * in Program.cs answers exactly this per path prefix): reconstruct
+    * the index state at the 01-20 and 01-25 cutoffs, full-outer join
+    * by key, classify each key (created / updated / deleted /
+    * recreated / tombstone / unchanged / noop), and aggregate counts
+    * per filesystem. Both states come from ONE change-log scan
+    * (cutoff filters on the raw int64 ts_ns, pushed to parquet); the
+    * join key is the high-cardinality index key — skew-free — and the
+    * report is a k-row aggregate.
+    */
+  def indexSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val log = changeLog(spark, dir)
+    val t1 = upsertState(log.filter(col("ts_ns") < CutoffNs))
+      .select(col("key"), col("event_id").as("id1"), col("is_delete").as("del1"))
+    val t2 = upsertState(log.filter(col("ts_ns") < DeltaCutoffNs))
+      .select(col("key"), col("filesystem"), col("event_id").as("id2"),
+        col("is_delete").as("del2"))
+    // t2's window is a superset of t1's, so every t1 key exists in t2
+    val status = t2.join(t1, Seq("key"), "left")
+      .select(col("filesystem"),
+        when(col("id1").isNull && !col("del2"), "created")
+          .when(col("id1").isNull && col("del2"), "noop")
+          .when(col("id2") === col("id1") && col("del1"), "tombstone")
+          .when(col("id2") === col("id1"), "unchanged")
+          .when(col("del2"), "deleted")
+          .when(col("del1") && !col("del2"), "recreated")
+          .otherwise("updated").as("status"))
+    status.groupBy(col("filesystem"), col("status"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("filesystem"), col("status"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "index_snapshot_diff" -> (indexSnapshotDiff _),
     "path_key" -> (pathKeyQ _),
     "upsert_paths" -> (upsertPaths _),
     "upsert_paths_metrics" -> (upsertPathsMetrics _),
@@ -257,6 +291,25 @@ object PathIndexOps extends QueryPack {
        | FROM ($src)) WHERE rn = 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "index_snapshot_diff" ->
+      s"""WITH log AS ($logSql),
+         |t1 AS (SELECT key, event_id AS id1, is_delete AS del1
+         |  FROM (${stateSql("SELECT * FROM log WHERE ts < TIMESTAMP '2024-01-20 00:00:00'")})),
+         |t2 AS (SELECT key, filesystem, event_id AS id2, is_delete AS del2
+         |  FROM (${stateSql("SELECT * FROM log WHERE ts < TIMESTAMP '2024-01-25 00:00:00'")})),
+         |st AS (
+         | SELECT t2.filesystem,
+         |  CASE
+         |   WHEN t1.id1 IS NULL AND NOT t2.del2 THEN 'created'
+         |   WHEN t1.id1 IS NULL AND t2.del2 THEN 'noop'
+         |   WHEN t2.id2 = t1.id1 AND t1.del1 THEN 'tombstone'
+         |   WHEN t2.id2 = t1.id1 THEN 'unchanged'
+         |   WHEN t2.del2 THEN 'deleted'
+         |   WHEN t1.del1 AND NOT t2.del2 THEN 'recreated'
+         |   ELSE 'updated' END AS status
+         | FROM t2 LEFT JOIN t1 USING (key))
+         |SELECT filesystem, status, count(*) AS n
+         |FROM st GROUP BY 1, 2 ORDER BY filesystem, status""".stripMargin,
     "path_key" ->
       """SELECT doc_id, source AS filesystem,
         | replace('docs/' || lang || '/' || doc_id || '.json', '/', '%2f') AS pathUrlEncoded,

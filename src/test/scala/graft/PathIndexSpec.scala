@@ -79,6 +79,20 @@ class PathIndexSpec extends SparkSpec {
     }
   }
 
+  test("snapshot diff statuses partition the later snapshot's key space") {
+    val rows = PathIndexOps.indexSnapshotDiff(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("n") > 0))
+    val allowed = Set("created", "updated", "deleted", "recreated",
+      "tombstone", "unchanged", "noop")
+    assert(rows.forall(r => allowed.contains(r.getAs[String]("status"))))
+    // every key of the later (01-25) snapshot is classified exactly once
+    val t2Ns = java.time.Instant.parse("2024-01-25T00:00:00Z").getEpochSecond * 1000000000L
+    val t2Keys = PathIndexOps.changeLog(spark, sf)
+      .filter(col("ts_ns") < t2Ns).select(col("key")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n")).sum == t2Keys)
+  }
+
   test("rebuild skips directories and assigns 1000-doc batches") {
     val rows = PathIndexOps.rebuildIndex(spark, sf).collect()
     assert(rows.forall(_.getAs[Long]("doc_id") % 17 != 0))
