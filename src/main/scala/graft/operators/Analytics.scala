@@ -131,6 +131,24 @@ object Analytics extends QueryPack {
       .agg(count(lit(1)).as("n"), round(lit(1e-9) + sum(col("value")), 2).as("total_value"))
       .orderBy(col("hour"), col("event_type"))
 
+  /** Sliding (hopping) window aggregation — Spark's native
+    * `window(ts, "1 hour", "15 minutes")`, the same operator Structured
+    * Streaming runs under a watermark: each event lands in exactly 4
+    * overlapping windows (epoch-aligned, UTC session), so the shuffle
+    * carries 4× the tumbling volume but stays partial-aggregated
+    * map-side; the per-window state is a counter, never a buffer.
+    */
+  def slidingAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(
+        window(col("ts"), "1 hour", "15 minutes"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(lit(1e-9) + sum(col("value")), 2).as("total_value"))
+      .select(
+        date_format(col("window.start"), TsFmt).as("w_start"),
+        col("event_type"), col("n"), col("total_value"))
+      .orderBy(col("w_start"), col("event_type"))
+
   /** Q4 analog (no l_commitdate in the schema): per-priority count of
     * orders having at least one late-shipped line — a semi join, so the
     * probe side never duplicates rows.
@@ -854,6 +872,7 @@ object Analytics extends QueryPack {
     "scd2_history" -> (scd2History _),
     "zonemap_prune" -> (zonemapPrune _),
     "graph_pagerank" -> (graphPagerank _),
+    "events_sliding_agg" -> (slidingAgg _),
     "q7_nations" -> (q7 _),
     "q13_distribution" -> (q13 _),
     "q15_maxrev" -> (q15 _),
@@ -914,6 +933,16 @@ object Analytics extends QueryPack {
         |FROM val, (SELECT avg(value) AS mean_value FROM val) t
         |WHERE value > 1.5 * t.mean_value
         |ORDER BY value DESC, p_partkey""".stripMargin,
+    "events_sliding_agg" ->
+      """WITH e AS (
+        | SELECT event_type, value, (epoch_ns(ts) // 1000000000) AS sec FROM events),
+        |w AS (
+        | SELECT event_type, value,
+        |  make_timestamp((((sec // 900) * 900) - k.k * 900) * 1000000) AS ws
+        | FROM e, (SELECT unnest(generate_series(0, 3)) AS k) k)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS w_start, event_type,
+        | count(*) AS n, round(1e-9 + sum(value), 2) AS total_value
+        |FROM w GROUP BY ws, event_type ORDER BY w_start, event_type""".stripMargin,
     "graph_pagerank" ->
       """WITH l AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |pairs AS (

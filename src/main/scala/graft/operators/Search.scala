@@ -183,7 +183,50 @@ object Search extends QueryPack {
       .orderBy(col("key"))
   }
 
+  /** Azure-Search suggester / autocomplete (the Suggest + Autocomplete
+    * APIs): top-5 completions of a typed prefix among the corpus's
+    * analyzed tokens, ranked by document frequency then total
+    * occurrences. The (doc, token) pre-aggregate bounds per-key
+    * multiplicity at document frequency (the [[TextAnalysis]] skew
+    * discipline), and the prefix filter shrinks the stream before the
+    * token-level aggregate — at 100 TB a deployed suggester would
+    * serve from the materialized token table this query defines.
+    */
+  def searchSuggest(spark: SparkSession, dir: String): DataFrame = {
+    val dt = index(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok").startsWith("s"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("k"))
+    dt.groupBy(col("tok").as("suggestion"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("k")).as("n_occurrences"))
+      .orderBy(col("n_docs").desc, col("suggestion"))
+      .limit(5)
+  }
+
+  /** Hit highlighting (the search API's highlight= parameter): for
+    * docs matching the term, an `<em>`-tagged snippet of ±5 tokens
+    * around the FIRST hit plus the total hit count. Pure per-row
+    * array ops — no shuffle at all; the scan prunes to (doc_id, text).
+    */
+  def searchHighlight(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val pos = array_position(toks, "spark")
+    val start = greatest(lit(1L), pos - 5).cast("int")
+    val snippet = slice(toks, start, (pos + lit(5) - start + 1).cast("int"))
+    val tagged = transform(snippet,
+      t => when(t === "spark", lit("<em>spark</em>")).otherwise(t))
+    index(spark, dir)
+      .withColumn("pos", pos)
+      .filter(col("pos") > 0)
+      .select(col("doc_id"),
+        size(filter(toks, t => t === "spark")).cast("long").as("n_hits"),
+        array_join(tagged, " ").as("snippet"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "search_suggest" -> (searchSuggest _),
+    "search_highlight" -> (searchHighlight _),
     "search_ismatch_path" -> (searchIsMatchPath _),
     "search_filter" -> (searchFilter _),
     "search_filter_functions" -> (searchFilterFunctions _),
@@ -195,6 +238,29 @@ object Search extends QueryPack {
     "search_score_bm25" -> (searchScoreBm25 _))
 
   val oracles: Map[String, String] = Map(
+    "search_suggest" ->
+      """WITH toks AS (
+        | SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |dt AS (
+        | SELECT doc_id, tok, count(*) AS k FROM toks
+        | WHERE starts_with(tok, 's') GROUP BY 1, 2)
+        |SELECT tok AS suggestion, count(*) AS n_docs, CAST(sum(k) AS BIGINT) AS n_occurrences
+        |FROM dt GROUP BY 1
+        |ORDER BY n_docs DESC, suggestion LIMIT 5""".stripMargin,
+    "search_highlight" ->
+      """WITH t AS (
+        | SELECT doc_id, string_split(text, ' ') AS w,
+        |  list_position(string_split(text, ' '), 'spark') AS pos
+        | FROM documents),
+        |hit AS (SELECT * FROM t WHERE pos IS NOT NULL AND pos > 0),
+        |snip AS (
+        | SELECT doc_id,
+        |  CAST(len(list_filter(w, x -> x = 'spark')) AS BIGINT) AS n_hits,
+        |  list_transform(w[greatest(1, pos - 5) : pos + 5],
+        |    x -> CASE WHEN x = 'spark' THEN '<em>spark</em>' ELSE x END) AS tagged
+        | FROM hit)
+        |SELECT doc_id, n_hits, array_to_string(tagged, ' ') AS snippet
+        |FROM snip ORDER BY doc_id""".stripMargin,
     "search_ismatch_path" ->
       s"""SELECT key, pathUrlEncoded, strftime(ts, '%Y-%m-%d %H:%M:%S') AS fileLastModified
          |FROM (${PathIndexOps.stateSql(PathIndexOps.logSql)})

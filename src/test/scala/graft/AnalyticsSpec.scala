@@ -137,6 +137,13 @@ class AnalyticsSpec extends SparkSpec {
     assert(total == Tables.events(spark, sf).count())
   }
 
+  test("sliding windows hold each event exactly 4 times (1h window, 15min hop)") {
+    val rows = Analytics.slidingAgg(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n")).sum
+    assert(total == 4 * Tables.events(spark, sf).count())
+  }
+
   test("windowed agg covers all events") {
     val rows = Analytics.windowedAgg(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("n")).sum == Tables.events(spark, sf).count())

@@ -8,6 +8,28 @@ class SearchSpec extends SparkSpec {
 
   private lazy val docs = Tables.documents(spark, sf)
 
+  test("suggester completes the prefix with corpus tokens, doc-frequency ranked") {
+    val rows = Search.searchSuggest(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 5)
+    rows.foreach { r =>
+      assert(r.getAs[String]("suggestion").startsWith("s"))
+      assert(r.getAs[Long]("n_occurrences") >= r.getAs[Long]("n_docs"))
+    }
+    val freqs = rows.map(_.getAs[Long]("n_docs"))
+    assert(freqs.sameElements(freqs.sortBy(-_)))
+  }
+
+  test("highlight tags every snippet and counts hits") {
+    val rows = Search.searchHighlight(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[String]("snippet").contains("<em>spark</em>"))
+      assert(r.getAs[Long]("n_hits") >= 1)
+      // snippet is ±5 tokens around the first hit: at most 11 tokens
+      assert(r.getAs[String]("snippet").split(" ").length <= 11)
+    }
+  }
+
   test("OData comparison operators compile correctly") {
     assert(docs.filter(ODataFilter.compile("lang eq 'en'")).collect()
       .forall(_.getAs[String]("lang") == "en"))
