@@ -279,6 +279,68 @@ object Dedup extends QueryPack {
       .orderBy(col("a"), col("b"))
   }
 
+  /** Shingle CONTAINMENT for the LSH candidates — the metric Jaccard
+    * misses: a short document quoted whole inside a long one has
+    * |A∩B|/|A∪B| ≈ |A|/|B| (tiny) but |A∩B|/min(|A|,|B|) ≈ 1
+    * (Broder's containment, the dedup literature's near-superset
+    * test). Same bounded joins as [[dedupNgramJaccard]] (candidates ×
+    * shared shingle index), both metrics emitted side by side and
+    * classified: near_dup (high Jaccard), contained (high containment
+    * only), overlap. At 100 TB the cost is the candidate set, which
+    * LSH banding already bounds.
+    */
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = candidatePairs(spark, dir)
+    val sh = shingleIndex(spark, dir)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+    val inter = pairs
+      .join(sh.select(col("doc_id").as("a"), col("sh")), Seq("a"))
+      .join(sh.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    pairs
+      .join(inter, Seq("a", "b"), "left").na.fill(0L, Seq("inter"))
+      .join(sizes.select(col("doc_id").as("a"), col("c").as("ca")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("c").as("cb")), Seq("b"))
+      .select(col("a"), col("b"),
+        round(col("inter") / least(col("ca"), col("cb")) + 1e-9, 4).as("containment"),
+        round(col("inter") / (col("ca") + col("cb") - col("inter")) + 1e-9, 4).as("jaccard"))
+      .withColumn("relation",
+        when(col("jaccard") >= 0.7, "near_dup")
+          .when(col("containment") >= 0.8, "contained")
+          .otherwise("overlap"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication"): embedding-near
+    * pairs split by whether the LEXICAL overlap explains the
+    * similarity. Pairs from the k-means-bucketed embedding dedup
+    * (cos ≥ 0.3; vec_id ↔ doc_id is the synthetic corpus's 1:1
+    * mapping) joined against the shared shingle index for word-3-gram
+    * Jaccard: high-cosine + low-Jaccard = `semantic` duplicates
+    * (paraphrases a lexical pipeline never catches), high both =
+    * `lexical`. Both inputs are the cached per-snapshot indexes, so
+    * the query adds only the bounded pair-classification joins.
+    */
+  def dedupSemdedup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = dedupEmbedding(spark, dir)
+    val sh = shingleIndex(spark, dir)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+    val inter = emb.select(col("a"), col("b"))
+      .join(sh.select(col("doc_id").as("a"), col("sh")), Seq("a"))
+      .join(sh.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    emb
+      .join(inter, Seq("a", "b"), "left").na.fill(0L, Seq("inter"))
+      .join(sizes.select(col("doc_id").as("a"), col("c").as("ca")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("c").as("cb")), Seq("b"))
+      .select(col("a"), col("b"), col("cos"),
+        round(col("inter") / (col("ca") + col("cb") - col("inter")) + 1e-9, 4).as("jaccard"))
+      .withColumn("kind",
+        when(col("jaccard") >= 0.3, "lexical").otherwise("semantic"))
+      .orderBy(col("a"), col("b"))
+  }
+
   /** Embedding near-dup: cosine ≥ τ pairs, bucketed by k-means cells so
     * the pairwise step stays inside coarse clusters. At corpus scale no
     * label column exists — the cells come from
@@ -570,6 +632,8 @@ object Dedup extends QueryPack {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_keep_best" -> (dedupKeepBest _),
+    "dedup_containment" -> (dedupContainment _),
+    "dedup_semdedup" -> (dedupSemdedup _),
     "dedup_passage_scrub" -> (dedupPassageScrub _),
     "dedup_substring_spans" -> (dedupSubstringSpans _),
     "dedup_substring" -> (dedupSubstring _),
@@ -735,6 +799,55 @@ object Dedup extends QueryPack {
          |FROM docs d LEFT JOIN maybe mb USING (doc_id) LEFT JOIN truth t USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
     "dedup_minhash_lsh" -> (pairsSql + " ORDER BY a, b"),
+    "dedup_containment" ->
+      s"""WITH pairs AS ($pairsSql),
+         |shd AS (SELECT DISTINCT doc_id, sh FROM ($shingleSql)),
+         |sizes AS (SELECT doc_id, count(*) AS c FROM shd GROUP BY doc_id),
+         |inter AS (
+         | SELECT p.a, p.b, count(*) AS i
+         | FROM pairs p JOIN shd sa ON sa.doc_id = p.a JOIN shd sb ON sb.doc_id = p.b AND sb.sh = sa.sh
+         | GROUP BY p.a, p.b),
+         |m AS (
+         | SELECT p.a, p.b,
+         |  round(coalesce(i.i, 0) / least(ca.c, cb.c) + 1e-9, 4) AS containment,
+         |  round(coalesce(i.i, 0) / (ca.c + cb.c - coalesce(i.i, 0)) + 1e-9, 4) AS jaccard
+         | FROM pairs p
+         |  LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+         |  JOIN sizes ca ON ca.doc_id = p.a
+         |  JOIN sizes cb ON cb.doc_id = p.b)
+         |SELECT a, b, containment, jaccard,
+         | CASE WHEN jaccard >= 0.7 THEN 'near_dup'
+         |      WHEN containment >= 0.8 THEN 'contained'
+         |      ELSE 'overlap' END AS relation
+         |FROM m ORDER BY a, b""".stripMargin,
+    "dedup_semdedup" ->
+      s"""WITH ${Similarity.kmeansCellsSql(probes = 2)},
+         |cand AS (
+         |  SELECT DISTINCT ca.vec_id AS a, cb.vec_id AS b
+         |  FROM cells ca JOIN cells cb ON cb.cell = ca.cell AND ca.vec_id < cb.vec_id),
+         |emb AS (
+         | SELECT c.a, c.b,
+         |  round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4) AS cos
+         | FROM cand c
+         |  JOIN embeddings ea ON ea.vec_id = c.a
+         |  JOIN embeddings eb ON eb.vec_id = c.b
+         | WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4) >= 0.3),
+         |shd AS (SELECT DISTINCT doc_id, sh FROM ($shingleSql)),
+         |sizes AS (SELECT doc_id, count(*) AS c FROM shd GROUP BY doc_id),
+         |inter AS (
+         | SELECT e.a, e.b, count(*) AS i
+         | FROM emb e JOIN shd sa ON sa.doc_id = e.a JOIN shd sb ON sb.doc_id = e.b AND sb.sh = sa.sh
+         | GROUP BY e.a, e.b),
+         |m AS (
+         | SELECT e.a, e.b, e.cos,
+         |  round(coalesce(i.i, 0) / (ca.c + cb.c - coalesce(i.i, 0)) + 1e-9, 4) AS jaccard
+         | FROM emb e
+         |  LEFT JOIN inter i ON i.a = e.a AND i.b = e.b
+         |  JOIN sizes ca ON ca.doc_id = e.a
+         |  JOIN sizes cb ON cb.doc_id = e.b)
+         |SELECT a, b, cos, jaccard,
+         | CASE WHEN jaccard >= 0.3 THEN 'lexical' ELSE 'semantic' END AS kind
+         |FROM m ORDER BY a, b""".stripMargin,
     "dedup_incremental" ->
       s"""SELECT DISTINCT l.doc_id AS new_doc, r.doc_id AS existing_doc
          |FROM ($bandsSql) l JOIN ($bandsSql) r

@@ -125,6 +125,28 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("containment dominates jaccard and flags near-supersets") {
+    val rows = Dedup.dedupContainment(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val c = r.getAs[Double]("containment")
+      val j = r.getAs[Double]("jaccard")
+      assert(c >= j - 1e-9, s"containment $c < jaccard $j")
+      assert(c >= 0 && c <= 1.0 + 1e-9)
+    }
+  }
+
+  test("semdedup classifies embedding-near pairs by lexical overlap") {
+    val rows = Dedup.dedupSemdedup(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val kind = r.getAs[String]("kind")
+      val j = r.getAs[Double]("jaccard")
+      assert(if (j >= 0.3) kind == "lexical" else kind == "semantic")
+      assert(r.getAs[Double]("cos") >= 0.3)
+    }
+  }
+
   test("substring dedup finds planted shared passages and honors the stop-gram cap") {
     import org.apache.spark.sql.functions._
     val pairs = Dedup.dedupSubstring(spark, sf).collect()
