@@ -149,6 +149,33 @@ object Analytics extends QueryPack {
         col("event_type"), col("n"), col("total_value"))
       .orderBy(col("w_start"), col("event_type"))
 
+  /** Time-series gap filling over a generated calendar spine: hourly
+    * per-type counts with missing hours zero-filled across each type's
+    * own [first, last] span. The spine is GENERATED (sequence +
+    * explode from a k-row min/max aggregate), never scanned — at
+    * 100 TB the spine is hours × types (thousands of rows) while the
+    * fact stream reduces map-side to the same grain first; the fill
+    * join is spine-sized, not data-sized. The downstream consumer is
+    * anything windowed (changepoint/anomaly/forecast) that breaks on
+    * implicit gaps.
+    */
+  def eventsGapfill(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("hour"), col("value"))
+    val agg = e.groupBy(col("event_type"), col("hour"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("tv"))
+    val spine = agg.groupBy(col("event_type"))
+      .agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("hour"))
+    spine.join(agg, Seq("event_type", "hour"), "left")
+      .select(col("event_type"),
+        date_format(col("hour"), TsFmt).as("hour"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        round(coalesce(col("tv"), lit(0.0)) + 1e-9, 2).as("total_value"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
   /** Q4 analog (no l_commitdate in the schema): per-priority count of
     * orders having at least one late-shipped line — a semi join, so the
     * probe side never duplicates rows.
@@ -873,6 +900,7 @@ object Analytics extends QueryPack {
     "zonemap_prune" -> (zonemapPrune _),
     "graph_pagerank" -> (graphPagerank _),
     "events_sliding_agg" -> (slidingAgg _),
+    "events_gapfill" -> (eventsGapfill _),
     "q7_nations" -> (q7 _),
     "q13_distribution" -> (q13 _),
     "q15_maxrev" -> (q15 _),
@@ -933,6 +961,19 @@ object Analytics extends QueryPack {
         |FROM val, (SELECT avg(value) AS mean_value FROM val) t
         |WHERE value > 1.5 * t.mean_value
         |ORDER BY value DESC, p_partkey""".stripMargin,
+    "events_gapfill" ->
+      """WITH agg AS (
+        | SELECT event_type, date_trunc('hour', ts) AS hour,
+        |  count(*) AS n, sum(value) AS tv
+        | FROM events GROUP BY 1, 2),
+        |spine AS (
+        | SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+        | FROM (SELECT event_type, min(hour) AS lo, max(hour) AS hi FROM agg GROUP BY 1))
+        |SELECT s.event_type, strftime(s.hour, '%Y-%m-%d %H:%M:%S') AS hour,
+        | coalesce(a.n, 0) AS n,
+        | round(coalesce(a.tv, 0) + 1e-9, 2) AS total_value
+        |FROM spine s LEFT JOIN agg a ON a.event_type = s.event_type AND a.hour = s.hour
+        |ORDER BY s.event_type, hour""".stripMargin,
     "events_sliding_agg" ->
       """WITH e AS (
         | SELECT event_type, value, (epoch_ns(ts) // 1000000000) AS sec FROM events),

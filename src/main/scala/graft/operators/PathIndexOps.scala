@@ -238,10 +238,21 @@ object PathIndexOps extends QueryPack {
     * per filesystem. Both states come from ONE change-log scan
     * (cutoff filters on the raw int64 ts_ns, pushed to parquet); the
     * join key is the high-cardinality index key — skew-free — and the
-    * report is a k-row aggregate.
+    * report is a k-row aggregate. (Bench note: the synthetic change-log
+    * maps event_id % 500 onto 2000 keys at EVERY scale factor, so the
+    * per-key version chains — and the window sort — grow linearly with
+    * SF; a real lake's key space grows with the data and keeps chains
+    * short.)
     */
   def indexSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    // project the change-log to the diff's 5 columns BEFORE the two
+    // window dedups: the classification never reads props/path, so the
+    // per-key shuffles move 5 narrow columns instead of the JSON
+    // payload (at sf1 this halves the query's bytes through both
+    // exchanges)
     val log = changeLog(spark, dir)
+      .select(col("key"), col("filesystem"), col("ts_ns"),
+        col("event_id"), col("is_delete"))
     val t1 = upsertState(log.filter(col("ts_ns") < CutoffNs))
       .select(col("key"), col("event_id").as("id1"), col("is_delete").as("del1"))
     val t2 = upsertState(log.filter(col("ts_ns") < DeltaCutoffNs))

@@ -137,6 +137,18 @@ class AnalyticsSpec extends SparkSpec {
     assert(total == Tables.events(spark, sf).count())
   }
 
+  test("gapfill spine is contiguous per type and preserves event totals") {
+    val rows = Analytics.eventsGapfill(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("n")).sum == Tables.events(spark, sf).count())
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+    rows.groupBy(_.getAs[String]("event_type")).values.foreach { rs =>
+      val hours = rs.map(r => java.time.LocalDateTime.parse(r.getAs[String]("hour"), fmt))
+      val span = java.time.Duration.between(hours.min, hours.max).toHours + 1
+      assert(rs.length.toLong == span, s"spine has holes: ${rs.length} rows over $span hours")
+    }
+  }
+
   test("sliding windows hold each event exactly 4 times (1h window, 15min hop)") {
     val rows = Analytics.slidingAgg(spark, sf).collect()
     assert(rows.nonEmpty)
