@@ -99,6 +99,19 @@ object StreamingOps extends QueryPack {
       .groupBy(window(col("ts"), "15 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
 
+  /** Sliding-window streaming aggregation (30-min windows hopping every
+    * 10 min — each event lives in 3 windows): the watermark bounds how
+    * long each window's counter stays in the state store, exactly the
+    * tumbling case but with slide-count × state. Gated in StreamingSpec
+    * against [[streamSliding]], the batch twin the oracle verifies.
+    */
+  def slidingCountsStream(spark: SparkSession, events: Dataset[EventRow]): DataFrame =
+    events
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "30 minutes", "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+
   /** Stream-static join: enrich the event stream against a static index
     * snapshot (how a streaming indexer reads document metadata per
     * event). The static side is re-read per micro-batch by Spark, so an
@@ -211,6 +224,19 @@ object StreamingOps extends QueryPack {
         col("event_type"), col("n"), col("total_value"))
       .orderBy(col("wstart"), col("event_type"))
 
+  /** Batch twin of [[slidingCountsStream]] (same native sliding-window
+    * operator run in batch), oracle-gated; StreamingSpec proves the
+    * MemoryStream run completes to this exact frame.
+    */
+  def streamSliding(spark: SparkSession, dir: String): DataFrame =
+    eventRows(spark, dir).toDF()
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      .groupBy(window(col("ts"), "30 minutes", "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(lit(1e-9) + sum(col("value")), 2).as("total_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
+        col("event_type"), col("n"), col("total_value"))
+      .orderBy(col("wstart"), col("event_type"))
+
   /** The streaming-native sessionization operator: `session_window`
     * (gap-merged event-time windows, the same operator a watermarked
     * stream would run) executed in batch mode, so the DuckDB lag/cumsum
@@ -248,6 +274,7 @@ object StreamingOps extends QueryPack {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_upsert" -> (streamUpsert _),
     "stream_window" -> (streamWindow _),
+    "stream_sliding" -> (streamSliding _),
     "stream_session" -> (streamSession _),
     "stream_dedup" -> (streamDedup _))
 
@@ -277,6 +304,16 @@ object StreamingOps extends QueryPack {
       """SELECT strftime(to_timestamp((epoch_ns(ts) // 900000000000) * 900), '%Y-%m-%d %H:%M:%S') AS wstart,
         | event_type, count(*) AS n, round(1e-9 + sum(value), 2) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin,
+    "stream_sliding" ->
+      """WITH e AS (
+        | SELECT event_type, value, (epoch_ns(ts) // 1000000000) AS sec FROM events),
+        |w AS (
+        | SELECT event_type, value,
+        |  make_timestamp((((sec // 600) * 600) - k.k * 600) * 1000000) AS ws
+        | FROM e, (SELECT unnest(generate_series(0, 2)) AS k) k)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS wstart, event_type,
+        | count(*) AS n, round(1e-9 + sum(value), 2) AS total_value
+        |FROM w GROUP BY ws, event_type ORDER BY wstart, event_type""".stripMargin,
     "stream_session" ->
       """WITH gapped AS (
         | SELECT user_id, value, epoch_ns(ts) // 1000 AS t_us,

@@ -198,6 +198,32 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming sliding windows complete to the batch twin") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+
+    val rows = Tables.events(spark, sf)
+      .selectExpr("event_id", "ts_ns", "user_id", "event_type", "value")
+      .as[EventRow].collect().sortBy(e => (e.ts_ns, e.event_id))
+
+    val input = MemoryStream[EventRow]
+    val query = StreamingOps.slidingCountsStream(spark, input.toDS())
+      .writeStream.format("memory").queryName("slide_counts")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData(rows.toSeq); query.processAllAvailable()
+      val streamed = spark.table("slide_counts")
+        .selectExpr("date_format(window.start, 'yyyy-MM-dd HH:mm:ss') as wstart",
+          "event_type", "n")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).sorted
+      val batch = StreamingOps.streamSliding(spark, sf)
+        .collect().map(r => (r.getAs[String]("wstart"), r.getAs[String]("event_type"),
+          r.getAs[Long]("n"))).sorted
+      assert(streamed.sameElements(batch),
+        s"stream/batch sliding windows diverge: ${streamed.length} vs ${batch.length}")
+    } finally query.stop()
+  }
+
   test("watermarked streaming session_window completes to the batch sessions") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
