@@ -32,6 +32,39 @@ import org.apache.spark.sql.functions._
   */
 object Ranks {
 
+  /** Distributed global running total of `valueCol` in `orderCol`
+    * order — the same three-step shape as [[globalRowNumber]] (range
+    * partition → per-partition running sum → broadcast prefix of the
+    * preceding partitions' totals), replacing the single-task
+    * `Window.orderBy(...)` cumulative sum. Identical placement
+    * guarantees apply: one persisted partitioning feeds both the
+    * offsets and the result, and the output is eagerly materialized.
+    * (The offset association sums partition subtotals first, so the
+    * floating-point error differs from a strictly sequential sum by
+    * ~1 ulp per partition — round before comparing across engines.)
+    */
+  def globalCumSum(df: DataFrame, orderCol: String, valueCol: String,
+      outCol: String = "cum", partitions: Int = 32): DataFrame = {
+    val parted = df.repartitionByRange(partitions, col(orderCol)).persist()
+    try {
+      val local = parted
+        .withColumn("_pid", spark_partition_id())
+        .withColumn("_lcs",
+          sum(col(valueCol)).over(Window.partitionBy(col("_pid")).orderBy(col(orderCol))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val offsets = local.groupBy(col("_pid")).agg(sum(col(valueCol)).as("_s"))
+        .withColumn("_off", coalesce(
+          sum(col("_s")).over(
+            Window.orderBy(col("_pid")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0.0)))
+        .select(col("_pid"), col("_off"))
+      local.join(broadcast(offsets), Seq("_pid"))
+        .withColumn(outCol, col("_lcs") + col("_off"))
+        .drop("_pid", "_lcs", "_off")
+        .localCheckpoint(true)
+    } finally parted.unpersist()
+  }
+
   def globalRowNumber(df: DataFrame, orderCol: String, outCol: String = "rn", partitions: Int = 32): DataFrame = {
     val parted = df.repartitionByRange(partitions, col(orderCol)).persist()
     try {

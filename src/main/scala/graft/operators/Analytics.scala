@@ -759,6 +759,33 @@ object Analytics extends QueryPack {
       .orderBy(col("ante"), col("cons"))
   }
 
+  /** ABC / Pareto analysis of part revenue: rank parts by revenue,
+    * classify by cumulative share (A ≤ 70%, B ≤ 90%, C rest). The
+    * cumulative sum is [[graft.functions.Ranks.globalCumSum]] — range
+    * partition + per-partition running sum + broadcast prefix — never
+    * a partitionless `Window.orderBy` that would funnel the whole
+    * dimension through one task (the part dimension is millions of
+    * rows at 100 TB; the fact table has already been reduced to it
+    * map-side before any ordering happens).
+    */
+  def partsAbc(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey").as("p_partkey"))
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+    val tot = rev.agg(sum(col("revenue")).as("t"))
+    val ordered = rev.withColumn("_ord",
+      struct(negate(col("revenue")).as("nr"), col("p_partkey").as("pk")))
+    graft.functions.Ranks.globalCumSum(ordered, "_ord", "revenue", "cum")
+      .crossJoin(broadcast(tot))
+      .select(col("p_partkey"),
+        round(col("revenue") + 1e-9, 2).as("revenue"),
+        round(col("cum") / col("t") + 1e-9, 4).as("cum_share"),
+        when(col("cum") / col("t") <= 0.70, "A")
+          .when(col("cum") / col("t") <= 0.90, "B")
+          .otherwise("C").as("abc"))
+      .orderBy(col("p_partkey"))
+  }
+
   /** PageRank over the part co-purchase graph (parts linked when they
     * co-occur in ≥2 orders) — the iterative-graph pattern (Pregel /
     * GraphX shape) expressed in DataFrames: the edge table is built
@@ -901,6 +928,7 @@ object Analytics extends QueryPack {
     "graph_pagerank" -> (graphPagerank _),
     "events_sliding_agg" -> (slidingAgg _),
     "events_gapfill" -> (eventsGapfill _),
+    "parts_abc" -> (partsAbc _),
     "q7_nations" -> (q7 _),
     "q13_distribution" -> (q13 _),
     "q15_maxrev" -> (q15 _),
@@ -961,6 +989,23 @@ object Analytics extends QueryPack {
         |FROM val, (SELECT avg(value) AS mean_value FROM val) t
         |WHERE value > 1.5 * t.mean_value
         |ORDER BY value DESC, p_partkey""".stripMargin,
+    "parts_abc" ->
+      """WITH rev AS (
+        | SELECT l_partkey AS p_partkey,
+        |  sum(l_extendedprice * (1 - l_discount)) AS revenue
+        | FROM lineitem GROUP BY 1),
+        |tot AS (SELECT sum(revenue) AS t FROM rev),
+        |c AS (
+        | SELECT p_partkey, revenue,
+        |  sum(revenue) OVER (ORDER BY revenue DESC, p_partkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        | FROM rev)
+        |SELECT p_partkey, round(revenue + 1e-9, 2) AS revenue,
+        | round(cum / t.t + 1e-9, 4) AS cum_share,
+        | CASE WHEN cum / t.t <= 0.70 THEN 'A'
+        |      WHEN cum / t.t <= 0.90 THEN 'B'
+        |      ELSE 'C' END AS abc
+        |FROM c, tot t ORDER BY p_partkey""".stripMargin,
     "events_gapfill" ->
       """WITH agg AS (
         | SELECT event_type, date_trunc('hour', ts) AS hour,

@@ -279,6 +279,35 @@ object Dedup extends QueryPack {
       .orderBy(col("a"), col("b"))
   }
 
+  /** MinHash sketch-accuracy readout: for every LSH candidate pair,
+    * the Jaccard ESTIMATED from min-hash agreement (the fraction of
+    * the [[NumPerms]] permutations where both docs share a minimum —
+    * the unbiased MinHash estimator) next to the exact shingle
+    * Jaccard, with the absolute error. This is the number that
+    * justifies replacing exact set comparison with a 9-value sketch
+    * at 100 TB — the estimate reads NumPerms hex strings per doc, the
+    * exact join reads every shingle. Same evidence pattern as
+    * ann_recall for the ANN family.
+    */
+  def dedupMinhashEst(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = candidatePairs(spark, dir)
+    val mh = minhashes(spark, dir)
+    def side(tag: String) =
+      mh.select(col("doc_id").as(tag) +:
+        (0 until NumPerms).map(p => col(s"m$p").as(s"${tag}_m$p")): _*)
+    val agree = (0 until NumPerms)
+      .map(p => when(col(s"a_m$p") === col(s"b_m$p"), 1).otherwise(0))
+      .reduce(_ + _)
+    val est = pairs.join(side("a"), Seq("a")).join(side("b"), Seq("b"))
+      .select(col("a"), col("b"),
+        round(agree.cast("double") / NumPerms + 1e-9, 4).as("jaccard_est"))
+    est.join(dedupNgramJaccard(spark, dir)
+        .withColumnRenamed("jaccard", "jaccard_exact"), Seq("a", "b"))
+      .select(col("a"), col("b"), col("jaccard_est"), col("jaccard_exact"),
+        round(abs(col("jaccard_est") - col("jaccard_exact")) + 1e-9, 4).as("abs_err"))
+      .orderBy(col("a"), col("b"))
+  }
+
   /** Shingle CONTAINMENT for the LSH candidates — the metric Jaccard
     * misses: a short document quoted whole inside a long one has
     * |A∩B|/|A∪B| ≈ |A|/|B| (tiny) but |A∩B|/min(|A|,|B|) ≈ 1
@@ -633,6 +662,7 @@ object Dedup extends QueryPack {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_keep_best" -> (dedupKeepBest _),
     "dedup_containment" -> (dedupContainment _),
+    "dedup_minhash_est" -> (dedupMinhashEst _),
     "dedup_semdedup" -> (dedupSemdedup _),
     "dedup_passage_scrub" -> (dedupPassageScrub _),
     "dedup_substring_spans" -> (dedupSubstringSpans _),
@@ -799,6 +829,34 @@ object Dedup extends QueryPack {
          |FROM docs d LEFT JOIN maybe mb USING (doc_id) LEFT JOIN truth t USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
     "dedup_minhash_lsh" -> (pairsSql + " ORDER BY a, b"),
+    "dedup_minhash_est" -> {
+      val mins = (0 until NumPerms).map(p => s"min(md5('$p:'||sh)) AS m$p").mkString(", ")
+      val agree = (0 until NumPerms)
+        .map(p => s"(CASE WHEN ma.m$p = mb.m$p THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH pairs AS ($pairsSql),
+         |mh AS (SELECT doc_id, $mins FROM ($shingleSql) GROUP BY doc_id),
+         |est AS (
+         | SELECT p.a, p.b,
+         |  round(($agree) / ${NumPerms}.0 + 1e-9, 4) AS jaccard_est
+         | FROM pairs p JOIN mh ma ON ma.doc_id = p.a JOIN mh mb ON mb.doc_id = p.b),
+         |shd AS (SELECT DISTINCT doc_id, sh FROM ($shingleSql)),
+         |sizes AS (SELECT doc_id, count(*) AS c FROM shd GROUP BY doc_id),
+         |inter AS (
+         | SELECT p.a, p.b, count(*) AS i
+         | FROM pairs p JOIN shd sa ON sa.doc_id = p.a JOIN shd sb ON sb.doc_id = p.b AND sb.sh = sa.sh
+         | GROUP BY p.a, p.b),
+         |exact AS (
+         | SELECT p.a, p.b,
+         |  round(coalesce(i.i, 0) / (ca.c + cb.c - coalesce(i.i, 0)) + 1e-9, 4) AS jaccard_exact
+         | FROM pairs p
+         |  LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+         |  JOIN sizes ca ON ca.doc_id = p.a
+         |  JOIN sizes cb ON cb.doc_id = p.b)
+         |SELECT e.a, e.b, e.jaccard_est, x.jaccard_exact,
+         | round(abs(e.jaccard_est - x.jaccard_exact) + 1e-9, 4) AS abs_err
+         |FROM est e JOIN exact x ON x.a = e.a AND x.b = e.b
+         |ORDER BY e.a, e.b""".stripMargin
+    },
     "dedup_containment" ->
       s"""WITH pairs AS ($pairsSql),
          |shd AS (SELECT DISTINCT doc_id, sh FROM ($shingleSql)),

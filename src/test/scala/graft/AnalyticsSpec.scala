@@ -137,6 +137,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(total == Tables.events(spark, sf).count())
   }
 
+  test("ABC classes follow the Pareto cumulative share without a global window") {
+    val df = Analytics.partsAbc(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // shares end at 1.0 and classes are monotone A -> B -> C in rank order
+    val byShare = rows.sortBy(_.getAs[Double]("cum_share"))
+    assert(math.abs(byShare.last.getAs[Double]("cum_share") - 1.0) < 0.001)
+    val classes = byShare.map(_.getAs[String]("abc"))
+    assert(classes.sameElements(classes.sorted), "classes must be monotone along rank")
+    // class assignment matches the thresholds (within rounding of the
+    // reported share; the synthetic revenue is near-uniform, so no
+    // assumption about class sizes)
+    byShare.foreach { r =>
+      val s = r.getAs[Double]("cum_share")
+      val c = r.getAs[String]("abc")
+      if (s <= 0.699) assert(c == "A", s"share $s classed $c")
+      else if (s > 0.701 && s <= 0.899) assert(c == "B", s"share $s classed $c")
+      else if (s > 0.901) assert(c == "C", s"share $s classed $c")
+    }
+  }
+
   test("gapfill spine is contiguous per type and preserves event totals") {
     val rows = Analytics.eventsGapfill(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -125,6 +125,19 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("minhash estimate is a valid 0..1 multiple of 1/9 near the exact jaccard") {
+    val rows = Dedup.dedupMinhashEst(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val est = r.getAs[Double]("jaccard_est")
+      assert(est >= 0 && est <= 1.0 + 1e-9)
+      // estimates are k/9 for integer k
+      assert(math.abs(est * 9 - math.round(est * 9)) < 0.01, s"est $est not a ninth")
+      assert(math.abs(r.getAs[Double]("abs_err") -
+        math.abs(est - r.getAs[Double]("jaccard_exact"))) < 0.001)
+    }
+  }
+
   test("containment dominates jaccard and flags near-supersets") {
     val rows = Dedup.dedupContainment(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -32,6 +32,23 @@ class RanksSpec extends SparkSpec {
     assert(byRn.sameElements(byRn.sorted), "rn must follow the range order of the key")
   }
 
+  test("globalCumSum equals the single-task window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val df = skewed.withColumn("v", col("payload").cast("double"))
+    val out = Ranks.globalCumSum(df, "key", "v", partitions = 8)
+      .select(col("key"), col("cum")).collect()
+      .map(r => r.getAs[String]("key") -> r.getAs[Double]("cum")).toMap
+    val expected = df.withColumn("cum",
+        sum(col("v")).over(Window.orderBy(col("key"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("key"), col("cum")).collect()
+      .map(r => r.getAs[String]("key") -> r.getAs[Double]("cum")).toMap
+    assert(out.keySet == expected.keySet)
+    out.foreach { case (k, c) =>
+      assert(math.abs(c - expected(k)) < 1e-6, s"cum mismatch at $k: $c vs ${expected(k)}")
+    }
+  }
+
   test("globalRowNumber is stable across repeated actions on the same frame") {
     // the round-2 hazard: offsets collected in one action, result
     // computed in another — a re-sampled range partitioner could place
