@@ -759,6 +759,37 @@ object Analytics extends QueryPack {
       .orderBy(col("ante"), col("cons"))
   }
 
+  /** Seasonal-naive forecast backtest: per (event_type, hour-of-day),
+    * forecast = mean hourly value over the history days (absent hours
+    * count as zero — total/n_days), actual = the held-out final day.
+    * Everything reduces map-side to a (type × 24)-row frame; the split
+    * day and day count are broadcast scalars. This is the baseline any
+    * capacity-planning forecast must beat, and the backtest shape —
+    * train window vs holdout — is the same at any corpus size.
+    */
+  def eventsForecast(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select(
+      col("event_type"),
+      date_format(col("ts"), "yyyy-MM-dd").as("day"),
+      hour(col("ts")).as("hod"), col("value"))
+    val lastDay = e.agg(max(col("day")).as("last_day"))
+    val hist = e.crossJoin(broadcast(lastDay)).filter(col("day") < col("last_day"))
+    val nDays = hist.agg(countDistinct(col("day")).cast("double").as("n_days"))
+    val fc = hist.groupBy(col("event_type"), col("hod"))
+      .agg(sum(col("value")).as("histv"))
+      .crossJoin(broadcast(nDays))
+      .select(col("event_type"), col("hod"), (col("histv") / col("n_days")).as("fc"))
+    val actual = e.crossJoin(broadcast(lastDay)).filter(col("day") === col("last_day"))
+      .groupBy(col("event_type"), col("hod"))
+      .agg(sum(col("value")).as("av"))
+    fc.join(actual, Seq("event_type", "hod"), "full")
+      .select(col("event_type"), col("hod"),
+        round(coalesce(col("fc"), lit(0.0)) + 1e-9, 2).as("forecast"),
+        round(coalesce(col("av"), lit(0.0)) + 1e-9, 2).as("actual"),
+        round(abs(coalesce(col("fc"), lit(0.0)) - coalesce(col("av"), lit(0.0))) + 1e-9, 2).as("abs_err"))
+      .orderBy(col("event_type"), col("hod"))
+  }
+
   /** ABC / Pareto analysis of part revenue: rank parts by revenue,
     * classify by cumulative share (A ≤ 70%, B ≤ 90%, C rest). The
     * cumulative sum is [[graft.functions.Ranks.globalCumSum]] — range
@@ -929,6 +960,7 @@ object Analytics extends QueryPack {
     "events_sliding_agg" -> (slidingAgg _),
     "events_gapfill" -> (eventsGapfill _),
     "parts_abc" -> (partsAbc _),
+    "events_forecast" -> (eventsForecast _),
     "q7_nations" -> (q7 _),
     "q13_distribution" -> (q13 _),
     "q15_maxrev" -> (q15 _),
@@ -989,6 +1021,26 @@ object Analytics extends QueryPack {
         |FROM val, (SELECT avg(value) AS mean_value FROM val) t
         |WHERE value > 1.5 * t.mean_value
         |ORDER BY value DESC, p_partkey""".stripMargin,
+    "events_forecast" ->
+      """WITH e AS (
+        | SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |  CAST(hour(ts) AS INT) AS hod, value
+        | FROM events),
+        |ld AS (SELECT max(day) AS last_day FROM e),
+        |nd AS (SELECT CAST(count(DISTINCT day) AS DOUBLE) AS n_days FROM e, ld WHERE day < last_day),
+        |fc AS (
+        | SELECT event_type, hod, sum(value) / nd.n_days AS fc
+        | FROM e, ld, nd WHERE day < last_day GROUP BY event_type, hod, nd.n_days),
+        |act AS (
+        | SELECT event_type, hod, sum(value) AS av
+        | FROM e, ld WHERE day = last_day GROUP BY event_type, hod)
+        |SELECT coalesce(fc.event_type, act.event_type) AS event_type,
+        | coalesce(fc.hod, act.hod) AS hod,
+        | round(coalesce(fc.fc, 0) + 1e-9, 2) AS forecast,
+        | round(coalesce(act.av, 0) + 1e-9, 2) AS actual,
+        | round(abs(coalesce(fc.fc, 0) - coalesce(act.av, 0)) + 1e-9, 2) AS abs_err
+        |FROM fc FULL OUTER JOIN act ON act.event_type = fc.event_type AND act.hod = fc.hod
+        |ORDER BY event_type, hod""".stripMargin,
     "parts_abc" ->
       """WITH rev AS (
         | SELECT l_partkey AS p_partkey,

@@ -378,6 +378,34 @@ object TextAnalysis extends QueryPack {
       .orderBy(col("doc_id"), col("dim"))
   }
 
+  /** Token-budget corpus selection: per language, keep the
+    * highest-quality documents whose whole-bucket token mass fits a
+    * 2000-token budget. The scale discipline is aggregate-then-window:
+    * docs reduce map-side to (lang, quality-bucket) token totals (the
+    * 4-decimal quality score is its own bucket key, ≤10⁴ buckets), the
+    * per-language cumulative runs over that BOUNDED frame (never over
+    * documents), and the resulting per-language quality threshold
+    * broadcasts back onto the doc stream as a scan-level filter.
+    * Whole buckets are kept while the running total fits — greedy,
+    * deterministic, partial buckets excluded.
+    */
+  def sampleTokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val Budget = 2000L
+    val docs = quality(spark, dir).select(col("doc_id"), col("quality"), col("n_words"))
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val buckets = docs.groupBy(col("lang"), col("quality"))
+      .agg(sum(col("n_words")).as("btoks"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("quality").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val kept = buckets.withColumn("cum", sum(col("btoks")).over(w))
+      .filter(col("cum") <= Budget)
+    val thresholds = kept.groupBy(col("lang")).agg(min(col("quality")).as("qmin"))
+    docs.join(broadcast(thresholds), Seq("lang"))
+      .filter(col("quality") >= col("qmin"))
+      .select(col("doc_id"), col("lang"), col("quality"), col("n_words"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Top-3 tf-idf terms per document. Same skew-safe shape as
     * [[unigramLogprob]]: the (doc, tok) pre-aggregate shuffles on a
     * composite key, and the document-frequency join splits at rank 1024
@@ -504,6 +532,7 @@ object TextAnalysis extends QueryPack {
     "text_unigram_logprob" -> (unigramLogprob _),
     "text_bigram_logprob" -> (bigramLogprob _),
     "text_hash_embed" -> (hashEmbed _),
+    "sample_token_budget" -> (sampleTokenBudget _),
     "text_tfidf" -> (tfidfTop _),
     "pii_scrub" -> (piiScrub _),
     "decontaminate" -> (decontaminate _),
@@ -570,6 +599,24 @@ object TextAnalysis extends QueryPack {
         | CAST(sum(k) AS BIGINT) AS n_tokens
         |FROM dt JOIN freq USING (tok), total
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "sample_token_budget" ->
+      s"""WITH q AS ($qualityScoreSql),
+         |docs AS (
+         | SELECT d.doc_id, d.lang, q.quality,
+         |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_words
+         | FROM documents d JOIN q USING (doc_id)),
+         |buckets AS (
+         | SELECT lang, quality, sum(n_words) AS btoks FROM docs GROUP BY 1, 2),
+         |c AS (
+         | SELECT lang, quality,
+         |  sum(btoks) OVER (PARTITION BY lang ORDER BY quality DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         | FROM buckets),
+         |thresholds AS (
+         | SELECT lang, min(quality) AS qmin FROM c WHERE cum <= 2000 GROUP BY lang)
+         |SELECT d.doc_id, d.lang, d.quality, d.n_words
+         |FROM docs d JOIN thresholds t ON t.lang = d.lang AND d.quality >= t.qmin
+         |ORDER BY d.doc_id""".stripMargin,
     "text_bigram_logprob" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |bg AS (

@@ -137,6 +137,18 @@ class AnalyticsSpec extends SparkSpec {
     assert(total == Tables.events(spark, sf).count())
   }
 
+  test("forecast backtest: per-row error is |forecast - actual| and grain is type x hour") {
+    val rows = Analytics.eventsForecast(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val keys = rows.map(r => (r.getAs[String]("event_type"), r.getAs[Int]("hod")))
+    assert(keys.distinct.length == keys.length)
+    rows.foreach { r =>
+      val err = math.abs(r.getAs[Double]("forecast") - r.getAs[Double]("actual"))
+      assert(math.abs(err - r.getAs[Double]("abs_err")) < 0.02)
+      val h = r.getAs[Int]("hod"); assert(h >= 0 && h < 24)
+    }
+  }
+
   test("ABC classes follow the Pareto cumulative share without a global window") {
     val df = Analytics.partsAbc(spark, sf)
     val rows = df.collect()

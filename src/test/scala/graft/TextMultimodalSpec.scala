@@ -72,6 +72,21 @@ class TextMultimodalSpec extends SparkSpec {
     } else succeed // whole vocabulary fits in the broadcast head: no shuffled tail at all
   }
 
+  test("token-budget sample keeps whole top-quality buckets within 2000 tokens per lang") {
+    val rows = TextAnalysis.sampleTokenBudget(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, rs) =>
+      // kept docs are the top-quality prefix: every kept doc's quality is
+      // >= the per-lang minimum kept quality, and whole-bucket totals fit
+      val qmin = rs.map(_.getAs[Double]("quality")).min
+      val kept = rs.map(_.getAs[Long]("n_words")).sum
+      // bucket granularity means the NEXT bucket would overflow, but the
+      // kept set itself must fit the budget
+      assert(kept <= 2000, s"$lang kept $kept tokens > budget")
+      assert(rs.forall(_.getAs[Double]("quality") >= qmin))
+    }
+  }
+
   test("bigram logprob counts exactly n_words - 1 transitions per doc") {
     val rows = TextAnalysis.bigramLogprob(spark, sf).collect()
     assert(rows.nonEmpty)
