@@ -77,6 +77,11 @@ class AnalyticsSpec extends SparkSpec {
     assert(bals.sameElements(bals.sortBy(-_)))
   }
 
+  test("q2 per-part argmin runs as aggregation, never a per-part window") {
+    val plan = Analytics.q2(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"q2 must not rank with a window:\n$plan")
+  }
+
   test("q11 keeps only parts above 1.5x the mean value, via one broadcast scalar") {
     val df = Analytics.q11(spark, sf)
     val rows = df.collect()

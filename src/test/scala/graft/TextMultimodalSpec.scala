@@ -72,6 +72,23 @@ class TextMultimodalSpec extends SparkSpec {
     } else succeed // whole vocabulary fits in the broadcast head: no shuffled tail at all
   }
 
+  test("bigram prefix-join tail keys honor the same total/HeadK bound") {
+    import org.apache.spark.sql.functions._
+    // prefix totals c(a,.) drive the vocab-level join; the head (top
+    // 1024 prefixes) is broadcast, so a shuffled tail prefix must have
+    // total <= corpus_bigrams/1024 — same structural bound as unigram
+    val t = Tables.documents(spark, sf)
+      .select(split(col("text"), " ").as("w"))
+      .select(explode(expr("zip_with(slice(w, 1, size(w)-1), slice(w, 2, size(w)-1), (a, b) -> a)")).as("a"))
+    val pref = t.groupBy(col("a")).agg(count(lit(1)).as("c"))
+    val total = pref.agg(sum(col("c"))).collect().head.getLong(0)
+    val ordered = pref.orderBy(col("c").desc, col("a")).collect().map(_.getAs[Long]("c"))
+    val headK = 1024
+    if (ordered.length > headK)
+      assert(ordered.drop(headK).max <= total / headK)
+    else succeed
+  }
+
   test("token-budget sample keeps whole top-quality buckets within 2000 tokens per lang") {
     val rows = TextAnalysis.sampleTokenBudget(spark, sf).collect()
     assert(rows.nonEmpty)
