@@ -378,6 +378,44 @@ object TextAnalysis extends QueryPack {
       .orderBy(col("doc_id"), col("dim"))
   }
 
+  /** Corpus topic exploration — the full unsupervised pipeline
+    * composed end-to-end from this library's own stages: documents →
+    * [[hashEmbed]] (densified to 64-dim unit vectors) →
+    * [[Similarity.kmeansOn]] (deterministic first-k seeds, one Lloyd
+    * round, k=8) → cluster labeling by cluster-level tf-idf (term
+    * count within the cluster × ln(k / #clusters containing the
+    * term)), top 3 terms per cluster. Every stage is the scale shape
+    * the library already proves elsewhere: doc-scoped shuffles into
+    * the embed, a k×d broadcast per Lloyd round, and the labeling
+    * window partitions over k=8 clusters of vocab-bounded term lists.
+    */
+  def clusterTopics(spark: SparkSession, dir: String): DataFrame = {
+    val K = 8
+    val sparse = hashEmbed(spark, dir) // (doc_id, dim, weight) unit-norm
+    val dense = sparse.groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("dim"), col("weight")))).as("m"))
+      .select(col("doc_id").as("vec_id"),
+        transform(sequence(lit(0L), lit(63L)),
+          d => coalesce(element_at(col("m"), d), lit(0.0))).as("embedding"))
+    val (cells, _) = Similarity.kmeansOn(dense, k = K, iters = 1)
+    val dt = Tables.parallelized(spark,
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")), "doc_id")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("k"))
+    val joined = dt.join(cells.select(col("vec_id").as("doc_id"), col("cell")), Seq("doc_id"))
+    val ctf = joined.groupBy(col("cell"), col("tok")).agg(sum(col("k")).as("tf"))
+    val df = ctf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val sizes = cells.groupBy(col("cell")).agg(count(lit(1)).as("n_docs"))
+    val scored = ctf.join(df, Seq("tok"))
+      .withColumn("score", col("tf") * log(lit(K.toDouble) / col("df")))
+    val w = Window.partitionBy(col("cell")).orderBy(col("score").desc, col("tok"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .join(broadcast(sizes), Seq("cell"))
+      .select(col("cell").as("cluster"), col("n_docs"), col("tok"), col("tf"),
+        round(col("score") + 1e-9, 4).as("score"), col("rk"))
+      .orderBy(col("cluster"), col("rk"))
+  }
+
   /** Token-budget corpus selection: per language, keep the
     * highest-quality documents whose whole-bucket token mass fits a
     * 2000-token budget. The scale discipline is aggregate-then-window:
@@ -533,6 +571,7 @@ object TextAnalysis extends QueryPack {
     "text_bigram_logprob" -> (bigramLogprob _),
     "text_hash_embed" -> (hashEmbed _),
     "sample_token_budget" -> (sampleTokenBudget _),
+    "text_cluster_topics" -> (clusterTopics _),
     "text_tfidf" -> (tfidfTop _),
     "pii_scrub" -> (piiScrub _),
     "decontaminate" -> (decontaminate _),
@@ -599,6 +638,65 @@ object TextAnalysis extends QueryPack {
         | CAST(sum(k) AS BIGINT) AS n_tokens
         |FROM dt JOIN freq USING (tok), total
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_cluster_topics" ->
+      """WITH toks AS (
+        | SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |dt AS (SELECT doc_id, tok, count(*) AS k FROM toks GROUP BY doc_id, tok),
+        |hashed AS (
+        | SELECT doc_id,
+        |  ('0x' || substring(md5(tok), 1, 8))::BIGINT % 64 AS dim,
+        |  ('0x' || substring(md5(tok), 9, 1))::BIGINT % 2 * 2 - 1 AS sign,
+        |  k
+        | FROM dt),
+        |sdims AS (
+        | SELECT doc_id, dim, CAST(sum(sign * k) AS BIGINT) AS s
+        | FROM hashed GROUP BY 1, 2 HAVING sum(sign * k) <> 0),
+        |norms AS (SELECT doc_id, CAST(sum(s * s) AS BIGINT) AS sq FROM sdims GROUP BY 1),
+        |wts AS (
+        | SELECT doc_id, dim, round(s / sqrt(sq::DOUBLE) + 1e-9, 4) AS weight
+        | FROM sdims JOIN norms USING (doc_id)),
+        |dense AS (
+        | SELECT n.doc_id AS vec_id,
+        |  list(coalesce(w.weight, 0) ORDER BY g.d) AS emb
+        | FROM norms n
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS d) g
+        |  LEFT JOIN wts w ON w.doc_id = n.doc_id AND w.dim = g.d
+        | GROUP BY 1),
+        |seeds AS (
+        | SELECT CAST(vec_id AS INT) AS cell, emb FROM dense ORDER BY vec_id LIMIT 8),
+        |a0 AS (
+        | SELECT e.vec_id, s.cell, e.emb,
+        |  row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY list_distance(e.emb, s.emb), s.cell) AS rk
+        | FROM dense e, seeds s),
+        |asg0 AS (SELECT vec_id, cell, emb FROM a0 WHERE rk = 1),
+        |cdims AS (
+        | SELECT cell, i.i AS dim, avg(emb[i.i + 1]) AS m
+        | FROM asg0, (SELECT unnest(generate_series(0, 63)) AS i) i
+        | GROUP BY 1, 2),
+        |cents AS (SELECT cell, list(m ORDER BY dim) AS centroid FROM cdims GROUP BY 1),
+        |a1 AS (
+        | SELECT e.vec_id, c.cell,
+        |  row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY list_distance(e.emb, c.centroid), c.cell) AS rk
+        | FROM dense e, cents c),
+        |cells AS (SELECT vec_id, cell FROM a1 WHERE rk = 1),
+        |ctf AS (
+        | SELECT c.cell, d.tok, CAST(sum(d.k) AS BIGINT) AS tf
+        | FROM dt d JOIN cells c ON c.vec_id = d.doc_id GROUP BY 1, 2),
+        |cdf AS (SELECT tok, count(*) AS df FROM ctf GROUP BY 1),
+        |sizes AS (SELECT cell, count(*) AS n_docs FROM cells GROUP BY 1),
+        |scored AS (
+        | SELECT ctf.cell, ctf.tok, ctf.tf, ctf.tf * ln(8.0 / cdf.df) AS score
+        | FROM ctf JOIN cdf USING (tok)),
+        |ranked AS (
+        | SELECT *, CAST(row_number() OVER (PARTITION BY cell
+        |    ORDER BY score DESC, tok) AS INT) AS rk
+        | FROM scored)
+        |SELECT r.cell AS cluster, s.n_docs, r.tok, r.tf,
+        | round(r.score + 1e-9, 4) AS score, r.rk
+        |FROM ranked r JOIN sizes s ON s.cell = r.cell
+        |WHERE r.rk <= 3 ORDER BY cluster, rk""".stripMargin,
     "sample_token_budget" ->
       s"""WITH q AS ($qualityScoreSql),
          |docs AS (

@@ -72,6 +72,22 @@ class TextMultimodalSpec extends SparkSpec {
     } else succeed // whole vocabulary fits in the broadcast head: no shuffled tail at all
   }
 
+  test("cluster topics label every non-empty cluster with 3 ranked terms") {
+    val rows = TextAnalysis.clusterTopics(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byCluster = rows.groupBy(_.getAs[Int]("cluster"))
+    assert(byCluster.size <= 8)
+    byCluster.values.foreach { rs =>
+      assert(rs.map(_.getAs[Int]("rk")).sorted.sameElements(1 to rs.length))
+      assert(rs.forall(_.getAs[Long]("n_docs") > 0))
+      val scores = rs.sortBy(_.getAs[Int]("rk")).map(_.getAs[Double]("score"))
+      assert(scores.sameElements(scores.sortBy(-(_: Double))))
+    }
+    // clusters partition the embeddable docs
+    val total = byCluster.values.map(_.head.getAs[Long]("n_docs")).sum
+    assert(total == Tables.documents(spark, sf).count())
+  }
+
   test("bigram prefix-join tail keys honor the same total/HeadK bound") {
     import org.apache.spark.sql.functions._
     // prefix totals c(a,.) drive the vocab-level join; the head (top
