@@ -391,13 +391,17 @@ object TextAnalysis extends QueryPack {
     */
   def clusterTopics(spark: SparkSession, dir: String): DataFrame = {
     val K = 8
-    val sparse = hashEmbed(spark, dir) // (doc_id, dim, weight) unit-norm
-    val dense = sparse.groupBy(col("doc_id"))
-      .agg(map_from_entries(collect_list(struct(col("dim"), col("weight")))).as("m"))
-      .select(col("doc_id").as("vec_id"),
-        transform(sequence(lit(0L), lit(63L)),
-          d => coalesce(element_at(col("m"), d), lit(0.0))).as("embedding"))
-    val (cells, _) = Similarity.kmeansOn(dense, k = K, iters = 1)
+    // the doc-embedding quantizer is a derived index like the LSH bands
+    // and the vector cells: build once per corpus snapshot, reuse
+    val (cells, _) = graft.sources.IndexCache.getOrBuild(spark, "doc_topics_kmeans", dir) {
+      val sparse = hashEmbed(spark, dir) // (doc_id, dim, weight) unit-norm
+      val dense = sparse.groupBy(col("doc_id"))
+        .agg(map_from_entries(collect_list(struct(col("dim"), col("weight")))).as("m"))
+        .select(col("doc_id").as("vec_id"),
+          transform(sequence(lit(0L), lit(63L)),
+            d => coalesce(element_at(col("m"), d), lit(0.0))).as("embedding"))
+      Similarity.kmeansOn(dense, k = K, iters = 1)
+    }
     val dt = Tables.parallelized(spark,
       Tables.documents(spark, dir).select(col("doc_id"), col("text")), "doc_id")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
