@@ -759,6 +759,37 @@ object Analytics extends QueryPack {
       .orderBy(col("ante"), col("cons"))
   }
 
+  /** A/B experiment readout: users split deterministically by an md5
+    * hash bit (the same engine-portable assignment a real experiment
+    * platform derives from user id + experiment salt), per event_type
+    * the two arms' mean values compared with a two-sample z statistic
+    * (Welch denominator). One map-side combinable aggregate over
+    * (type, arm) → a 2k-row frame; the stats math is pure Column
+    * arithmetic on that frame. Flags |z| > 1.96.
+    */
+  def eventsAbTest(spark: SparkSession, dir: String): DataFrame = {
+    val arm = (conv(substring(md5(concat(lit("exp1:"),
+      col("user_id").cast("string"))), 1, 8), 16, 10).cast("long") % 2).cast("int")
+    val stats = Tables.events(spark, dir)
+      .withColumn("arm", arm)
+      .groupBy(col("event_type"), col("arm"))
+      .agg(count(lit(1)).as("n"), avg(col("value")).as("mean"),
+        var_samp(col("value")).as("vv"))
+    val a = stats.filter(col("arm") === 0)
+      .select(col("event_type"), col("n").as("n_a"), col("mean").as("mean_a"), col("vv").as("v_a"))
+    val b = stats.filter(col("arm") === 1)
+      .select(col("event_type"), col("n").as("n_b"), col("mean").as("mean_b"), col("vv").as("v_b"))
+    a.join(b, Seq("event_type"))
+      .withColumn("z", (col("mean_a") - col("mean_b")) /
+        sqrt(col("v_a") / col("n_a") + col("v_b") / col("n_b")))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        round(col("mean_a") + 1e-9, 4).as("mean_a"),
+        round(col("mean_b") + 1e-9, 4).as("mean_b"),
+        round(col("z") + 1e-9, 4).as("z"),
+        (abs(col("z")) > 1.96).as("significant"))
+      .orderBy(col("event_type"))
+  }
+
   /** Seasonal-naive forecast backtest: per (event_type, hour-of-day),
     * forecast = mean hourly value over the history days (absent hours
     * count as zero — total/n_days), actual = the held-out final day.
@@ -961,6 +992,7 @@ object Analytics extends QueryPack {
     "events_gapfill" -> (eventsGapfill _),
     "parts_abc" -> (partsAbc _),
     "events_forecast" -> (eventsForecast _),
+    "events_ab_test" -> (eventsAbTest _),
     "q7_nations" -> (q7 _),
     "q13_distribution" -> (q13 _),
     "q15_maxrev" -> (q15 _),
@@ -1021,6 +1053,22 @@ object Analytics extends QueryPack {
         |FROM val, (SELECT avg(value) AS mean_value FROM val) t
         |WHERE value > 1.5 * t.mean_value
         |ORDER BY value DESC, p_partkey""".stripMargin,
+    "events_ab_test" ->
+      """WITH armed AS (
+        | SELECT event_type, value,
+        |  CAST(('0x' || substring(md5('exp1:' || user_id), 1, 8))::BIGINT % 2 AS INT) AS arm
+        | FROM events),
+        |stats AS (
+        | SELECT event_type, arm, count(*) AS n, avg(value) AS mean, var_samp(value) AS vv
+        | FROM armed GROUP BY 1, 2),
+        |j AS (
+        | SELECT a.event_type, a.n AS n_a, b.n AS n_b, a.mean AS mean_a, b.mean AS mean_b,
+        |  (a.mean - b.mean) / sqrt(a.vv / a.n + b.vv / b.n) AS z
+        | FROM stats a JOIN stats b ON a.event_type = b.event_type AND a.arm = 0 AND b.arm = 1)
+        |SELECT event_type, n_a, n_b,
+        | round(mean_a + 1e-9, 4) AS mean_a, round(mean_b + 1e-9, 4) AS mean_b,
+        | round(z + 1e-9, 4) AS z, (abs(z) > 1.96) AS significant
+        |FROM j ORDER BY event_type""".stripMargin,
     "events_forecast" ->
       """WITH e AS (
         | SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,

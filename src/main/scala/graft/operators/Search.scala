@@ -224,7 +224,27 @@ object Search extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** Fuzzy term match (the `~` / fuzzy query of the search API):
+    * docs containing a token within Levenshtein distance 1 of the
+    * (misspelled) query term. The per-doc DISTINCT token set bounds
+    * the distance evaluations at vocabulary size per doc — the
+    * edit-distance kernel is codegen'd `levenshtein`, evaluated in
+    * the scan stage, and at 100 TB a deployed form would run against
+    * the suggester's materialized token table instead of the raw
+    * text.
+    */
+  def searchFuzzy(spark: SparkSession, dir: String): DataFrame = {
+    val dt = index(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .distinct()
+    dt.filter(levenshtein(col("tok"), lit("sprk")) <= 1)
+      .select(col("doc_id"), col("tok").as("matched_tok"),
+        levenshtein(col("tok"), lit("sprk")).as("dist"))
+      .orderBy(col("doc_id"), col("matched_tok"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "search_fuzzy" -> (searchFuzzy _),
     "search_suggest" -> (searchSuggest _),
     "search_highlight" -> (searchHighlight _),
     "search_ismatch_path" -> (searchIsMatchPath _),
@@ -238,6 +258,12 @@ object Search extends QueryPack {
     "search_score_bm25" -> (searchScoreBm25 _))
 
   val oracles: Map[String, String] = Map(
+    "search_fuzzy" ->
+      """WITH dt AS (
+        | SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |SELECT doc_id, tok AS matched_tok, CAST(levenshtein(tok, 'sprk') AS INT) AS dist
+        |FROM dt WHERE levenshtein(tok, 'sprk') <= 1
+        |ORDER BY doc_id, matched_tok""".stripMargin,
     "search_suggest" ->
       """WITH toks AS (
         | SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),

@@ -228,6 +228,32 @@ object Similarity extends QueryPack {
       .orderBy(col("adc_d2"), col("vec_id"))
   }
 
+  /** FILTERED vector search — the attribute-constrained ANN query
+    * every vector store names as a feature (label = 1 here): the
+    * filter applies BEFORE ranking (pre-filter), so the top-k is
+    * never starved by post-filtering a generic result list, and the
+    * query probes 4 cells instead of [[annIvf]]'s 2 because the
+    * predicate thins each probed cell's candidate population — the
+    * recall/selectivity trade every filtered-ANN deployment tunes.
+    * Plan shape is unchanged: broadcast probed cell ids, scan-level
+    * label predicate, bounded exact rank.
+    */
+  def annFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val (cells, centroids) = cellIndex(spark, dir, probes = 1)
+    val q = queryVec(spark, dir)
+    val probed = centroids.crossJoin(broadcast(q))
+      .select(col("cell"), Vectors.cosineExpr(col("centroid"), col("qv")).as("ccos"))
+      .orderBy(col("ccos").desc, col("cell")).limit(4).select(col("cell"))
+    cells.join(broadcast(probed), Seq("cell"))
+      .filter(col("vec_id") =!= QueryVecId)
+      .join(Tables.embeddings(spark, dir).filter(col("label") === 1), Seq("vec_id"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        round(Vectors.cosine(col("embedding"), col("qv")), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+  }
+
   /** Measured recall@10 of the IVF probe against the brute-force
     * baseline — the quality readout every approximate index ships
     * with (the number a 100 TB deployment watches when tuning nprobe /
@@ -503,6 +529,7 @@ object Similarity extends QueryPack {
     "ann_incremental" -> (annIncremental _),
     "ann_ivfpq" -> (annIvfPq _),
     "ann_recall" -> (annRecall _),
+    "ann_filtered" -> (annFiltered _),
     "knn_join" -> (knnJoin _),
     "knn_classify" -> (knnClassify _))
 
@@ -614,6 +641,18 @@ object Similarity extends QueryPack {
          |SELECT a.vec_id, e.label, a.adc_d2
          |FROM adc a JOIN embeddings e USING (vec_id)
          |ORDER BY a.adc_d2, a.vec_id LIMIT 10""".stripMargin,
+    "ann_filtered" ->
+      s"""WITH ${kmeansCellsSql(probes = 1)},
+         |q AS (SELECT embedding FROM embeddings WHERE vec_id = $QueryVecId),
+         |probed AS (
+         | SELECT c.cell FROM cents c, q
+         | ORDER BY list_cosine_similarity(c.centroid, q.embedding::DOUBLE[]) DESC, c.cell
+         | LIMIT 4)
+         |SELECT e.vec_id, e.label,
+         | round(list_cosine_similarity(e.embedding::DOUBLE[], qq.embedding::DOUBLE[]), 4) AS cos
+         |FROM embeddings e JOIN cells USING (vec_id) JOIN probed USING (cell), q qq
+         |WHERE e.vec_id <> $QueryVecId AND e.label = 1
+         |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin,
     "ann_recall" ->
       s"""WITH ${kmeansCellsSql(probes = 1)},
          |q AS (SELECT embedding FROM embeddings WHERE vec_id = $QueryVecId),

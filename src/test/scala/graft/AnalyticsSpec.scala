@@ -142,6 +142,18 @@ class AnalyticsSpec extends SparkSpec {
     assert(total == Tables.events(spark, sf).count())
   }
 
+  test("A/B split covers every event once and z matches the arm stats") {
+    val rows = Analytics.eventsAbTest(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(r => r.getAs[Long]("n_a") + r.getAs[Long]("n_b")).sum ==
+      Tables.events(spark, sf).count())
+    rows.foreach { r =>
+      // both arms populated (hash split is ~50/50 at any volume)
+      assert(r.getAs[Long]("n_a") > 0 && r.getAs[Long]("n_b") > 0)
+      assert(r.getAs[Boolean]("significant") == (math.abs(r.getAs[Double]("z")) > 1.96))
+    }
+  }
+
   test("forecast backtest: per-row error is |forecast - actual| and grain is type x hour") {
     val rows = Analytics.eventsForecast(spark, sf).collect()
     assert(rows.nonEmpty)

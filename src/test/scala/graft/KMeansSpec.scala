@@ -125,6 +125,14 @@ class KMeansSpec extends SparkSpec {
     assert(centCells == npops.keySet)
   }
 
+  test("filtered ANN returns only label-1 vectors, ranked by cosine") {
+    val rows = Similarity.annFiltered(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    assert(rows.forall(_.getAs[Int]("label") == 1))
+    val cs = rows.map(_.getAs[Double]("cos"))
+    assert(cs.sameElements(cs.sortBy(-(_: Double))))
+  }
+
   test("ann_recall reports the measured IVF/brute-force intersection in [0,1]") {
     val r = Similarity.annRecall(spark, sf).collect().head
     val n = r.getAs[Long]("n_common")

@@ -8,6 +8,17 @@ class SearchSpec extends SparkSpec {
 
   private lazy val docs = Tables.documents(spark, sf)
 
+  test("fuzzy match finds only edit-distance-1 neighbors of the misspelled term") {
+    val rows = Search.searchFuzzy(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("dist") <= 1)
+      // 'sprk' itself is not corpus vocabulary, so every hit is a repair
+      assert(r.getAs[String]("matched_tok") != "sprk")
+    }
+    assert(rows.exists(_.getAs[String]("matched_tok") == "spark"))
+  }
+
   test("suggester completes the prefix with corpus tokens, doc-frequency ranked") {
     val rows = Search.searchSuggest(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 5)
