@@ -759,6 +759,43 @@ object Analytics extends QueryPack {
       .orderBy(col("ante"), col("cons"))
   }
 
+  /** RANGE-frame rolling aggregation: each user's trailing-7-day event
+    * value sum at every event, via a range window over epoch seconds
+    * (`rangeBetween(-604800, 0)`) — the frame Spark evaluates by value
+    * distance, not row count, so sparse and dense users get the same
+    * time semantics. One shuffle on user_id; per-key state is the
+    * in-frame buffer bounded by a user's 7-day event volume.
+    */
+  def eventsRolling7d(spark: SparkSession, dir: String): DataFrame = {
+    val sec = (col("ts_ns") / 1000000000L).cast("long")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec"))
+      .rangeBetween(-604800L, 0L)
+    Tables.events(spark, dir)
+      .withColumn("sec", sec)
+      .withColumn("rolling_value", sum(col("value")).over(w))
+      .withColumn("rolling_n", count(lit(1)).over(w))
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), TsFmt).as("ts"),
+        col("rolling_n"), round(col("rolling_value") + 1e-9, 2).as("rolling_value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Order→ship latency distribution: per order the FIRST ship lag in
+    * whole days (min over its lines — a map-side combinable min), then
+    * the order count per lag-day bucket. Two aggregations, both
+    * partial-aggregated; the fact-fact join shuffles on orderkey.
+    */
+  def ordersShipLag(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderdate"))
+    val l = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_shipdate"))
+    val firstShip = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(min(datediff(col("l_shipdate"), col("o_orderdate"))).as("lag_days"))
+    firstShip.groupBy(col("lag_days"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("lag_days"))
+  }
+
   /** A/B experiment readout: users split deterministically by an md5
     * hash bit (the same engine-portable assignment a real experiment
     * platform derives from user id + experiment salt), per event_type
@@ -993,6 +1030,8 @@ object Analytics extends QueryPack {
     "parts_abc" -> (partsAbc _),
     "events_forecast" -> (eventsForecast _),
     "events_ab_test" -> (eventsAbTest _),
+    "events_rolling_7d" -> (eventsRolling7d _),
+    "orders_ship_lag" -> (ordersShipLag _),
     "q7_nations" -> (q7 _),
     "q13_distribution" -> (q13 _),
     "q15_maxrev" -> (q15 _),
@@ -1053,6 +1092,27 @@ object Analytics extends QueryPack {
         |FROM val, (SELECT avg(value) AS mean_value FROM val) t
         |WHERE value > 1.5 * t.mean_value
         |ORDER BY value DESC, p_partkey""".stripMargin,
+    "events_rolling_7d" ->
+      """WITH e AS (
+        | SELECT event_id, user_id, ts, value,
+        |  (epoch_ns(ts) // 1000000000) AS sec
+        | FROM events)
+        |SELECT event_id, user_id,
+        | strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+        | count(*) OVER w AS rolling_n,
+        | round(sum(value) OVER w + 1e-9, 2) AS rolling_value
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY sec
+        |  RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "orders_ship_lag" ->
+      """WITH fs AS (
+        | SELECT o_orderkey,
+        |  min(date_diff('day', o_orderdate, l_shipdate)) AS lag_days
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | GROUP BY 1)
+        |SELECT lag_days, count(*) AS n_orders
+        |FROM fs GROUP BY 1 ORDER BY lag_days""".stripMargin,
     "events_ab_test" ->
       """WITH armed AS (
         | SELECT event_type, value,

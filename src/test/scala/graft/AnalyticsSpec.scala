@@ -142,6 +142,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(total == Tables.events(spark, sf).count())
   }
 
+  test("7-day range frame: rolling count is cumulative within a week of history") {
+    val rows = Analytics.eventsRolling7d(spark, sf).collect()
+    assert(rows.length == Tables.events(spark, sf).count())
+    // every row includes at least itself; rolling_n never exceeds the
+    // user's total events
+    val totals = rows.groupBy(_.getAs[Long]("user_id")).view.mapValues(_.length).toMap
+    rows.foreach { r =>
+      val n = r.getAs[Long]("rolling_n")
+      assert(n >= 1 && n <= totals(r.getAs[Long]("user_id")))
+    }
+  }
+
+  test("ship-lag distribution counts every order exactly once") {
+    val rows = Analytics.ordersShipLag(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val totalOrders = Tables.lineitem(spark, sf)
+      .select("l_orderkey").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_orders")).sum == totalOrders)
+  }
+
   test("A/B split covers every event once and z matches the arm stats") {
     val rows = Analytics.eventsAbTest(spark, sf).collect()
     assert(rows.nonEmpty)
