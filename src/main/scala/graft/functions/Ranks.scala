@@ -42,6 +42,14 @@ object Ranks {
     * (The offset association sums partition subtotals first, so the
     * floating-point error differs from a strictly sequential sum by
     * ~1 ulp per partition — round before comparing across engines.)
+    *
+    * Contract: `orderCol` must be a TOTAL (duplicate-free) ordering
+    * key — tied rows get an arbitrary relative order inside their
+    * range partition, making per-row cum values nondeterministic among
+    * the ties (pass a struct with a tiebreak column, as partsAbc
+    * does). `valueCol` is summed as DOUBLE (the zero offset below is
+    * 0.0): integral inputs past 2^53 would lose exactness — round or
+    * rescale before calling.
     */
   def globalCumSum(df: DataFrame, orderCol: String, valueCol: String,
       outCol: String = "cum", partitions: Int = 32): DataFrame = {

@@ -380,15 +380,15 @@ object Dedup extends QueryPack {
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Vectors
     // multi-probe (2 nearest cells per vector): boundary pairs still
-    // meet in a shared bucket — measured 0.73 recall of the label-
+    // meet in a shared bucket — measured ≥0.6 recall of the label-
     // formulation's pairs vs 0.27 single-probe (DedupSpec recall test).
-    // k derives from corpus size (Similarity.cellCount ≈ sqrt(n/16),
-    // floor 8) so cell population — and the pairwise join it bounds —
-    // grows ~sqrt(n) instead of linearly; at the recall-spec SF the
-    // derived k is still 8, so the measured 0.73 stands. The cell index
-    // is built once per corpus snapshot and shared with knn_join
-    // (IndexCache).
-    val (cells, _) = Similarity.cellIndex(spark, dir, probes = 2)
+    // The BOUNDED index (Similarity.boundedCellIndex) caps every cell
+    // at CellBound members via deterministic binary splits, so the
+    // within-cell candidate join is O(n·CellBound) at ANY corpus size —
+    // the unbounded √n-cell design this replaces measured 19.3× cost
+    // for 10× data (BENCH_sf1, round 5). Built once per corpus snapshot
+    // on top of the kmeans base shared with knn_join (IndexCache).
+    val cells = Similarity.boundedCellIndex(spark, dir, probes = 2)
     val cand = cells.select(col("cell"), col("vec_id").as("a"))
       .join(cells.select(col("cell"), col("vec_id").as("b")), Seq("cell"))
       .filter(col("a") < col("b"))
@@ -879,10 +879,10 @@ object Dedup extends QueryPack {
          |      ELSE 'overlap' END AS relation
          |FROM m ORDER BY a, b""".stripMargin,
     "dedup_semdedup" ->
-      s"""WITH ${Similarity.kmeansCellsSql(probes = 2)},
+      s"""WITH ${Similarity.boundedCellsSql(probes = 2)},
          |cand AS (
          |  SELECT DISTINCT ca.vec_id AS a, cb.vec_id AS b
-         |  FROM cells ca JOIN cells cb ON cb.cell = ca.cell AND ca.vec_id < cb.vec_id),
+         |  FROM bcells ca JOIN bcells cb ON cb.cell = ca.cell AND ca.vec_id < cb.vec_id),
          |emb AS (
          | SELECT c.a, c.b,
          |  round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4) AS cos
@@ -961,10 +961,10 @@ object Dedup extends QueryPack {
          | JOIN sizes cb ON cb.doc_id = p.b
          |ORDER BY p.a, p.b""".stripMargin,
     "dedup_embedding" ->
-      s"""WITH ${Similarity.kmeansCellsSql(probes = 2)},
+      s"""WITH ${Similarity.boundedCellsSql(probes = 2)},
         |cand AS (
         |  SELECT DISTINCT ca.vec_id AS a, cb.vec_id AS b
-        |  FROM cells ca JOIN cells cb ON cb.cell = ca.cell AND ca.vec_id < cb.vec_id)
+        |  FROM bcells ca JOIN bcells cb ON cb.cell = ca.cell AND ca.vec_id < cb.vec_id)
         |SELECT c.a, c.b,
         | round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4) AS cos
         |FROM cand c

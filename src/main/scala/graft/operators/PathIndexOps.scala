@@ -234,7 +234,7 @@ object PathIndexOps extends QueryPack {
     * in Program.cs answers exactly this per path prefix): reconstruct
     * the index state at the 01-20 and 01-25 cutoffs, full-outer join
     * by key, classify each key (created / updated / deleted /
-    * recreated / tombstone / unchanged / noop), and aggregate counts
+    * redeleted / recreated / tombstone / unchanged / noop), and aggregate counts
     * per filesystem. Both states come from ONE change-log scan
     * (cutoff filters on the raw int64 ts_ns, pushed to parquet); the
     * join key is the high-cardinality index key — skew-free — and the
@@ -265,6 +265,10 @@ object PathIndexOps extends QueryPack {
           .when(col("id1").isNull && col("del2"), "noop")
           .when(col("id2") === col("id1") && col("del1"), "tombstone")
           .when(col("id2") === col("id1"), "unchanged")
+          // already a tombstone at t1 AND a newer delete landed by t2:
+          // the key was never live in between, so counting it under
+          // "deleted" would over-report deletions in the ops readout
+          .when(col("del1") && col("del2"), "redeleted")
           .when(col("del2"), "deleted")
           .when(col("del1") && !col("del2"), "recreated")
           .otherwise("updated").as("status"))
@@ -315,6 +319,7 @@ object PathIndexOps extends QueryPack {
          |   WHEN t1.id1 IS NULL AND t2.del2 THEN 'noop'
          |   WHEN t2.id2 = t1.id1 AND t1.del1 THEN 'tombstone'
          |   WHEN t2.id2 = t1.id1 THEN 'unchanged'
+         |   WHEN t1.del1 AND t2.del2 THEN 'redeleted'
          |   WHEN t2.del2 THEN 'deleted'
          |   WHEN t1.del1 AND NOT t2.del2 THEN 'recreated'
          |   ELSE 'updated' END AS status

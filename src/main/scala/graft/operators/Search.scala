@@ -185,8 +185,10 @@ object Search extends QueryPack {
 
   /** Azure-Search suggester / autocomplete (the Suggest + Autocomplete
     * APIs): top-5 completions of a typed prefix among the corpus's
-    * analyzed tokens, ranked by document frequency then total
-    * occurrences. The (doc, token) pre-aggregate bounds per-key
+    * analyzed tokens, ranked by document frequency with an
+    * alphabetical tiebreak (deterministic across engines; total
+    * occurrences is reported but not ranked on). The (doc, token)
+    * pre-aggregate bounds per-key
     * multiplicity at document frequency (the [[TextAnalysis]] skew
     * discipline), and the prefix filter shrinks the stream before the
     * token-level aggregate — at 100 TB a deployed suggester would

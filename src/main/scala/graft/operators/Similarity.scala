@@ -59,6 +59,91 @@ object Similarity extends QueryPack {
     }
   }
 
+  /** Max members a cell of the BOUNDED index ([[boundedCellIndex]]) may
+    * hold. Pairwise work inside a cell is ≤ CellBound²/2, so any
+    * within-cell stage (dedup_embedding's candidate join) costs
+    * O(n·CellBound) TOTAL no matter the corpus size — the fix for the
+    * measured O(n^1.5) of the unbounded √n-cell design (19.3× cost for
+    * 10× data at sf1). 128 keeps the recall spec's ≥0.6 floor while
+    * bounding the quadratic stage.
+    */
+  val CellBound = 128
+
+  /** Max binary split rounds for [[boundedCellIndex]]. Each round halves
+    * every oversized cell (roughly — seed-nearer assignment), so R
+    * rounds reduce the worst cell by up to 2^R = 4096×; the Scala side
+    * exits early once every cell is under the bound, while the oracle
+    * SQL unrolls all R rounds statically (a round with no oversized
+    * cells only remaps ids ×2, which is invisible to co-membership).
+    */
+  private[graft] val SplitRounds = 12
+
+  /** One deterministic binary split round: every cell whose population
+    * exceeds `bound` is split into children `2·cell` / `2·cell + 1` —
+    * each membership row goes to whichever of the cell's min- and
+    * max-vec_id member embeddings ("lo"/"hi" seeds, no RNG) is nearer
+    * (ties to lo). Cells at or under the bound are kept, remapped to
+    * `2·cell` so ids stay globally unique without any driver-side max.
+    * No broadcast hints: the seed/oversized frames start k-sized but
+    * grow toward n/bound rows in late rounds at corpus scale — AQE
+    * picks broadcast while they fit and falls back to a shuffle join
+    * when they don't.
+    */
+  private[graft] def splitOversizedRound(cells: DataFrame, e: DataFrame, bound: Long): DataFrame = {
+    def d2(a: Column, b: Column): Column = aggregate(
+      zip_with(a, b, (x, c) => (x.cast("double") - c.cast("double")) * (x.cast("double") - c.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+    val over = cells.groupBy(col("cell")).agg(count(lit(1)).as("pop"))
+      .filter(col("pop") > bound).select(col("cell"))
+    val seeds = cells.join(over, Seq("cell"))
+      .groupBy(col("cell")).agg(min(col("vec_id")).as("lo"), max(col("vec_id")).as("hi"))
+      .join(e.select(col("vec_id").as("lo"), col("embedding").as("lov")), Seq("lo"))
+      .join(e.select(col("vec_id").as("hi"), col("embedding").as("hiv")), Seq("hi"))
+      .select(col("cell"), col("lov"), col("hiv"))
+    val split = cells.join(seeds, Seq("cell"))
+      .join(e, Seq("vec_id"))
+      .select(col("vec_id"),
+        (col("cell") * 2 + when(d2(col("embedding"), col("hiv")) < d2(col("embedding"), col("lov")), 1)
+          .otherwise(0)).cast("int").as("cell"))
+    val kept = cells.join(over, Seq("cell"), "left_anti")
+      .select(col("vec_id"), (col("cell") * 2).cast("int").as("cell"))
+    kept.union(split)
+  }
+
+  private def maxCellPop(cells: DataFrame): Long =
+    cells.groupBy(col("cell")).agg(count(lit(1)).as("pop"))
+      .agg(max(col("pop"))).first().getLong(0)
+
+  /** The BOUNDED cell index: [[cellIndex]]'s k-means memberships,
+    * then [[splitOversizedRound]] iterated until no cell holds more
+    * than `bound` members (≤ [[SplitRounds]] rounds). Returns the
+    * membership frame (vec_id, cell) — every vector keeps exactly
+    * `probes` memberships, only refined into smaller cells.
+    *
+    * This is the 100-TB form of the within-cell pairwise pattern: the
+    * unbounded index's cell population grows ~4√n (cellCount k=√(n/16)),
+    * so Σ pop² — the candidate join — is O(n^1.5), measured 19.3× cost
+    * for 10× data at sf1. With the bound, Σ pop·min(pop,C) ≤ n·probes·C:
+    * linear in the corpus with a constant quadratic factor. Build cost
+    * is O(n·2d) per round for the oversized population only (two seed
+    * distances per member), ~log2(4√n/C) rounds; the base k-means build
+    * is shared (IndexCache) with the unbounded probes twin.
+    */
+  def boundedCellIndex(spark: SparkSession, dir: String, probes: Int,
+      bound: Int = CellBound): DataFrame = {
+    graft.sources.IndexCache.getOrBuild(spark, s"kmeans_bounded_p${probes}_b$bound", dir) {
+      val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+      val (cells0, _) = cellIndex(spark, dir, probes)
+      var cur = cells0.select(col("vec_id"), col("cell"))
+      var round = 0
+      while (round < SplitRounds && maxCellPop(cur) > bound) {
+        cur = splitOversizedRound(cur, e, bound).localCheckpoint(true)
+        round += 1
+      }
+      cur
+    }
+  }
+
   /** IVF with a label-free coarse quantizer: cells come from
     * [[kmeans]] (deterministic first-k seeds + one Lloyd round, k from
     * corpus size) — no dependence on the synthetic `label` column,
@@ -562,6 +647,47 @@ object Similarity extends QueryPack {
        |     ORDER BY list_distance(e.embedding::DOUBLE[], c.centroid), c.cell) AS rk
        |  FROM embeddings e, cents c),
        |cells AS (SELECT vec_id, cell FROM a1 WHERE rk <= $probes)""".stripMargin
+
+  /** DuckDB twin of [[boundedCellIndex]]: [[kmeansCellsSql]] plus
+    * [[SplitRounds]] statically-unrolled binary split rounds (the Scala
+    * side exits early when no cell is oversized; a no-op round's ×2 id
+    * remap preserves co-membership, so both engines agree on every
+    * within-cell pair). Final CTE: `bcells` (vec_id, cell).
+    * `list_distance` (euclidean) replaces the Scala d²: strict
+    * comparisons agree under the monotone sqrt — the same equivalence
+    * every kmeans oracle in this file already rides.
+    */
+  def boundedCellsSql(probes: Int, bound: Int = CellBound,
+      rounds: Int = SplitRounds): String = {
+    // MATERIALIZED: each round references its predecessor three times
+    // and the embedding table three more — inlined CTEs would re-scan
+    // the parquet ~3 FDs × threads × rounds deep (measured: FD
+    // exhaustion at 12 rounds) and re-expand the round chain.
+    val blocks = (1 to rounds).map { i =>
+      val p = if (i == 1) "cells" else s"c${i - 1}"
+      s"""ov$i AS MATERIALIZED (SELECT cell FROM $p GROUP BY cell HAVING count(*) > $bound),
+         |bd$i AS (
+         | SELECT c.cell, min(c.vec_id) AS lo, max(c.vec_id) AS hi
+         | FROM $p c JOIN ov$i o ON o.cell = c.cell GROUP BY c.cell),
+         |c$i AS MATERIALIZED (
+         | SELECT c.vec_id,
+         |  CAST(c.cell * 2 + CASE WHEN
+         |    list_distance(e.emb, eh.emb) < list_distance(e.emb, el.emb)
+         |   THEN 1 ELSE 0 END AS INT) AS cell
+         | FROM $p c JOIN bd$i b ON b.cell = c.cell
+         |  JOIN bemb e ON e.vec_id = c.vec_id
+         |  JOIN bemb el ON el.vec_id = b.lo
+         |  JOIN bemb eh ON eh.vec_id = b.hi
+         | UNION ALL
+         | SELECT vec_id, CAST(cell * 2 AS INT) AS cell FROM $p
+         | WHERE cell NOT IN (SELECT cell FROM ov$i))""".stripMargin
+    }.mkString(",\n")
+    s"""${kmeansCellsSql(probes)},
+       |bemb AS MATERIALIZED (
+       | SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |$blocks,
+       |bcells AS (SELECT vec_id, cell FROM c$rounds)""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "ann_pq" ->

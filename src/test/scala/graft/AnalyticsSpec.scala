@@ -44,16 +44,31 @@ class AnalyticsSpec extends SparkSpec {
       s"optimizer did not auto-broadcast at small SF:\n$plan")
   }
 
-  test("z-order buckets bound BOTH key ranges (the data-skipping property)") {
+  test("z-order layout: written files prune under a 2-D predicate where natural order cannot") {
+    import org.apache.spark.sql.functions.{col, countDistinct, input_file_name}
     val rows = Analytics.layoutZorder(spark, sf).collect()
-    assert(rows.length > 1)
-    // bucket = z div 2^12 fixes bits >= 6 of each interleaved key, so
-    // within any bucket each key spans < 64 — files sorted by z carry
-    // tight min/max stats on BOTH columns
-    rows.foreach { r =>
-      assert(r.getAs[Long]("p_max") - r.getAs[Long]("p_min") < 64)
-      assert(r.getAs[Long]("s_max") - r.getAs[Long]("s_min") < 64)
-    }
+    assert(rows.length == 2)
+    val byLayout = rows.map(r => r.getAs[String]("layout") -> r).toMap
+    val nat = byLayout("natural"); val zo = byLayout("zorder")
+    // both copies hold the same table and agree on the true match count
+    assert(nat.getAs[Long]("rows_total") == zo.getAs[Long]("rows_total"))
+    assert(nat.getAs[Long]("rows_match") == zo.getAs[Long]("rows_match"))
+    assert(zo.getAs[Long]("rows_match") > 0)
+    // the point of the layout: the z-ordered copy's zone maps keep
+    // strictly fewer files than insertion order under the 2-D box
+    assert(zo.getAs[Long]("files_kept") < nat.getAs[Long]("files_kept"),
+      s"zorder kept ${zo.getAs[Long]("files_kept")} vs natural ${nat.getAs[Long]("files_kept")}")
+    // physical reality, not simulation: matching rows of the WRITTEN
+    // z-ordered copy live in at most files_kept distinct parquet files,
+    // and each file_id is exactly one physical file
+    val (_, zoDf) = Analytics.writtenLayouts(spark, sf)
+    val matchFiles = zoDf
+      .filter(col("l_partkey").between(32, 95) && col("l_suppkey").between(2, 5))
+      .select(input_file_name()).distinct().count()
+    assert(matchFiles > 0 && matchFiles <= zo.getAs[Long]("files_kept"))
+    val perId = zoDf.select(col("file_id"), input_file_name().as("f"))
+      .groupBy(col("file_id")).agg(countDistinct(col("f")).as("nf")).collect()
+    assert(perId.forall(_.getAs[Long]("nf") == 1L), "one physical parquet file per file_id")
   }
 
   test("changepoint cusum telescopes to ~0 over each full series") {

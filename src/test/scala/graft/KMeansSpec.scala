@@ -72,6 +72,36 @@ class KMeansSpec extends SparkSpec {
     assert(got == brute)
   }
 
+  test("bounded cell index caps every cell population at CellBound") {
+    val cells = Similarity.boundedCellIndex(spark, sf, probes = 2)
+    val pops = cells.groupBy(col("cell")).count().collect().map(_.getLong(1))
+    assert(pops.max <= Similarity.CellBound,
+      s"max cell population ${pops.max} exceeds bound ${Similarity.CellBound}")
+    // splitting refines memberships, never drops them: every vector
+    // still carries exactly `probes` cell memberships
+    assert(cells.count() == 2 * Tables.embeddings(spark, sf).count())
+  }
+
+  test("split round halves oversized cells deterministically and keeps the rest") {
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cell"),
+        transform(col("embedding"), x => x.cast("double")).as("centroid"))
+    val cells = Similarity.assignToCells(e, cents, probes = 1).select(col("vec_id"), col("cell"))
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toSet
+    val bound = 40L
+    val once = Similarity.splitOversizedRound(cells, e, bound)
+    assert(key(once) == key(Similarity.splitOversizedRound(cells, e, bound)))
+    // each original membership maps to exactly one child (2c or 2c+1)
+    val parent = key(cells).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    key(once).foreach { case (v, c) => assert(parent(v).contains(c / 2)) }
+    // an under-bound input is only id-remapped, never reassigned
+    val small = cells.filter(col("cell") === 0)
+    val smallOut = key(Similarity.splitOversizedRound(small, e, bound = 1000000L))
+    assert(smallOut == key(small).map { case (v, c) => (v, c * 2) })
+  }
+
   test("incremental index merge equals a fresh rebuild against the same codebook") {
     // The incremental contract (the vector twin of dedup_incremental's):
     // assigning the batch to the EXISTING centroids and appending must

@@ -83,8 +83,8 @@ class PathIndexSpec extends SparkSpec {
     val rows = PathIndexOps.indexSnapshotDiff(spark, sf).collect()
     assert(rows.nonEmpty)
     assert(rows.forall(_.getAs[Long]("n") > 0))
-    val allowed = Set("created", "updated", "deleted", "recreated",
-      "tombstone", "unchanged", "noop")
+    val allowed = Set("created", "updated", "deleted", "redeleted",
+      "recreated", "tombstone", "unchanged", "noop")
     assert(rows.forall(r => allowed.contains(r.getAs[String]("status"))))
     // every key of the later (01-25) snapshot is classified exactly once
     val t2Ns = java.time.Instant.parse("2024-01-25T00:00:00Z").getEpochSecond * 1000000000L
