@@ -76,13 +76,115 @@ object TextAnalysis extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
-  def tokenCounts(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir).select(
-      col("doc_id"),
+  /** Byte-pair merge table, priority order — trained offline with the
+    * textbook BPE procedure (count symbol-pair frequencies over the
+    * word vocabulary, repeatedly merge the most frequent pair,
+    * lexicographic tiebreak) on the public sf0.1 documents corpus and
+    * embedded as a constant so both engines tokenize identically. The
+    * corpus vocabulary saturates at 89 merges (every further pair is a
+    * singleton); a production table would carry ~50k rows in a
+    * broadcast side table with the identical apply semantics.
+    */
+  private[graft] val BpeMerges: Seq[String] = Seq(
+    "e r", "i n", "o r", "s t", "o w", "t a", "l u",
+    "m er", "a r", "p ar", "u p", "par k", "s park", "d ow",
+    "in dow", "w indow", "g e", "mer ge", "b l", "bl e", "ta ble",
+    "c o", "co lu", "colu m", "colum n", "c t", "ct or", "e ctor",
+    "v ector", "a m", "e am", "r eam", "st ream", "a lu", "alu e",
+    "v alue", "a ta", "d ata", "a l", "al l", "m all", "s mall",
+    "j o", "jo in", "f i", "fi l", "fil t", "filt er", "b i",
+    "bi g", "g r", "gr o", "gro up", "a s", "as h", "h ash",
+    "c u", "cu st", "cust o", "custo mer", "or t", "s ort", "d er",
+    "or der", "l ow", "s low", "in e", "l ine", "par t", "a st",
+    "f ast", "h e", "r ow", "t he", "a g", "ag g", "e y",
+    "k ey", "er y", "q u", "qu ery", "a n", "c an", "s can",
+    "a t", "at c", "atc h", "b atch", "d up")
+
+  private val BpeD = "\u0001" // token delimiter: never appears in text
+
+  /** Token count of one word under the embedded merge table, as a pure
+    * Column expression (no UDF): start from the character sequence,
+    * fold the APPLICABLE merge rules in priority order (a rule can only
+    * fire if its merged string is a substring of the word — tokens are
+    * always contiguous substrings — so the 89-rule scan prunes to a
+    * handful per word), each rule merging its occurrences left-to-right
+    * non-overlapping in one pass (the inner fold over the token list).
+    * Sequential-by-priority application is the standard fast
+    * approximation of the re-ranked BPE apply loop, and is exactly
+    * mirrored by the DuckDB twin ([[bpeVocabSql]]).
+    */
+  private[graft] def bpeTokenCount(w: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val rules = array(BpeMerges.map(lit): _*)
+    val applicable = filter(rules, r => w.contains(translate(r, " ", "")))
+    val init = array_join(filter(split(w, ""), c => c =!= ""), BpeD)
+    val folded = aggregate(applicable, init, (acc, r) => {
+      val a = substring_index(r, " ", 1)
+      val b = substring_index(r, " ", -1)
+      aggregate(split(acc, BpeD), lit(""), (a2, t) =>
+        when(((a2 === a) || a2.endsWith(concat(lit(BpeD), a))) && (t === b),
+          concat(a2.substr(lit(1), length(a2) - length(a)), a, b))
+          .when(a2 === "", t)
+          .otherwise(concat(a2, lit(BpeD), t)))
+    })
+    when(length(w) === 0, lit(0L)).otherwise(size(split(folded, BpeD)).cast("long"))
+  }
+
+  /** DuckDB twin of the BPE tokenization: CTEs `dw` (doc_id, w, k),
+    * `bvocab` (w, wtoks — the nested list_reduce fold, byte-identical
+    * semantics to [[bpeTokenCount]]) and `bperdoc` (doc_id,
+    * bpe_tokens). MATERIALIZED: the vocabulary fold must run once per
+    * distinct word, like the Spark side.
+    */
+  private[graft] def bpeVocabSql: String = {
+    val rulesSql = BpeMerges.map(r => s"'$r'").mkString(", ")
+    s"""dw AS (
+       | SELECT doc_id, w, count(*) AS k
+       | FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+       | GROUP BY 1, 2),
+       |bvocab AS MATERIALIZED (
+       | SELECT w,
+       |  CASE WHEN length(w) = 0 THEN 0 ELSE len(string_split(
+       |   list_reduce(list_prepend(
+       |     array_to_string(string_split(w, ''), chr(1)),
+       |     list_filter([$rulesSql], r -> contains(w, replace(r, ' ', '')))),
+       |    (acc, r) -> list_reduce(list_prepend('', string_split(acc, chr(1))),
+       |      (a2, t) -> CASE
+       |       WHEN (a2 = string_split(r, ' ')[1] OR suffix(a2, chr(1) || string_split(r, ' ')[1]))
+       |            AND t = string_split(r, ' ')[2]
+       |       THEN left(a2, length(a2) - length(string_split(r, ' ')[1])) || string_split(r, ' ')[1] || t
+       |       WHEN a2 = '' THEN t
+       |       ELSE a2 || chr(1) || t END)),
+       |   chr(1))) END AS wtoks
+       | FROM (SELECT DISTINCT w FROM dw)),
+       |bperdoc AS (
+       | SELECT doc_id, CAST(sum(k * wtoks) AS BIGINT) AS bpe_tokens
+       | FROM dw JOIN bvocab USING (w) GROUP BY 1)""".stripMargin
+  }
+
+  /** Per-document token counts: whitespace tokens, REAL byte-pair
+    * tokens under the embedded merge table, and character length. The
+    * scale shape is tokenize-the-vocabulary, not the corpus: the BPE
+    * fold runs once per DISTINCT word (a Zipf-bounded frame), and doc
+    * counts are a sum of per-word counts weighted by occurrence — the
+    * corpus-sized pass is one splitting scan plus a composite-key
+    * aggregate, never a per-occurrence tokenization.
+    */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val dw = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("k"))
+    val vocab = dw.select(col("w")).distinct()
+      .withColumn("wtoks", bpeTokenCount(col("w")))
+    val perDoc = dw.join(vocab, Seq("w"))
+      .groupBy(col("doc_id")).agg(sum(col("k") * col("wtoks")).as("bpe_tokens"))
+    docs.select(col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("ws_tokens"),
-      regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long").as("bpe_tokens"),
       length(col("text")).cast("long").as("n_chars_text"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("bpe_tokens"))
+      .select(col("doc_id"), col("ws_tokens"), col("bpe_tokens"), col("n_chars_text"))
       .orderBy(col("doc_id"))
+  }
 
   /** Winnowing-style fingerprint: char-5-grams sampled at stride 3; the
     * fingerprint is the minimum gram hash (rolling-hash analog with an
@@ -433,10 +535,13 @@ object TextAnalysis extends QueryPack {
     */
   def sampleTokenBudget(spark: SparkSession, dir: String): DataFrame = {
     val Budget = 2000L
-    val docs = quality(spark, dir).select(col("doc_id"), col("quality"), col("n_words"))
+    // budget REAL tokens: the per-doc BPE counts from [[tokenCounts]]
+    // (embedded merge table), not whitespace words
+    val docs = quality(spark, dir).select(col("doc_id"), col("quality"))
+      .join(tokenCounts(spark, dir).select(col("doc_id"), col("bpe_tokens").as("n_tokens")), Seq("doc_id"))
       .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")), Seq("doc_id"))
     val buckets = docs.groupBy(col("lang"), col("quality"))
-      .agg(sum(col("n_words")).as("btoks"))
+      .agg(sum(col("n_tokens")).as("btoks"))
     val w = Window.partitionBy(col("lang")).orderBy(col("quality").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val kept = buckets.withColumn("cum", sum(col("btoks")).over(w))
@@ -444,7 +549,7 @@ object TextAnalysis extends QueryPack {
     val thresholds = kept.groupBy(col("lang")).agg(min(col("quality")).as("qmin"))
     docs.join(broadcast(thresholds), Seq("lang"))
       .filter(col("quality") >= col("qmin"))
-      .select(col("doc_id"), col("lang"), col("quality"), col("n_words"))
+      .select(col("doc_id"), col("lang"), col("quality"), col("n_tokens"))
       .orderBy(col("doc_id"))
   }
 
@@ -703,12 +808,14 @@ object TextAnalysis extends QueryPack {
         |WHERE r.rk <= 3 ORDER BY cluster, rk""".stripMargin,
     "sample_token_budget" ->
       s"""WITH q AS ($qualityScoreSql),
+         |$bpeVocabSql,
          |docs AS (
          | SELECT d.doc_id, d.lang, q.quality,
-         |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_words
-         | FROM documents d JOIN q USING (doc_id)),
+         |  coalesce(p.bpe_tokens, 0) AS n_tokens
+         | FROM documents d JOIN q USING (doc_id)
+         |  LEFT JOIN bperdoc p USING (doc_id)),
          |buckets AS (
-         | SELECT lang, quality, sum(n_words) AS btoks FROM docs GROUP BY 1, 2),
+         | SELECT lang, quality, sum(n_tokens) AS btoks FROM docs GROUP BY 1, 2),
          |c AS (
          | SELECT lang, quality,
          |  sum(btoks) OVER (PARTITION BY lang ORDER BY quality DESC
@@ -716,7 +823,7 @@ object TextAnalysis extends QueryPack {
          | FROM buckets),
          |thresholds AS (
          | SELECT lang, min(quality) AS qmin FROM c WHERE cum <= 2000 GROUP BY lang)
-         |SELECT d.doc_id, d.lang, d.quality, d.n_words
+         |SELECT d.doc_id, d.lang, d.quality, d.n_tokens
          |FROM docs d JOIN thresholds t ON t.lang = d.lang AND d.quality >= t.qmin
          |ORDER BY d.doc_id""".stripMargin,
     "text_bigram_logprob" ->
@@ -858,11 +965,13 @@ object TextAnalysis extends QueryPack {
          | round(least(n_words / 100.0, 1.0) * 0.4 + (1.0 - punct_ratio) * 0.3 + (1.0 - stop_ratio) * 0.3 + 1e-9, 4) AS quality
          |FROM r ORDER BY doc_id""".stripMargin,
     "text_tokens" ->
-      """SELECT doc_id,
-        | CAST(len(string_split(text,' ')) AS BIGINT) AS ws_tokens,
-        | CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens,
-        | CAST(len(text) AS BIGINT) AS n_chars_text
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      s"""WITH $bpeVocabSql
+        |SELECT d.doc_id,
+        | CAST(len(string_split(d.text,' ')) AS BIGINT) AS ws_tokens,
+        | coalesce(p.bpe_tokens, 0) AS bpe_tokens,
+        | CAST(len(d.text) AS BIGINT) AS n_chars_text
+        |FROM documents d LEFT JOIN bperdoc p USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "text_fingerprint" ->
       """WITH grams AS (
         | SELECT doc_id, substring(text, p.p, 5) AS gram

@@ -48,9 +48,41 @@ class TextMultimodalSpec extends SparkSpec {
     }
   }
 
-  test("token counts: bpe tokenization never yields fewer tokens than whitespace") {
+  test("token counts: Column-expression BPE equals the reference fold on every corpus word") {
+    import org.apache.spark.sql.functions._
+    // plain-Scala reference of the documented semantics: chars, then
+    // each applicable rule in priority order, one left-to-right
+    // non-overlapping merge pass per rule
+    def refBpe(w: String): Long = {
+      if (w.isEmpty) return 0L
+      var toks = w.map(_.toString).toList
+      for (r <- TextAnalysis.BpeMerges if w.contains(r.replace(" ", ""))) {
+        val Array(a, b) = r.split(" ")
+        val out = scala.collection.mutable.ListBuffer[String]()
+        for (t <- toks) {
+          if (out.nonEmpty && out.last == a && t == b) out(out.length - 1) = a + b
+          else out += t
+        }
+        toks = out.toList
+      }
+      toks.length.toLong
+    }
+    val vocab = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("w")).distinct()
+      .withColumn("wtoks", TextAnalysis.bpeTokenCount(col("w")))
+      .collect().map(r => r.getAs[String]("w") -> r.getAs[Long]("wtoks"))
+    assert(vocab.nonEmpty)
+    vocab.foreach { case (w, got) =>
+      assert(got == refBpe(w), s"word '$w': column fold $got != reference ${refBpe(w)}")
+    }
+    // merges actually fire: the corpus vocabulary compresses below chars
+    assert(vocab.exists { case (w, t) => w.length > 1 && t < w.length })
+    // per-doc: every word is at least one token, tokens never exceed chars
     val rows = TextAnalysis.tokenCounts(spark, sf).collect()
-    assert(rows.forall(r => r.getAs[Long]("bpe_tokens") >= r.getAs[Long]("ws_tokens") - 1))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("bpe_tokens") <= r.getAs[Long]("n_chars_text"))
+      assert(r.getAs[Long]("bpe_tokens") >= 1L)
+    }
   }
 
   test("unigram scoring tail keys are bounded by total/HeadK (the skew guarantee)") {
@@ -112,7 +144,7 @@ class TextMultimodalSpec extends SparkSpec {
       // kept docs are the top-quality prefix: every kept doc's quality is
       // >= the per-lang minimum kept quality, and whole-bucket totals fit
       val qmin = rs.map(_.getAs[Double]("quality")).min
-      val kept = rs.map(_.getAs[Long]("n_words")).sum
+      val kept = rs.map(_.getAs[Long]("n_tokens")).sum
       // bucket granularity means the NEXT bucket would overflow, but the
       // kept set itself must fit the budget
       assert(kept <= 2000, s"$lang kept $kept tokens > budget")
