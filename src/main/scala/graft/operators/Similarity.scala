@@ -536,6 +536,13 @@ object Similarity extends QueryPack {
     zip_with(col("embedding"), col("centroid"), (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
     lit(0.0), (acc, v) => acc + v)
 
+  /** Centroid count above which [[assignToCells]] switches to the
+    * two-level (coarse-then-fine) lookup: past ~4096 centroids the flat
+    * path's broadcast table and its n×k distance work both stop
+    * scaling (k = √(n/16) crosses 4096 at n ≈ 268M vectors).
+    */
+  private[graft] val TwoLevelK = 4096L
+
   /** Multi-probe nearest-cell assignment as a map-side-combinable
     * aggregate: the bounded `probes`-entry heap ([[graft.expressions.TopKIds]]
     * on -d²) partial-aggregates per input partition, so only one partial
@@ -546,8 +553,22 @@ object Similarity extends QueryPack {
     * identical to the window's orderBy(d2, cell). Package-private so
     * the plan-shape spec can assert partial-aggregate-before-exchange
     * and no Window on the executed plan.
+    *
+    * Past [[TwoLevelK]] centroids the flat broadcast is the wrong
+    * plan (a >2 MB, growing side table and n×k distance evaluations) —
+    * the call dispatches to [[assignToCellsTwoLevel]], the IVF-in-IVF
+    * coarse quantization of the centroid table itself. The centroid
+    * frames here are always materialized k-row builds, so the count
+    * that picks the path is a metadata-cheap action.
     */
-  private[graft] def assignToCells(e: DataFrame, centroids: DataFrame, probes: Int): DataFrame =
+  private[graft] def assignToCells(e: DataFrame, centroids: DataFrame, probes: Int,
+      twoLevelK: Long = TwoLevelK): DataFrame = {
+    if (centroids.count() > twoLevelK)
+      assignToCellsTwoLevel(e, centroids, probes)
+    else flatAssign(e, centroids, probes)
+  }
+
+  private def flatAssign(e: DataFrame, centroids: DataFrame, probes: Int): DataFrame =
     e.crossJoin(broadcast(centroids))
       .withColumn("d2", centroidD2)
       .groupBy(col("vec_id"))
@@ -555,6 +576,52 @@ object Similarity extends QueryPack {
       .select(col("vec_id"), posexplode(col("nearest")).as(Seq("pos", "cellL")))
       .select(col("vec_id"), col("cellL").cast("int").as("cell"),
         (col("pos") + 1).cast("int").as("rk"))
+
+  /** Two-level (coarse → fine) multi-probe assignment for the big-k
+    * regime: cluster the CENTROID TABLE under √k coarse seeds (first-√k
+    * by cell id, one exact k×√k assignment — tiny), assign each vector
+    * to its `coarseProbes` nearest coarse cells (n×√k work, √k-row
+    * broadcast), then rank only the fine centroids inside the probed
+    * coarse cells (≈ n·coarseProbes·√k candidate rows through a
+    * cell-keyed shuffle join — never n×k, and no k-row broadcast
+    * anywhere). Total distance work O(n·(1+coarseProbes)·√k) vs the
+    * flat path's O(n·k). Approximate at coarse boundaries exactly the
+    * way IVF probing is; coarseProbes widens recall. Output schema and
+    * tie-break (d² then cell asc) identical to [[flatAssign]] — with
+    * coarseProbes = √k (probe everything) the two paths are
+    * row-identical (KMeansSpec).
+    */
+  private[graft] def assignToCellsTwoLevel(e: DataFrame, centroids: DataFrame,
+      probes: Int, coarseProbes: Int = 2): DataFrame = {
+    val kc = math.max(2, math.ceil(math.sqrt(centroids.count().toDouble)).toInt)
+    val coarse = centroids.orderBy(col("cell")).limit(kc)
+      .select(col("cell").as("ccell"), col("centroid").as("ccentroid"))
+      .localCheckpoint(true)
+    // fine centroid → coarse cell (exact nearest, k×√k)
+    val fineToCoarse = centroids.crossJoin(broadcast(coarse))
+      .withColumn("d2", aggregate(
+        zip_with(col("centroid"), col("ccentroid"), (x, c) => (x - c) * (x - c)),
+        lit(0.0), (acc, v) => acc + v))
+      .groupBy(col("cell")).agg(min(struct(col("d2"), col("ccell"))).as("mc"))
+      .select(col("cell"), col("mc.ccell").as("ccell"))
+    // vector → coarse probes (flat against the √k-row coarse table; the
+    // coarse centroid ids are fine-cell ids, so reuse the flat kernel)
+    val vCoarse = flatAssign(e,
+      coarse.select(col("ccell").cast("int").as("cell"), col("ccentroid").as("centroid")),
+      coarseProbes)
+      .select(col("vec_id"), col("cell").as("ccell"))
+    // candidates = fine centroids of the probed coarse cells; rank with
+    // the same bounded heap and tie-break as the flat path
+    vCoarse.join(fineToCoarse, Seq("ccell"))
+      .join(e, Seq("vec_id"))
+      .join(centroids, Seq("cell"))
+      .withColumn("d2", centroidD2)
+      .groupBy(col("vec_id"))
+      .agg(Vectors.topKIds(negate(col("d2")), col("cell").cast("long"), probes).as("nearest"))
+      .select(col("vec_id"), posexplode(col("nearest")).as(Seq("pos", "cellL")))
+      .select(col("vec_id"), col("cellL").cast("int").as("cell"),
+        (col("pos") + 1).cast("int").as("rk"))
+  }
 
   def kmeans(spark: SparkSession, dir: String, k: Int, iters: Int, probes: Int = 1): (DataFrame, DataFrame) =
     kmeansOn(Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),

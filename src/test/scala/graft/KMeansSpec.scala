@@ -72,6 +72,33 @@ class KMeansSpec extends SparkSpec {
     assert(got == brute)
   }
 
+  test("two-level assignment: exhaustive coarse probing equals flat; 2-probe recall high") {
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").cast("int").as("cell"),
+        transform(col("embedding"), x => x.cast("double")).as("centroid"))
+      .localCheckpoint(true)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("rk")) -> r.getAs[Int]("cell")).toMap
+    val flat = key(Similarity.assignToCells(e, cents, probes = 2))
+    // kc = ceil(√16) = 4: probing all 4 coarse cells makes the fine
+    // candidate set exhaustive — the two paths must be row-identical
+    val exhaustive = key(Similarity.assignToCellsTwoLevel(e, cents, probes = 2, coarseProbes = 4))
+    assert(exhaustive == flat)
+    // the public entry dispatches to the two-level path past the
+    // threshold (forced tiny here = the big-k regime in miniature)
+    val dispatched = key(Similarity.assignToCells(e, cents, probes = 2, twoLevelK = 4))
+    val narrow = key(Similarity.assignToCellsTwoLevel(e, cents, probes = 2, coarseProbes = 2))
+    assert(dispatched == narrow)
+    // coarse-boundary loss: this miniature probes 2 of only 4 coarse
+    // cells (half the space — production kc = √k makes 2 probes a far
+    // smaller slice with far better recall), so the floor is loose
+    val r1flat = flat.collect { case ((v, 1), c) => v -> c }
+    val r1nar = narrow.collect { case ((v, 1), c) => v -> c }
+    val frac = r1flat.count { case (v, c) => r1nar.get(v).contains(c) }.toDouble / r1flat.size
+    assert(frac >= 0.6, s"two-level rank-1 agreement $frac")
+  }
+
   test("bounded cell index caps every cell population at CellBound") {
     val cells = Similarity.boundedCellIndex(spark, sf, probes = 2)
     val pops = cells.groupBy(col("cell")).count().collect().map(_.getLong(1))
