@@ -22,6 +22,12 @@ object Vectors {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Σ(aᵢ-bᵢ)² in one fused codegen'd pass; float or double arrays on
+    * either side — the kernel under every nearest-centroid assignment.
+    */
+  def sqDist(a: Column, b: Column): Column =
+    toCol(graft.expressions.SquaredDistance(ex(a), ex(b)))
+
   /** Bounded-heap top-k aggregate (graft.expressions.TopKIds): ids of
     * the k largest `ord` values per group, partial-aggregated map-side.
     */

@@ -382,12 +382,15 @@ object Dedup extends QueryPack {
     // multi-probe (2 nearest cells per vector): boundary pairs still
     // meet in a shared bucket — measured ≥0.6 recall of the label-
     // formulation's pairs vs 0.27 single-probe (DedupSpec recall test).
-    // The BOUNDED index (Similarity.boundedCellIndex) caps every cell
-    // at CellBound members via deterministic binary splits, so the
-    // within-cell candidate join is O(n·CellBound) at ANY corpus size —
-    // the unbounded √n-cell design this replaces measured 19.3× cost
-    // for 10× data (BENCH_sf1, round 5). Built once per corpus snapshot
-    // on top of the kmeans base shared with knn_join (IndexCache).
+    // The BOUNDED index (Similarity.boundedCellIndex) collapses exact-
+    // duplicate vectors to their min-vec_id representative (their
+    // mutual pairs are dedup_exact's domain; a no-op on dup-free
+    // corpora = every gated SF) and caps every cell at CellBound
+    // members via deterministic mean-splits, so the within-cell
+    // candidate join is O(n·CellBound) at ANY corpus size — the
+    // unbounded √n-cell design this replaces measured 19.3× cost for
+    // 10× data (BENCH_sf1, round 5). Built once per corpus snapshot on
+    // top of the kmeans base shared with knn_join (IndexCache).
     val cells = Similarity.boundedCellIndex(spark, dir, probes = 2)
     val cand = cells.select(col("cell"), col("vec_id").as("a"))
       .join(cells.select(col("cell"), col("vec_id").as("b")), Seq("cell"))

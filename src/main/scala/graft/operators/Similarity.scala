@@ -79,31 +79,37 @@ object Similarity extends QueryPack {
   private[graft] val SplitRounds = 12
 
   /** One deterministic binary split round: every cell whose population
-    * exceeds `bound` is split into children `2·cell` / `2·cell + 1` —
-    * each membership row goes to whichever of the cell's min- and
-    * max-vec_id member embeddings ("lo"/"hi" seeds, no RNG) is nearer
-    * (ties to lo). Cells at or under the bound are kept, remapped to
-    * `2·cell` so ids stay globally unique without any driver-side max.
-    * No broadcast hints: the seed/oversized frames start k-sized but
-    * grow toward n/bound rows in late rounds at corpus scale — AQE
-    * picks broadcast while they fit and falls back to a shuffle join
-    * when they don't.
+    * exceeds `bound` is split into children `2·cell` / `2·cell + 1`
+    * along the dimension of maximum RANGE (max−min, exact float
+    * arithmetic — engine-stable; ties break dim-ascending), at the
+    * cell's mean value in that dimension (the same avg-precision
+    * contract the centroid oracles already ride). A mean threshold on
+    * the widest dimension halves dense clusters — the min/max-vec_id
+    * seed-pair rule this replaces peeled ~3% per round on sf10's tight
+    * replica clusters (measured: 115 cells still oversized after 12
+    * rounds; the mean split converges in 7). Cells at or under the
+    * bound are kept, remapped to `2·cell` so ids stay globally unique
+    * without any driver-side max. No broadcast hints: the per-cell
+    * stat frames start k-sized but grow toward n/bound rows in late
+    * rounds at corpus scale — AQE picks broadcast while they fit and
+    * falls back to a shuffle join when they don't.
     */
   private[graft] def splitOversizedRound(cells: DataFrame, e: DataFrame, bound: Long): DataFrame = {
-    def d2(a: Column, b: Column): Column = aggregate(
-      zip_with(a, b, (x, c) => (x.cast("double") - c.cast("double")) * (x.cast("double") - c.cast("double"))),
-      lit(0.0), (acc, v) => acc + v)
     val over = cells.groupBy(col("cell")).agg(count(lit(1)).as("pop"))
       .filter(col("pop") > bound).select(col("cell"))
-    val seeds = cells.join(over, Seq("cell"))
-      .groupBy(col("cell")).agg(min(col("vec_id")).as("lo"), max(col("vec_id")).as("hi"))
-      .join(e.select(col("vec_id").as("lo"), col("embedding").as("lov")), Seq("lo"))
-      .join(e.select(col("vec_id").as("hi"), col("embedding").as("hiv")), Seq("hi"))
-      .select(col("cell"), col("lov"), col("hiv"))
-    val split = cells.join(seeds, Seq("cell"))
-      .join(e, Seq("vec_id"))
+    val members = cells.join(over, Seq("cell")).join(e, Seq("vec_id"))
+    val stats = members
+      .select(col("cell"), posexplode(transform(col("embedding"), x => x.cast("double"))).as(Seq("dim", "x")))
+      .groupBy(col("cell"), col("dim"))
+      .agg((max(col("x")) - min(col("x"))).as("spread"), avg(col("x")).as("m"))
+    // widest dim per cell: min(struct(-spread, dim, m)) — dim is unique
+    // within a cell, so the carried mean is never compared
+    val best = stats.groupBy(col("cell"))
+      .agg(min(struct(negate(col("spread")).as("ns"), col("dim"), col("m"))).as("b"))
+      .select(col("cell"), col("b.dim").as("sdim"), col("b.m").as("thr"))
+    val split = members.join(best, Seq("cell"))
       .select(col("vec_id"),
-        (col("cell") * 2 + when(d2(col("embedding"), col("hiv")) < d2(col("embedding"), col("lov")), 1)
+        (col("cell") * 2 + when(element_at(col("embedding"), col("sdim") + 1).cast("double") > col("thr"), 1)
           .otherwise(0)).cast("int").as("cell"))
     val kept = cells.join(over, Seq("cell"), "left_anti")
       .select(col("vec_id"), (col("cell") * 2).cast("int").as("cell"))
@@ -131,13 +137,27 @@ object Similarity extends QueryPack {
     */
   def boundedCellIndex(spark: SparkSession, dir: String, probes: Int,
       bound: Int = CellBound): DataFrame = {
+    // the base build resolves OUTSIDE the bounded entry's cache slot:
+    // ConcurrentHashMap.computeIfAbsent forbids reentrant insertion
+    // (hash-bin-dependent "Recursive update" — masked whenever an ANN
+    // query had already populated the kmeans slot)
+    val (cells0, _) = cellIndex(spark, dir, probes)
     graft.sources.IndexCache.getOrBuild(spark, s"kmeans_bounded_p${probes}_b$bound", dir) {
+      // exact-duplicate vectors collapse to their min-vec_id
+      // representative FIRST: their mutual pairs are dedup_exact's
+      // domain (content hash), and a replica cluster larger than the
+      // bound is unsplittable by ANY geometric rule (identical points).
+      // No-op on duplicate-free corpora — every gated SF — and the
+      // standard pipeline order (exact dedup upstream of near-dup) at
+      // 100 TB, where the groupBy is one content shuffle.
       val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-      val (cells0, _) = cellIndex(spark, dir, probes)
+      val reps = e.groupBy(col("embedding")).agg(min(col("vec_id")).as("vec_id"))
+        .select(col("vec_id"), col("embedding")).localCheckpoint(true)
       var cur = cells0.select(col("vec_id"), col("cell"))
+        .join(reps.select(col("vec_id")), Seq("vec_id"))
       var round = 0
       while (round < SplitRounds && maxCellPop(cur) > bound) {
-        cur = splitOversizedRound(cur, e, bound).localCheckpoint(true)
+        cur = splitOversizedRound(cur, reps, bound).localCheckpoint(true)
         round += 1
       }
       cur
@@ -221,8 +241,7 @@ object Similarity extends QueryPack {
     e.select(col("vec_id"), posexplode(slices).as(Seq("m", "sv")))
   }
 
-  private def pqD2(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, c) => (x - c) * (x - c)), lit(0.0), (s, v) => s + v)
+  private def pqD2(a: Column, b: Column): Column = Vectors.sqDist(a, b)
 
   /** (codebook, codes) for the snapshot — built once per corpus via
     * [[graft.sources.IndexCache]] like the other ANN index structures
@@ -532,9 +551,13 @@ object Similarity extends QueryPack {
     *   the edge of two cells lands in both, so near-dup pairs split by
     *   a boundary still meet in one bucket.
     */
-  private def centroidD2: Column = aggregate(
-    zip_with(col("embedding"), col("centroid"), (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
-    lit(0.0), (acc, v) => acc + v)
+  /** d²(embedding, centroid) via the native fused kernel
+    * ([[Vectors.sqDist]]) — bit-identical summation order to the
+    * zip_with+aggregate form, but whole-stage-codegen'd: the
+    * interpreted HOF pair was the measured straggler on few-split
+    * scans at sf10.
+    */
+  private def centroidD2: Column = Vectors.sqDist(col("embedding"), col("centroid"))
 
   /** Centroid count above which [[assignToCells]] switches to the
     * two-level (coarse-then-fine) lookup: past ~4096 centroids the flat
@@ -599,9 +622,7 @@ object Similarity extends QueryPack {
       .localCheckpoint(true)
     // fine centroid → coarse cell (exact nearest, k×√k)
     val fineToCoarse = centroids.crossJoin(broadcast(coarse))
-      .withColumn("d2", aggregate(
-        zip_with(col("centroid"), col("ccentroid"), (x, c) => (x - c) * (x - c)),
-        lit(0.0), (acc, v) => acc + v))
+      .withColumn("d2", Vectors.sqDist(col("centroid"), col("ccentroid")))
       .groupBy(col("cell")).agg(min(struct(col("d2"), col("ccell"))).as("mc"))
       .select(col("cell"), col("mc.ccell").as("ccell"))
     // vector → coarse probes (flat against the √k-row coarse table; the
@@ -634,7 +655,11 @@ object Similarity extends QueryPack {
     * identical to the `vec_id < k` filter the oracle mirrors).
     */
   private[graft] def kmeansOn(e0: DataFrame, k: Int, iters: Int, probes: Int = 1): (DataFrame, DataFrame) = {
-    val e = e0.persist()
+    // a large corpus parquet can collapse to fewer splits than cores
+    // (200k × 64-float vectors ≈ 50 MB = 1-2 splits at sf10), which
+    // would serialize the n×k assignment onto one task — spread it
+    // before the CPU-bound distance kernels
+    val e = Tables.parallelized(e0.sparkSession, e0, "vec_id").persist()
     // assign (Lloyd rounds): nearest centroid via min(struct(d2, cell,
     // embedding)) — map-side combinable like [[pqIndex]]'s encoder; cell
     // ids are unique per vector so the (d2, cell) prefix always decides
@@ -715,36 +740,42 @@ object Similarity extends QueryPack {
        |  FROM embeddings e, cents c),
        |cells AS (SELECT vec_id, cell FROM a1 WHERE rk <= $probes)""".stripMargin
 
-  /** DuckDB twin of [[boundedCellIndex]]: [[kmeansCellsSql]] plus
-    * [[SplitRounds]] statically-unrolled binary split rounds (the Scala
+  /** DuckDB twin of [[boundedCellIndex]]: [[kmeansCellsSql]] filtered to
+    * the min-vec_id representative of each distinct embedding, plus
+    * [[SplitRounds]] statically-unrolled mean-split rounds (the Scala
     * side exits early when no cell is oversized; a no-op round's ×2 id
     * remap preserves co-membership, so both engines agree on every
-    * within-cell pair). Final CTE: `bcells` (vec_id, cell).
-    * `list_distance` (euclidean) replaces the Scala d²: strict
-    * comparisons agree under the monotone sqrt — the same equivalence
-    * every kmeans oracle in this file already rides.
+    * within-cell pair). Final CTE: `bcells` (vec_id, cell). The split
+    * dimension uses exact max−min float arithmetic; the threshold is
+    * the same avg whose cross-engine stability every centroid oracle
+    * already rides.
     */
   def boundedCellsSql(probes: Int, bound: Int = CellBound,
       rounds: Int = SplitRounds): String = {
     // MATERIALIZED: each round references its predecessor three times
-    // and the embedding table three more — inlined CTEs would re-scan
-    // the parquet ~3 FDs × threads × rounds deep (measured: FD
+    // and the embedding table twice more — inlined CTEs would re-scan
+    // the parquet ~FDs × threads × rounds deep (measured: FD
     // exhaustion at 12 rounds) and re-expand the round chain.
     val blocks = (1 to rounds).map { i =>
-      val p = if (i == 1) "cells" else s"c${i - 1}"
+      val p = if (i == 1) "bc0" else s"c${i - 1}"
       s"""ov$i AS MATERIALIZED (SELECT cell FROM $p GROUP BY cell HAVING count(*) > $bound),
-         |bd$i AS (
-         | SELECT c.cell, min(c.vec_id) AS lo, max(c.vec_id) AS hi
-         | FROM $p c JOIN ov$i o ON o.cell = c.cell GROUP BY c.cell),
+         |st$i AS (
+         | SELECT c.cell, d.dim, max(e.emb[d.dim + 1]) - min(e.emb[d.dim + 1]) AS spread,
+         |  avg(e.emb[d.dim + 1]) AS m
+         | FROM $p c JOIN ov$i o ON o.cell = c.cell
+         |  JOIN bemb e ON e.vec_id = c.vec_id,
+         |  LATERAL (SELECT unnest(generate_series(0, 63)) AS dim) d
+         | GROUP BY 1, 2),
+         |bs$i AS (
+         | SELECT cell, dim AS sdim, m FROM (
+         |  SELECT cell, dim, m,
+         |   row_number() OVER (PARTITION BY cell ORDER BY spread DESC, dim) AS rk
+         |  FROM st$i) WHERE rk = 1),
          |c$i AS MATERIALIZED (
          | SELECT c.vec_id,
-         |  CAST(c.cell * 2 + CASE WHEN
-         |    list_distance(e.emb, eh.emb) < list_distance(e.emb, el.emb)
-         |   THEN 1 ELSE 0 END AS INT) AS cell
-         | FROM $p c JOIN bd$i b ON b.cell = c.cell
+         |  CAST(c.cell * 2 + CASE WHEN e.emb[b.sdim + 1] > b.m THEN 1 ELSE 0 END AS INT) AS cell
+         | FROM $p c JOIN bs$i b ON b.cell = c.cell
          |  JOIN bemb e ON e.vec_id = c.vec_id
-         |  JOIN bemb el ON el.vec_id = b.lo
-         |  JOIN bemb eh ON eh.vec_id = b.hi
          | UNION ALL
          | SELECT vec_id, CAST(cell * 2 AS INT) AS cell FROM $p
          | WHERE cell NOT IN (SELECT cell FROM ov$i))""".stripMargin
@@ -752,6 +783,9 @@ object Similarity extends QueryPack {
     s"""${kmeansCellsSql(probes)},
        |bemb AS MATERIALIZED (
        | SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |brep AS MATERIALIZED (
+       | SELECT min(vec_id) AS vec_id FROM embeddings GROUP BY embedding),
+       |bc0 AS (SELECT c.vec_id, c.cell FROM cells c JOIN brep USING (vec_id)),
        |$blocks,
        |bcells AS (SELECT vec_id, cell FROM c$rounds)""".stripMargin
   }
