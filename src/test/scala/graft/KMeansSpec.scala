@@ -127,6 +127,10 @@ class KMeansSpec extends SparkSpec {
     val small = cells.filter(col("cell") === 0)
     val smallOut = key(Similarity.splitOversizedRound(small, e, bound = 1000000L))
     assert(smallOut == key(small).map { case (v, c) => (v, c * 2) })
+    // plan shape: the split is hash aggregates + joins end to end — no
+    // per-cell Window sorting the hottest cell on one task
+    val plan = once.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"split round must not use a window:\n$plan")
   }
 
   test("incremental index merge equals a fresh rebuild against the same codebook") {
