@@ -3,6 +3,7 @@ package graft.operators
 import graft.{QueryPack, Tables}
 import graft.functions.{Keys, ODataFilter}
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The Azure-Search query surface the reference relies on, re-expressed
@@ -136,6 +137,36 @@ object Search extends QueryPack {
       .limit(50)
   }
 
+  /** HYBRID retrieval — the RAG-era query every search stack now runs:
+    * the lexical BM25 leg ([[searchScoreBm25]], top-50) and the vector
+    * leg ([[graft.operators.Similarity.annIvf]]'s cached-IVF probe,
+    * top-10; vec_id ↔ doc_id is the corpus's 1:1 mapping) fused by
+    * reciprocal-rank fusion, rrf = Σ 1/(60 + rank) (Cormack et al.
+    * 2009's k=60). Both legs are the EXISTING per-snapshot index
+    * probes — the fusion itself joins two ≤50-row frames, so the
+    * global rank windows and the full-outer join are constant-size
+    * driver-scale work regardless of corpus size; at 100 TB the cost
+    * of hybrid search is exactly the two index probes.
+    */
+  def searchHybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val RrfK = 60.0
+    val lex = searchScoreBm25(spark, dir)
+      .withColumn("bm25_rank",
+        row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("bm25_rank"))
+    val vec = graft.operators.Similarity.annIvf(spark, dir)
+      .withColumn("vec_rank",
+        row_number().over(Window.orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+      .select(col("vec_id").as("doc_id"), col("vec_rank"))
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("bm25_rank"), col("vec_rank"),
+        round(lit(1e-9) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("bm25_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("vec_rank")), lit(0.0)), 6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(10)
+  }
+
   /** Client-side keyset pagination, the exact loop of the reference's
     * ListPathsAsync (PathIndexClient.cs:66-96): fetch an ordered page,
     * remember the last key, next page filters `key gt last`. Unlike
@@ -257,7 +288,8 @@ object Search extends QueryPack {
     "search_ismatch" -> (searchIsMatch _),
     "search_ismatch_terms" -> (searchIsMatchTerms _),
     "search_score" -> (searchScore _),
-    "search_score_bm25" -> (searchScoreBm25 _))
+    "search_score_bm25" -> (searchScoreBm25 _),
+    "search_hybrid_rrf" -> (searchHybridRrf _))
 
   val oracles: Map[String, String] = Map(
     "search_fuzzy" ->
@@ -334,7 +366,20 @@ object Search extends QueryPack {
         |SELECT doc_id, lang, n_chars FROM a
         |WHERE list_contains(toks, 'spark') AND list_contains(toks, 'data') AND list_contains(toks, 'join')
         |ORDER BY doc_id""".stripMargin,
-    "search_score_bm25" ->
+    "search_score_bm25" -> bm25OracleSql,
+    "search_hybrid_rrf" ->
+      s"""WITH lex AS (
+         | SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS bm25_rank
+         | FROM ($bm25OracleSql)),
+         |vec AS (
+         | SELECT vec_id AS doc_id, row_number() OVER (ORDER BY cos DESC, vec_id) AS vec_rank
+         | FROM (${graft.operators.Similarity.oracles("ann_ivf")}))
+         |SELECT doc_id, bm25_rank, vec_rank,
+         | round(1e-9 + coalesce(1.0/(60 + bm25_rank), 0) + coalesce(1.0/(60 + vec_rank), 0), 6) AS rrf
+         |FROM lex FULL OUTER JOIN vec USING (doc_id)
+         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin)
+
+  private lazy val bm25OracleSql: String =
       s"""WITH a AS (
          | SELECT doc_id,
          |  len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> ''))::DOUBLE AS dl,
@@ -357,5 +402,5 @@ object Search extends QueryPack {
          |   (tf_spark + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * dl / avgdl)) +
          |  ln(1.0 + (n_docs - df_data + 0.5) / (df_data + 0.5)) * tf_data * ${Bm25K1 + 1.0} /
          |   (tf_data + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * dl / avgdl)), 4) > 0
-         |ORDER BY bm25 DESC, doc_id LIMIT 50""".stripMargin)
+         |ORDER BY bm25 DESC, doc_id LIMIT 50""".stripMargin
 }

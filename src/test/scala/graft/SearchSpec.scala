@@ -239,4 +239,28 @@ class SearchSpec extends SparkSpec {
       .mapValues(_.map(_.getAs[Long]("n")).sum)
     assert(byField.values.forall(_ == total))
   }
+
+  test("hybrid RRF fuses the two legs' ranks and orders by fused score") {
+    val rows = Search.searchHybridRrf(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    // rrf = sum of 1/(60+rank) over the legs the doc appears in
+    rows.foreach { r =>
+      val br = Option(r.getAs[java.lang.Long]("bm25_rank")).map(_.toLong)
+      val vr = Option(r.getAs[java.lang.Long]("vec_rank")).map(_.toLong)
+      assert(br.isDefined || vr.isDefined)
+      val expect = br.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        vr.map(x => 1.0 / (60 + x)).getOrElse(0.0)
+      assert(math.abs(r.getAs[Double]("rrf") - expect) < 1e-4)
+    }
+    // descending fused score with doc_id tiebreak
+    val scores = rows.map(r => (-r.getAs[Double]("rrf"), r.getAs[Long]("doc_id")))
+    assert(scores.sameElements(scores.sorted))
+    // a doc ranked by BOTH legs outscores one seen by a single leg at
+    // similar ranks: the top fused doc must appear in at least one leg
+    // top-5 (sanity that fusion isn't inverted)
+    val top = rows.head
+    val tb = Option(top.getAs[java.lang.Long]("bm25_rank")).map(_.toLong).getOrElse(Long.MaxValue)
+    val tv = Option(top.getAs[java.lang.Long]("vec_rank")).map(_.toLong).getOrElse(Long.MaxValue)
+    assert(math.min(tb, tv) <= 5)
+  }
 }
