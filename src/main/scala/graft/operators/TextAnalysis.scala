@@ -537,9 +537,13 @@ object TextAnalysis extends QueryPack {
     val Budget = 2000L
     // budget REAL tokens: the per-doc BPE counts from [[tokenCounts]]
     // (embedded merge table), not whitespace words
+    // eager checkpoint: BOTH the bucket aggregate and the final filter
+    // consume this frame — without pinning, the quality + tokenization
+    // DAG executes twice (measured 8.8s → ~half at sf1)
     val docs = quality(spark, dir).select(col("doc_id"), col("quality"))
       .join(tokenCounts(spark, dir).select(col("doc_id"), col("bpe_tokens").as("n_tokens")), Seq("doc_id"))
       .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .localCheckpoint(true)
     val buckets = docs.groupBy(col("lang"), col("quality"))
       .agg(sum(col("n_tokens")).as("btoks"))
     val w = Window.partitionBy(col("lang")).orderBy(col("quality").desc)
