@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryPack, Tables}
 import graft.functions.{Keys, ODataFilter}
+import graft.sources.TextIndex
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -16,8 +17,14 @@ import org.apache.spark.sql.functions._
   *   OFFSET scans, resumable from any key.
   * - Facets = groupBy counts; on a cluster each facet field is one
   *   partial-aggregated shuffle of (field, value) pairs.
-  * - search.ismatch / scoring: whitespace tokens; trailing-* prefix
-  *   patterns like the reference's 'partition_1*' runs.
+  * - Full-text queries (ismatch / scoring / fuzzy / suggest) PROBE the
+  *   per-snapshot materialized inverted index
+  *   ([[graft.sources.TextIndex]]: posting lists + dictionary + corpus
+  *   stats, built once, cached) — the reference's own architecture: an
+  *   `IsSearchable` field is a prebuilt Lucene index
+  *   (IndexModels/TextIndexModel.cs:9-13); queries never re-tokenize
+  *   the lake. The DuckDB oracles keep the scan-based formulation,
+  *   proving the index probe computes the identical result.
   */
 object Search extends QueryPack {
 
@@ -67,35 +74,54 @@ object Search extends QueryPack {
       .orderBy(col("facet_field"), col("facet_value"))
   }
 
-  def searchIsMatch(spark: SparkSession, dir: String): DataFrame =
+  /** `search.ismatch('sp*')` as an index probe: the prefix selects its
+    * postings from the whitespace index (a dictionary range, not a
+    * corpus scan), and only the matched doc_ids' metadata rows are
+    * read back from the documents table for the structured predicate +
+    * projection. The ODataFilter scan-predicate form remains for
+    * ad-hoc fields; searchable-field matches go through the index.
+    */
+  def searchIsMatch(spark: SparkSession, dir: String): DataFrame = {
+    val matched = TextIndex.postingsWs(spark, dir)
+      .filter(col("tok").startsWith("sp"))
+      .select(col("doc_id")).distinct()
     index(spark, dir)
-      .filter(ODataFilter.compile("search.ismatch('sp*') and n_chars ge 100"))
+      .join(matched, Seq("doc_id"), "left_semi")
+      .filter(col("n_chars") >= 100)
       .select(col("doc_id"), col("lang"), col("n_chars"))
       .orderBy(col("doc_id"))
-
-  /** Term-frequency relevance: tf of the term among whitespace tokens,
-    * ranked desc (doc_id tiebreak), top 50.
-    */
-  def searchScore(spark: SparkSession, dir: String): DataFrame = {
-    val toks = split(col("text"), " ")
-    val tf = size(filter(toks, t => t === "spark"))
-    index(spark, dir)
-      .select(col("doc_id"), tf.cast("long").as("tf"))
-      .filter(col("tf") > 0)
-      .orderBy(col("tf").desc, col("doc_id"))
-      .limit(50)
   }
 
+  /** Term-frequency relevance: tf of the term, ranked desc (doc_id
+    * tiebreak), top 50 — one posting-list lookup: the term's postings
+    * already carry (doc_id, tf), so the query reads |postings('spark')|
+    * rows and never touches the corpus text.
+    */
+  def searchScore(spark: SparkSession, dir: String): DataFrame =
+    TextIndex.postingsWs(spark, dir)
+      .filter(col("tok") === "spark")
+      .select(col("doc_id"), col("tf"))
+      .orderBy(col("tf").desc, col("doc_id"))
+      .limit(50)
+
   /** Analyzed multi-term AND match (Azure Search `search.ismatch('spark
-    * data join', 'text', 'simple', 'all')` semantics): both the query
-    * and the field go through the standard analyzer; a doc matches when
-    * every query term appears in its token set. One codegen'd
-    * projection + filter — no token explode, no shuffle.
+    * data join', 'text', 'simple', 'all')` semantics): query and field
+    * share the standard analyzer; a doc matches when every query term
+    * appears in its token set. Index form: intersect the terms' posting
+    * lists (postings are distinct per (doc, tok), so a doc matches all
+    * 3 terms ⟺ it has 3 posting rows among them) — cost is the matched
+    * postings, not the corpus.
     */
   def searchIsMatchTerms(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Analyzers
+    val terms = "spark data join".toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    val matched = TextIndex.postingsStd(spark, dir)
+      .filter(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("nt"))
+      .filter(col("nt") === terms.length)
+      .select(col("doc_id"))
     index(spark, dir)
-      .filter(Analyzers.isMatchTerms(col("text"), "spark data join", matchAll = true))
+      .join(matched, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("lang"), col("n_chars"))
       .orderBy(col("doc_id"))
   }
@@ -105,32 +131,42 @@ object Search extends QueryPack {
 
   /** BM25 relevance over the analyzed text field (k1=1.2, b=0.75,
     * Lucene-style idf = ln(1 + (N - df + 0.5)/(df + 0.5))) for the
-    * query "spark data", top 50.
+    * query "spark data", top 50 — a TRUE index probe, the way Lucene
+    * executes it (the reference offloads exactly this to Azure Search's
+    * BM25 ranking; IndexModels/TextIndexModel.cs:9-13 `IsSearchable`):
     *
-    * Shape at scale: the corpus statistics (N, avgdl, one df per query
-    * term) reduce to ONE k-column row in a single partial-aggregated
-    * pass, broadcast back; scoring is then a pure per-row projection —
-    * the whole query is two scans and zero shuffles (the reference
-    * offloads exactly this to Azure Search's Lucene BM25 ranking;
-    * IndexModels/TextIndexModel.cs:9-13 `IsSearchable`).
+    *  - per-term tf comes from the terms' POSTING LISTS (only docs
+    *    containing ≥1 query term are ever materialized — a doc with no
+    *    query term scores 0 and is excluded by the > 0 filter anyway);
+    *  - df per term comes from the cached dictionary, N/avgdl from the
+    *    cached one-row corpus stats — a 1-row broadcast;
+    *  - dl joins in from the cached doc-length table.
+    *
+    * Probe cost is O(Σ|postings(term)|) regardless of corpus size; the
+    * corpus text is tokenized once per snapshot at index build, never
+    * per query.
     */
   def searchScoreBm25(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.Analyzers
     val terms = Seq("spark", "data")
-    val toks = Analyzers.standardTokens(col("text"))
-    val withTf = index(spark, dir).select(
-      (col("doc_id") +: size(toks).cast("double").as("dl") +:
-        terms.map(t => size(filter(toks, x => x === t)).cast("double").as(s"tf_$t"))): _*)
-    val statAggs = count(lit(1)).cast("double").as("n_docs") +:
-      avg(col("dl")).as("avgdl") +:
-      terms.map(t => sum(when(col(s"tf_$t") > 0, 1.0).otherwise(0.0)).as(s"df_$t"))
-    val stats = withTf.agg(statAggs.head, statAggs.tail: _*)
+    val p = TextIndex.postingsStd(spark, dir).filter(col("tok").isin(terms: _*))
+    // one row per doc holding each term's tf (0.0 when the doc lacks it)
+    val tfAggs = terms.map(t =>
+      coalesce(sum(when(col("tok") === t, col("tf"))), lit(0L)).cast("double").as(s"tf_$t"))
+    val perDoc = p.groupBy(col("doc_id")).agg(tfAggs.head, tfAggs.tail: _*)
+      .join(TextIndex.docLensStd(spark, dir), Seq("doc_id"))
+    // dictionary probe: df per query term, pivoted to one row beside
+    // the corpus scalars — a 1-row broadcast onto the postings
+    val dfAggs = terms.map(t =>
+      coalesce(sum(when(col("tok") === t, col("df"))), lit(0L)).cast("double").as(s"df_$t"))
+    val stats = TextIndex.vocabStd(spark, dir).filter(col("tok").isin(terms: _*))
+      .agg(dfAggs.head, dfAggs.tail: _*)
+      .crossJoin(TextIndex.statsStd(spark, dir))
     val lenNorm = lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))
     val perTerm = terms.map { t =>
       val idf = log(lit(1.0) + (col("n_docs") - col(s"df_$t") + 0.5) / (col(s"df_$t") + 0.5))
       idf * col(s"tf_$t") * lit(Bm25K1 + 1.0) / (col(s"tf_$t") + lenNorm)
     }
-    withTf.crossJoin(broadcast(stats))
+    perDoc.crossJoin(broadcast(stats))
       .select(col("doc_id"), round(lit(1e-9) + perTerm.reduce(_ + _), 4).as("bm25"))
       .filter(col("bm25") > 0)
       .orderBy(col("bm25").desc, col("doc_id"))
@@ -142,8 +178,10 @@ object Search extends QueryPack {
     * leg ([[graft.operators.Similarity.annIvf]]'s cached-IVF probe,
     * top-10; vec_id ↔ doc_id is the corpus's 1:1 mapping) fused by
     * reciprocal-rank fusion, rrf = Σ 1/(60 + rank) (Cormack et al.
-    * 2009's k=60). Both legs are the EXISTING per-snapshot index
-    * probes — the fusion itself joins two ≤50-row frames, so the
+    * 2009's k=60). Both legs are per-snapshot index probes — the
+    * lexical leg reads the query terms' posting lists from the cached
+    * [[graft.sources.TextIndex]], the vector leg probes the cached IVF
+    * lists — and the fusion itself joins two ≤50-row frames, so the
     * global rank windows and the full-outer join are constant-size
     * driver-scale work regardless of corpus size; at 100 TB the cost
     * of hybrid search is exactly the two index probes.
@@ -218,23 +256,19 @@ object Search extends QueryPack {
     * APIs): top-5 completions of a typed prefix among the corpus's
     * analyzed tokens, ranked by document frequency with an
     * alphabetical tiebreak (deterministic across engines; total
-    * occurrences is reported but not ranked on). The (doc, token)
-    * pre-aggregate bounds per-key
-    * multiplicity at document frequency (the [[TextAnalysis]] skew
-    * discipline), and the prefix filter shrinks the stream before the
-    * token-level aggregate — at 100 TB a deployed suggester would
-    * serve from the materialized token table this query defines.
+    * occurrences is reported but not ranked on). Serves from the
+    * materialized DICTIONARY ([[graft.sources.TextIndex.vocabWs]]):
+    * the probe is a prefix filter + top-5 over the vocab table — no
+    * document is touched, which is how a deployed suggester answers in
+    * milliseconds at any corpus size.
     */
-  def searchSuggest(spark: SparkSession, dir: String): DataFrame = {
-    val dt = index(spark, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+  def searchSuggest(spark: SparkSession, dir: String): DataFrame =
+    TextIndex.vocabWs(spark, dir)
       .filter(col("tok").startsWith("s"))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("k"))
-    dt.groupBy(col("tok").as("suggestion"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("k")).as("n_occurrences"))
+      .select(col("tok").as("suggestion"), col("df").as("n_docs"),
+        col("occurrences").as("n_occurrences"))
       .orderBy(col("n_docs").desc, col("suggestion"))
       .limit(5)
-  }
 
   /** Hit highlighting (the search API's highlight= parameter): for
     * docs matching the term, an `<em>`-tagged snippet of ±5 tokens
@@ -259,24 +293,50 @@ object Search extends QueryPack {
 
   /** Fuzzy term match (the `~` / fuzzy query of the search API):
     * docs containing a token within Levenshtein distance 1 of the
-    * (misspelled) query term. The per-doc DISTINCT token set bounds
-    * the distance evaluations at vocabulary size per doc — the
-    * edit-distance kernel is codegen'd `levenshtein`, evaluated in
-    * the scan stage, and at 100 TB a deployed form would run against
-    * the suggester's materialized token table instead of the raw
-    * text.
+    * (misspelled) query term. Lucene's fuzzy execution shape: the
+    * edit-distance kernel (codegen'd `levenshtein`) runs against the
+    * DICTIONARY — |vocab| evaluations, not one per token occurrence —
+    * and the few surviving terms expand to their posting lists via a
+    * broadcast join. At 100 TB the distance work is bounded by
+    * vocabulary size (Heaps'-law sublinear), not corpus size.
     */
   def searchFuzzy(spark: SparkSession, dir: String): DataFrame = {
-    val dt = index(spark, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .distinct()
-    dt.filter(levenshtein(col("tok"), lit("sprk")) <= 1)
-      .select(col("doc_id"), col("tok").as("matched_tok"),
-        levenshtein(col("tok"), lit("sprk")).as("dist"))
+    val matched = TextIndex.vocabWs(spark, dir)
+      .filter(levenshtein(col("tok"), lit("sprk")) <= 1)
+      .select(col("tok"), levenshtein(col("tok"), lit("sprk")).as("dist"))
+    TextIndex.postingsWs(spark, dir)
+      .join(broadcast(matched), Seq("tok"))
+      .select(col("doc_id"), col("tok").as("matched_tok"), col("dist"))
       .orderBy(col("doc_id"), col("matched_tok"))
   }
 
+  /** Incremental inverted-index maintenance (the merge-or-upload
+    * discipline applied to postings — the reference's indexer merges
+    * document batches into the prebuilt search index, it never
+    * rebuilds it; BatchingUploader.cs merge-or-upload): the base
+    * snapshot's posting list (docs with doc_id % 10 != 0, built once,
+    * cached) absorbs the new batch (doc_id % 10 == 0) by tokenizing
+    * the BATCH ALONE and anti-join-replacing its doc_ids. The emitted
+    * dictionary stats ('sp'-prefix terms of the merged index) are
+    * oracle-checked against a fresh FULL-corpus build — proving
+    * batch-merge == rebuild, at O(batch) cost instead of O(corpus).
+    */
+  def searchIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = index(spark, dir)
+    val basePostings = graft.sources.IndexCache.getOrBuild(spark, "text_postings_std_base", dir) {
+      TextIndex.postingsStdOf(
+        Tables.parallelized(spark, docs.filter(col("doc_id") % 10 =!= 0), "doc_id"))
+        .localCheckpoint(true)
+    }
+    val merged = TextIndex.mergePostings(basePostings, docs.filter(col("doc_id") % 10 === 0))
+    merged.filter(col("tok").startsWith("s"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("occurrences"))
+      .orderBy(col("tok"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "search_incremental" -> (searchIncremental _),
     "search_fuzzy" -> (searchFuzzy _),
     "search_suggest" -> (searchSuggest _),
     "search_highlight" -> (searchHighlight _),
@@ -292,6 +352,14 @@ object Search extends QueryPack {
     "search_hybrid_rrf" -> (searchHybridRrf _))
 
   val oracles: Map[String, String] = Map(
+    "search_incremental" ->
+      """WITH toks AS (
+        | SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS tok
+        | FROM documents),
+        |p AS (SELECT tok, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2)
+        |SELECT tok, count(*) AS df, CAST(sum(tf) AS BIGINT) AS occurrences
+        |FROM p WHERE starts_with(tok, 's')
+        |GROUP BY tok ORDER BY tok""".stripMargin,
     "search_fuzzy" ->
       """WITH dt AS (
         | SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)

@@ -263,4 +263,63 @@ class SearchSpec extends SparkSpec {
     val tv = Option(top.getAs[java.lang.Long]("vec_rank")).map(_.toLong).getOrElse(Long.MaxValue)
     assert(math.min(tb, tv) <= 5)
   }
+
+  test("lexical probes never re-scan the corpus: no documents file scan in the plan") {
+    import graft.sources.TextIndex
+    // warm the per-snapshot index (the one tokenize pass per analyzer)
+    TextIndex.postingsWs(spark, sf).count()
+    TextIndex.vocabWs(spark, sf).count()
+    TextIndex.postingsStd(spark, sf).count()
+    TextIndex.vocabStd(spark, sf).count()
+    TextIndex.docLensStd(spark, sf).count()
+    TextIndex.statsStd(spark, sf).count()
+    // these four produce their full result from the cached index frames
+    // (checkpointed ExistingRDDs) — a documents.parquet FileScan in the
+    // executed plan would mean the query re-tokenizes the lake per
+    // invocation, the round-6 defect this index removes
+    Seq(
+      Search.searchScoreBm25(spark, sf),
+      Search.searchScore(spark, sf),
+      Search.searchSuggest(spark, sf),
+      Search.searchFuzzy(spark, sf)
+    ).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("documents.parquet"), s"corpus re-scan in probe plan:\n$plan")
+    }
+    // the metadata-returning matches scan documents ONCE for projection
+    // (lang/n_chars) but must not re-tokenize: the match set comes from
+    // the index, so the scan's ReadSchema carries no text column
+    Seq(Search.searchIsMatch(spark, sf), Search.searchIsMatchTerms(spark, sf)).foreach { df =>
+      val scans = df.queryExecution.executedPlan.toString.linesIterator
+        .filter(_.contains("documents.parquet")).mkString("\n")
+      assert(!scans.contains("text"), s"documents scan still reads text:\n$scans")
+    }
+  }
+
+  test("posting-list batch merge equals a fresh full build (new docs and re-ingest)") {
+    import graft.sources.TextIndex
+    val full = TextIndex.postingsStdOf(docs)
+    // disjoint split: base + new batch
+    val base = TextIndex.postingsStdOf(docs.filter(col("doc_id") % 10 =!= 0))
+    val merged = TextIndex.mergePostings(base, docs.filter(col("doc_id") % 10 === 0))
+    assert(merged.except(full).isEmpty && full.except(merged).isEmpty)
+    // re-ingest: batch doc_ids already exist with STALE text — merge
+    // must replace their postings, not append beside them
+    val stale = docs.withColumn("text",
+      when(col("doc_id") % 10 === 0, lit("outdated stale tokens")).otherwise(col("text")))
+    val mergedReingest = TextIndex.mergePostings(
+      TextIndex.postingsStdOf(stale), docs.filter(col("doc_id") % 10 === 0))
+    assert(mergedReingest.except(full).isEmpty && full.except(mergedReingest).isEmpty)
+  }
+
+  test("search_incremental: merged-index stats match the fresh-build stats") {
+    import graft.sources.TextIndex
+    val viaMerge = Search.searchIncremental(spark, sf)
+    val fresh = TextIndex.postingsStdOf(docs)
+      .filter(col("tok").startsWith("s"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("occurrences"))
+    assert(viaMerge.count() > 0)
+    assert(viaMerge.except(fresh).isEmpty && fresh.except(viaMerge).isEmpty)
+  }
 }
