@@ -97,6 +97,12 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorB
   * splits, multi-probe, PQ encode — stays inside whole-stage codegen;
   * the interpreted ZipWith/ArrayAggregate pair this replaces was the
   * measured single-task straggler on few-split scans at sf10.
+  *
+  * Length mismatch: the sum runs over min(|a|, |b|) elements — a
+  * PARTIAL distance, where the zip_with form null-padded and returned
+  * NULL. All engine call sites compare fixed 64-dim frames (the other
+  * vector kernels share the same truncation contract); callers mixing
+  * dimensions must validate lengths upstream.
   */
 case class SquaredDistance(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType

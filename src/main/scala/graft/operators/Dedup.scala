@@ -386,11 +386,19 @@ object Dedup extends QueryPack {
     // duplicate vectors to their min-vec_id representative (their
     // mutual pairs are dedup_exact's domain; a no-op on dup-free
     // corpora = every gated SF) and caps every cell at CellBound
-    // members via deterministic mean-splits, so the within-cell
+    // members via deterministic midpoint splits, so the within-cell
     // candidate join is O(n·CellBound) at ANY corpus size — the
     // unbounded √n-cell design this replaces measured 19.3× cost for
     // 10× data (BENCH_sf1, round 5). Built once per corpus snapshot on
     // top of the kmeans base shared with knn_join (IndexCache).
+    //
+    // OUTPUT CONTRACT on corpora WITH exact duplicates: pairs are
+    // emitted for REPRESENTATIVES only. If dup_b is byte-identical to
+    // a and (a, c) is a near-dup pair, (dup_b, c) is NOT emitted — a
+    // consumer reconstructs it transitively via dedup_exact's groups
+    // (rep ↔ duplicate members), which is also the standard pipeline
+    // order: exact dedup runs upstream, so near-dup input is already
+    // representative-only.
     val cells = Similarity.boundedCellIndex(spark, dir, probes = 2)
     val cand = cells.select(col("cell"), col("vec_id").as("a"))
       .join(cells.select(col("cell"), col("vec_id").as("b")), Seq("cell"))

@@ -82,12 +82,15 @@ object Similarity extends QueryPack {
     * exceeds `bound` is split into children `2·cell` / `2·cell + 1`
     * along the dimension of maximum RANGE (max−min, exact float
     * arithmetic — engine-stable; ties break dim-ascending), at the
-    * cell's mean value in that dimension (the same avg-precision
-    * contract the centroid oracles already ride). A mean threshold on
-    * the widest dimension halves dense clusters — the min/max-vec_id
-    * seed-pair rule this replaces peeled ~3% per round on sf10's tight
-    * replica clusters (measured: 115 cells still oversized after 12
-    * rounds; the mean split converges in 7). Cells at or under the
+    * MIDPOINT (min+max)/2 of that dimension. min/max are
+    * aggregation-order-independent, so the threshold is bit-identical
+    * across engines and across Spark runs — the mean threshold this
+    * replaces depended on partial-aggregation summation order and
+    * could flip a vector's child cell on a 1-ulp difference (a latent
+    * cross-engine flake, per round-6 ADVICE). A midpoint split on the
+    * widest dimension still halves dense clusters (converges in ≤8
+    * rounds on sf10's tight replica clusters — the min/max-vec_id
+    * seed-pair rule peeled ~3% per round). Cells at or under the
     * bound are kept, remapped to `2·cell` so ids stay globally unique
     * without any driver-side max. No broadcast hints: the per-cell
     * stat frames start k-sized but grow toward n/bound rows in late
@@ -101,10 +104,14 @@ object Similarity extends QueryPack {
     val stats = members
       .select(col("cell"), posexplode(transform(col("embedding"), x => x.cast("double"))).as(Seq("dim", "x")))
       .groupBy(col("cell"), col("dim"))
-      .agg((max(col("x")) - min(col("x"))).as("spread"), avg(col("x")).as("m"))
-    // widest dim per cell: min(struct(-spread, dim, m)) — dim is unique
-    // within a cell, so the carried mean is never compared
-    val best = stats.groupBy(col("cell"))
+      .agg(max(col("x")).as("mx"), min(col("x")).as("mn"))
+    // widest dim per cell: min(struct(-spread, dim, thr)) — dim is
+    // unique within a cell, so the carried threshold is never compared
+    val best = stats
+      .select(col("cell"), col("dim"),
+        (col("mx") - col("mn")).as("spread"),
+        ((col("mn") + col("mx")) / 2).as("m"))
+      .groupBy(col("cell"))
       .agg(min(struct(negate(col("spread")).as("ns"), col("dim"), col("m"))).as("b"))
       .select(col("cell"), col("b.dim").as("sdim"), col("b.m").as("thr"))
     val split = members.join(best, Seq("cell"))
@@ -117,8 +124,10 @@ object Similarity extends QueryPack {
   }
 
   private def maxCellPop(cells: DataFrame): Long =
+    // coalesce: max over an EMPTY membership frame (empty embeddings
+    // table) is NULL — treat as 0 so the split loop exits cleanly
     cells.groupBy(col("cell")).agg(count(lit(1)).as("pop"))
-      .agg(max(col("pop"))).first().getLong(0)
+      .agg(coalesce(max(col("pop")), lit(0L))).first().getLong(0)
 
   /** The BOUNDED cell index: [[cellIndex]]'s k-means memberships,
     * then [[splitOversizedRound]] iterated until no cell holds more
@@ -580,14 +589,18 @@ object Similarity extends QueryPack {
     * Past [[TwoLevelK]] centroids the flat broadcast is the wrong
     * plan (a >2 MB, growing side table and n×k distance evaluations) —
     * the call dispatches to [[assignToCellsTwoLevel]], the IVF-in-IVF
-    * coarse quantization of the centroid table itself. The centroid
-    * frames here are always materialized k-row builds, so the count
-    * that picks the path is a metadata-cheap action.
+    * coarse quantization of the centroid table itself. Callers that
+    * already know the centroid count ([[kmeansOn]], the incremental
+    * path — k always comes from [[cellCount]]) pass it via `k` so the
+    * dispatch is free; only a caller handing over an opaque centroid
+    * frame pays a count action (which re-executes the frame's lineage
+    * if it is not materialized — pass k instead).
     */
   private[graft] def assignToCells(e: DataFrame, centroids: DataFrame, probes: Int,
-      twoLevelK: Long = TwoLevelK): DataFrame = {
-    if (centroids.count() > twoLevelK)
-      assignToCellsTwoLevel(e, centroids, probes)
+      twoLevelK: Long = TwoLevelK, k: Long = -1L): DataFrame = {
+    val kk = if (k >= 0) k else centroids.count()
+    if (kk > twoLevelK)
+      assignToCellsTwoLevel(e, centroids, probes, k = kk)
     else flatAssign(e, centroids, probes)
   }
 
@@ -615,8 +628,9 @@ object Similarity extends QueryPack {
     * row-identical (KMeansSpec).
     */
   private[graft] def assignToCellsTwoLevel(e: DataFrame, centroids: DataFrame,
-      probes: Int, coarseProbes: Int = 2): DataFrame = {
-    val kc = math.max(2, math.ceil(math.sqrt(centroids.count().toDouble)).toInt)
+      probes: Int, coarseProbes: Int = 2, k: Long = -1L): DataFrame = {
+    val kk = if (k >= 0) k else centroids.count()
+    val kc = math.max(2, math.ceil(math.sqrt(kk.toDouble)).toInt)
     val coarse = centroids.orderBy(col("cell")).limit(kc)
       .select(col("cell").as("ccell"), col("centroid").as("ccentroid"))
       .localCheckpoint(true)
@@ -688,7 +702,7 @@ object Similarity extends QueryPack {
           .select(col("cell"), transform(col("dm"), s => s.getField("m")).as("centroid"))
           .localCheckpoint(true)
       }
-      val finalAssign = assignToCells(e, centroids, probes)
+      val finalAssign = assignToCells(e, centroids, probes, k = k)
         .localCheckpoint(true)
       // with zero iterations the centroid frame is still lazy over the
       // about-to-be-released input — pin it so both outputs are safe
@@ -742,13 +756,14 @@ object Similarity extends QueryPack {
 
   /** DuckDB twin of [[boundedCellIndex]]: [[kmeansCellsSql]] filtered to
     * the min-vec_id representative of each distinct embedding, plus
-    * [[SplitRounds]] statically-unrolled mean-split rounds (the Scala
-    * side exits early when no cell is oversized; a no-op round's ×2 id
-    * remap preserves co-membership, so both engines agree on every
-    * within-cell pair). Final CTE: `bcells` (vec_id, cell). The split
-    * dimension uses exact max−min float arithmetic; the threshold is
-    * the same avg whose cross-engine stability every centroid oracle
-    * already rides.
+    * [[SplitRounds]] statically-unrolled midpoint-split rounds (the
+    * Scala side exits early when no cell is oversized; a no-op round's
+    * ×2 id remap preserves co-membership, so both engines agree on
+    * every within-cell pair). Final CTE: `bcells` (vec_id, cell). Both
+    * the split dimension (max−min range) and the threshold
+    * ((min+max)/2 midpoint) are exact order-independent float
+    * arithmetic — bit-identical across engines by construction, with
+    * no dependence on aggregation order.
     */
   def boundedCellsSql(probes: Int, bound: Int = CellBound,
       rounds: Int = SplitRounds): String = {
@@ -761,7 +776,7 @@ object Similarity extends QueryPack {
       s"""ov$i AS MATERIALIZED (SELECT cell FROM $p GROUP BY cell HAVING count(*) > $bound),
          |st$i AS (
          | SELECT c.cell, d.dim, max(e.emb[d.dim + 1]) - min(e.emb[d.dim + 1]) AS spread,
-         |  avg(e.emb[d.dim + 1]) AS m
+         |  (min(e.emb[d.dim + 1]) + max(e.emb[d.dim + 1])) / 2 AS m
          | FROM $p c JOIN ov$i o ON o.cell = c.cell
          |  JOIN bemb e ON e.vec_id = c.vec_id,
          |  LATERAL (SELECT unnest(generate_series(0, 63)) AS dim) d
