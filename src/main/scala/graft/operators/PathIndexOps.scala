@@ -54,6 +54,33 @@ object PathIndexOps extends QueryPack {
       (col("event_type") === "error").as("is_delete"))
   }
 
+  /** KEY-GROWTH change-log variant: the file name embeds `user_id`
+    * instead of a fixed `event_id % 500` modulus, so the distinct-key
+    * space scales with the user population — which the scale generator
+    * grows with SF. This is the realistic lake shape
+    * (PathIndexModel.cs's key derivation over an EXPANDING path
+    * population): the fixed-modulus [[changeLog]] holds 2000 keys at
+    * every SF, so its per-key version chains grow linearly with SF — a
+    * documented testdata artifact that made the upsert family's
+    * measured scaling look superlinear. `upsert_paths_grown` runs the
+    * identical window-dedup plan on the growing key space, turning the
+    * "the plan is key-parallel and scale-safe" claim into a
+    * measurement.
+    */
+  def changeLogGrown(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val fs = concat(lit("fs"), (col("user_id") % 4).cast("string"))
+    val path = concat(
+      lit("data/part_"), (col("event_id") % 50).cast("string"),
+      lit("/file_u"), col("user_id").cast("string"), lit(".json"))
+    val encoded = Keys.pathUrlEncode(path)
+    e.select(
+      col("event_id"), col("ts"), col("ts_ns"), col("event_type"),
+      fs.as("filesystem"), path.as("path"), encoded.as("pathUrlEncoded"),
+      Keys.pathKey(fs, encoded).as("key"),
+      (col("event_type") === "error").as("is_delete"))
+  }
+
   /** Latest record per key (merge-or-upload end state). */
   def upsertState(log: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("key")).orderBy(col("ts_ns").desc, col("event_id").desc)
@@ -79,6 +106,19 @@ object PathIndexOps extends QueryPack {
 
   def upsertPaths(spark: SparkSession, dir: String): DataFrame =
     upsertState(changeLog(spark, dir))
+      .select(
+        col("key"), col("filesystem"), col("pathUrlEncoded"),
+        date_format(col("ts"), TsFmt).as("fileLastModified"),
+        col("n_versions"))
+      .orderBy(col("key"))
+
+  /** [[upsertPaths]] over the key-growth change-log ([[changeLogGrown]]):
+    * same plan (one shuffle on the high-cardinality key), key space
+    * ∝ SF — the scaling benchmark for merge-or-upload on a growing
+    * lake.
+    */
+  def upsertPathsGrown(spark: SparkSession, dir: String): DataFrame =
+    upsertState(changeLogGrown(spark, dir))
       .select(
         col("key"), col("filesystem"), col("pathUrlEncoded"),
         date_format(col("ts"), TsFmt).as("fileLastModified"),
@@ -281,6 +321,7 @@ object PathIndexOps extends QueryPack {
     "index_snapshot_diff" -> (indexSnapshotDiff _),
     "path_key" -> (pathKeyQ _),
     "upsert_paths" -> (upsertPaths _),
+    "upsert_paths_grown" -> (upsertPathsGrown _),
     "upsert_paths_metrics" -> (upsertPathsMetrics _),
     "list_paths_delta" -> (listPathsDelta _),
     "rebuild_index" -> (rebuildIndex _),
@@ -296,6 +337,17 @@ object PathIndexOps extends QueryPack {
       | replace('data/part_' || (event_id % 50) || '/file_' || (event_id % 500) || '.json', '/', '%2f') AS pathUrlEncoded,
       | to_base64(encode('fs' || (user_id % 4) || '%2f' ||
       |   replace('data/part_' || (event_id % 50) || '/file_' || (event_id % 500) || '.json', '/', '%2f'))) AS key,
+      | (event_type = 'error') AS is_delete
+      |FROM events""".stripMargin
+
+  /** [[logSql]]'s key-growth twin ([[changeLogGrown]]). */
+  private[operators] val logGrownSql =
+    """SELECT event_id, ts, event_type,
+      | 'fs' || (user_id % 4) AS filesystem,
+      | 'data/part_' || (event_id % 50) || '/file_u' || user_id || '.json' AS path,
+      | replace('data/part_' || (event_id % 50) || '/file_u' || user_id || '.json', '/', '%2f') AS pathUrlEncoded,
+      | to_base64(encode('fs' || (user_id % 4) || '%2f' ||
+      |   replace('data/part_' || (event_id % 50) || '/file_u' || user_id || '.json', '/', '%2f'))) AS key,
       | (event_type = 'error') AS is_delete
       |FROM events""".stripMargin
 
@@ -335,6 +387,10 @@ object PathIndexOps extends QueryPack {
       s"""SELECT key, filesystem, pathUrlEncoded,
          | strftime(ts, '%Y-%m-%d %H:%M:%S') AS fileLastModified, n_versions
          |FROM (${stateSql(logSql)}) ORDER BY key""".stripMargin,
+    "upsert_paths_grown" ->
+      s"""SELECT key, filesystem, pathUrlEncoded,
+         | strftime(ts, '%Y-%m-%d %H:%M:%S') AS fileLastModified, n_versions
+         |FROM (${stateSql(logGrownSql)}) ORDER BY key""".stripMargin,
     "upsert_paths_metrics" ->
       s"""WITH log AS ($logSql),
          |existing AS (SELECT DISTINCT key FROM log WHERE ts < TIMESTAMP '2024-01-20 00:00:00'),
