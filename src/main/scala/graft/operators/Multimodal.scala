@@ -7,7 +7,9 @@ import org.apache.spark.sql.functions._
 /** A raw media asset: opaque bytes + typed metadata. In production the
   * binary column holds image/audio/video payloads (read via
   * spark.read.format("binaryFile") or parquet binary columns); here the
-  * bytes are synthesized from the documents table.
+  * image payloads are REAL BMP files synthesized deterministically from
+  * doc_id (audio/video payloads stay opaque utf8 bytes — no codec for
+  * them in this environment).
   */
 final case class MediaAsset(
     doc_id: Long,
@@ -17,23 +19,36 @@ final case class MediaAsset(
     height: Int,
     duration_s: Int)
 
-/** Decoded features. The decode itself is STUBBED (no media libs in
-  * this environment) with a deterministic digest-based fake — but the
-  * Spark plumbing (typed Dataset, per-partition batch decode, feature
-  * schema) is the real production shape.
+/** Decoded features. Image rows carry REAL decode output
+  * (`javax.imageio` — decoded dimensions + channel-sum over the pixel
+  * raster); non-image rows (no audio/video codec available here) carry
+  * the deterministic digest stub. The split is visible in the schema:
+  * decode fields are null on stub rows, digest fields null on decoded
+  * rows.
   */
 final case class MediaFeatures(
     doc_id: Long,
+    mime: String,
     byte_len: Long,
-    md5_head: String,
-    hist_bucket: Long,
-    width: Int,
-    height: Int)
+    md5_head: Option[String],
+    hist_bucket: Option[Long],
+    decoded_w: Option[Int],
+    decoded_h: Option[Int],
+    px_sum: Option[Long])
 
 /** Multimodal-column plumbing: binary payloads with typed metadata,
-  * batch "decode" via mapPartitions (the JVM analog of mapInPandas —
-  * one decoder instance per partition, streaming over rows), and
+  * batch decode via mapPartitions (the JVM analog of mapInPandas —
+  * one decoder pass per partition, streaming over rows), and
   * frame-sampling fan-out.
+  *
+  * The image leg is a REAL decode: the asset synthesizer emits actual
+  * BMP bytes (JDK `javax.imageio`, no external libs), and the decode
+  * stage reads them back pixel-by-pixel. The oracle never decodes —
+  * it derives the expected dimensions, byte length (54-byte header +
+  * 4-byte-aligned BGR rows) and channel sum analytically from the
+  * deterministic pixel function, so a hash match proves the decode
+  * round-trip is exact. Audio/video stay digest-stubbed (declared
+  * constraint: no codecs in the sandbox).
   *
   * At scale: payload columns make rows wide — partition count must
   * track bytes not rows (spark.sql.files.maxPartitionBytes), and the
@@ -43,44 +58,107 @@ final case class MediaFeatures(
   */
 object Multimodal extends QueryPack {
 
-  /** Synthesize the asset table: payload = utf8 bytes of the text. */
+  /** Deterministic pixel raster: grayscale v(x, y) =
+    * (doc_id·31 + x·7 + y) mod 256 over a (doc_id%16+1) ×
+    * (doc_id%12+1) image — every value analytically reproducible by
+    * the oracle.
+    */
+  private def bmpBytes(docId: Long): Array[Byte] = {
+    val w = (docId % 16 + 1).toInt
+    val h = (docId % 12 + 1).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = ((docId * 31 + x * 7 + y) % 256).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bos)
+    bos.toByteArray
+  }
+
+  /** Synthesize the asset table. Image payloads (doc_id % 3 == 0) are
+    * real encoded BMPs; the rest carry the utf8 text bytes. The
+    * declared width/height metadata stays the ASSET's nominal size
+    * (used by resize planning); the BMP raster is thumbnail-sized —
+    * decoded_w/decoded_h report what the decoder actually saw.
+    */
   def assets(spark: SparkSession, dir: String): Dataset[MediaAsset] = {
     import spark.implicits._
     Tables.documents(spark, dir)
       .select(
         col("doc_id"),
         col("text").cast("binary").as("payload"),
-        when(col("doc_id") % 3 === 0, "image/png")
+        when(col("doc_id") % 3 === 0, "image/bmp")
           .when(col("doc_id") % 3 === 1, "audio/wav")
           .otherwise("video/mp4").as("mime"),
         ((col("doc_id") % 64) * 10 + 16).cast("int").as("width"),
         ((col("doc_id") % 48) * 10 + 16).cast("int").as("height"),
         (col("n_chars") % 120).cast("int").as("duration_s"))
       .as[MediaAsset]
+      // image payloads need the JVM encoder — mapPartitions, one
+      // encoder context per partition (the mapInPandas batch shape)
+      .mapPartitions(_.map(a =>
+        if (a.mime == "image/bmp") a.copy(payload = bmpBytes(a.doc_id)) else a))
   }
 
-  /** STUB decoder: a real implementation would wrap an image/audio
-    * codec here (one instance per partition). The fake is a
-    * deterministic digest so tests and oracles can verify the plumbing.
-    */
-  private def decodeStub(a: MediaAsset): MediaFeatures = {
+  /** Digest stub for formats with no sandboxed codec (audio/video). */
+  private def stubFeatures(a: MediaAsset): MediaFeatures = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val hex = md.digest(a.payload).map("%02x".format(_)).mkString
     MediaFeatures(
       doc_id = a.doc_id,
+      mime = a.mime,
       byte_len = a.payload.length.toLong,
-      md5_head = hex.substring(0, 8),
-      hist_bucket = java.lang.Long.parseLong(hex.substring(0, 2), 16) % 16,
-      width = a.width,
-      height = a.height)
+      md5_head = Some(hex.substring(0, 8)),
+      hist_bucket = Some(java.lang.Long.parseLong(hex.substring(0, 2), 16) % 16),
+      decoded_w = None, decoded_h = None, px_sum = None)
   }
 
-  /** Per-partition batch decode — mapPartitions so a real codec would
-    * amortize its init across the partition, like mapInPandas batches.
+  /** REAL image decode: `javax.imageio.ImageIO.read` over the payload
+    * bytes; features = decoded dimensions + sum of all RGB channel
+    * values. Undecodable bytes fall back to the digest stub (the
+    * corrupt-input path every production decode stage needs).
+    */
+  private def decodeOne(a: MediaAsset): MediaFeatures =
+    if (a.mime != "image/bmp") stubFeatures(a)
+    else {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a.payload))
+      if (img == null) stubFeatures(a)
+      else {
+        var sum = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        MediaFeatures(
+          doc_id = a.doc_id,
+          mime = a.mime,
+          byte_len = a.payload.length.toLong,
+          md5_head = None, hist_bucket = None,
+          decoded_w = Some(img.getWidth), decoded_h = Some(img.getHeight),
+          px_sum = Some(sum))
+      }
+    }
+
+  /** Per-partition batch decode — mapPartitions so the codec amortizes
+    * across the partition, like mapInPandas batches.
     */
   def decodeFeatures(spark: SparkSession, assets: Dataset[MediaAsset]): Dataset[MediaFeatures] = {
     import spark.implicits._
-    assets.mapPartitions(_.map(decodeStub))
+    assets.mapPartitions(_.map(decodeOne))
   }
 
   def mmDecode(spark: SparkSession, dir: String): DataFrame =
@@ -97,7 +175,7 @@ object Multimodal extends QueryPack {
   /** Aspect-preserving resize planning: compute the (w, h) a decoder
     * would scale each asset to for a max-512 long edge, plus the scale
     * factor — the pure-metadata half of an image resize stage (the
-    * pixel work happens in the stubbed decoder).
+    * pixel work happens in [[decodeFeatures]]).
     */
   def mmResize(spark: SparkSession, dir: String): DataFrame = {
     val a = assets(spark, dir).toDF()
@@ -111,7 +189,7 @@ object Multimodal extends QueryPack {
     val newH = when(needs,
       expr("CAST(height AS BIGINT) * 512 div CAST(greatest(width, height) AS BIGINT)"))
       .otherwise(col("height").cast("long"))
-    a.filter(col("mime") === "image/png")
+    a.filter(col("mime") === "image/bmp")
       .select(col("doc_id"), col("width"), col("height"),
         newW.as("target_w"), newH.as("target_h"), needs.as("downscaled"))
       .orderBy(col("doc_id"))
@@ -123,14 +201,36 @@ object Multimodal extends QueryPack {
     "mm_resize" -> (mmResize _))
 
   val oracles: Map[String, String] = Map(
+    // the oracle NEVER decodes: dims, byte length (54-byte BMP header +
+    // 4-byte-aligned 24-bit rows) and the channel sum all derive
+    // analytically from the deterministic raster v = (doc_id*31 + 7x + y)
+    // mod 256 — a hash match proves ImageIO's encode→decode round-trip
+    // reproduced every pixel
     "mm_decode" ->
-      """SELECT doc_id,
-        | CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-        | substring(md5(text), 1, 8) AS md5_head,
-        | ('0x'||substring(md5(text), 1, 2))::BIGINT % 16 AS hist_bucket,
-        | CAST((doc_id % 64) * 10 + 16 AS INT) AS width,
-        | CAST((doc_id % 48) * 10 + 16 AS INT) AS height
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH px AS (
+        | SELECT doc_id, CAST(doc_id % 16 + 1 AS BIGINT) AS w, CAST(doc_id % 12 + 1 AS BIGINT) AS h
+        | FROM documents WHERE doc_id % 3 = 0),
+        |sums AS (
+        | SELECT doc_id, w, h,
+        |  3 * sum((doc_id * 31 + x.x * 7 + y.y) % 256) AS s
+        | FROM px,
+        |  LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) x,
+        |  LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) y
+        | GROUP BY 1, 2, 3)
+        |SELECT d.doc_id,
+        | CASE WHEN d.doc_id % 3 = 0 THEN 'image/bmp'
+        |      WHEN d.doc_id % 3 = 1 THEN 'audio/wav'
+        |      ELSE 'video/mp4' END AS mime,
+        | CAST(CASE WHEN d.doc_id % 3 = 0 THEN 54 + s.h * ((3 * s.w + 3) // 4 * 4)
+        |      ELSE octet_length(encode(d.text)) END AS BIGINT) AS byte_len,
+        | CASE WHEN d.doc_id % 3 = 0 THEN NULL ELSE substring(md5(d.text), 1, 8) END AS md5_head,
+        | CASE WHEN d.doc_id % 3 = 0 THEN NULL
+        |      ELSE ('0x' || substring(md5(d.text), 1, 2))::BIGINT % 16 END AS hist_bucket,
+        | CAST(CASE WHEN d.doc_id % 3 = 0 THEN s.w END AS INT) AS decoded_w,
+        | CAST(CASE WHEN d.doc_id % 3 = 0 THEN s.h END AS INT) AS decoded_h,
+        | CAST(CASE WHEN d.doc_id % 3 = 0 THEN s.s END AS BIGINT) AS px_sum
+        |FROM documents d LEFT JOIN sums s USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "mm_framesample" ->
       """SELECT doc_id, CAST(n_chars % 120 AS INT) AS duration_s, f.f AS frame_t
         |FROM documents, LATERAL (SELECT unnest(generate_series(0, CAST(n_chars % 120 AS INT), 2)) AS f) f

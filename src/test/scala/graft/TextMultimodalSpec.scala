@@ -206,14 +206,32 @@ class TextMultimodalSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
-  test("media decode runs per-partition and preserves metadata") {
+  test("media decode: real imageio round-trip on image rows, digest stub elsewhere") {
     val assets = Multimodal.assets(spark, sf)
     val feats = Multimodal.decodeFeatures(spark, assets).collect()
     assert(feats.length == Tables.documents(spark, sf).count())
-    assert(feats.forall(f => f.md5_head.length == 8 && f.hist_bucket >= 0 && f.hist_bucket < 16))
-    // byte_len equals payload length
+    // byte_len equals payload length for every row
     val byId = assets.collect().map(a => a.doc_id -> a.payload.length).toMap
     assert(feats.forall(f => byId(f.doc_id).toLong == f.byte_len))
+    val (img, stub) = feats.partition(_.mime == "image/bmp")
+    assert(img.nonEmpty && stub.nonEmpty)
+    // image rows: REALLY decoded — dims and channel sum match the
+    // deterministic raster the synthesizer encoded
+    img.foreach { f =>
+      val (w, h) = ((f.doc_id % 16 + 1).toInt, (f.doc_id % 12 + 1).toInt)
+      assert(f.decoded_w.contains(w) && f.decoded_h.contains(h))
+      val expSum = (for (y <- 0 until h; x <- 0 until w)
+        yield 3L * ((f.doc_id * 31 + x * 7 + y) % 256)).sum
+      assert(f.px_sum.contains(expSum))
+      assert(f.md5_head.isEmpty && f.hist_bucket.isEmpty)
+      // BMP layout: 54-byte header + 4-byte-aligned 24-bit rows
+      assert(f.byte_len == 54 + h.toLong * ((3 * w + 3) / 4 * 4))
+    }
+    stub.foreach { f =>
+      assert(f.md5_head.exists(_.length == 8))
+      assert(f.hist_bucket.exists(b => b >= 0 && b < 16))
+      assert(f.decoded_w.isEmpty && f.px_sum.isEmpty)
+    }
   }
 
   test("frame sampling emits ceil((duration+2)/2) frames per video") {
