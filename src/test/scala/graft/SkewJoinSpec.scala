@@ -24,6 +24,28 @@ class SkewJoinSpec extends SparkSpec {
     assert(salted.sameElements(plain))
   }
 
+  test("salt reaches the exchange: shuffle partitions on (key, _salt), not key alone") {
+    import spark.implicits._
+    val big = spark.range(20000)
+      .select(when(col("id") < 18000, lit("hot")).otherwise(concat(lit("k"), col("id"))).as("key"),
+        col("id").as("payload"))
+    val small = (0 until 200).map(i => (s"k$i", i)).toDF("key", "weight")
+      .union(Seq(("hot", -1)).toDF("key", "weight"))
+    // force a shuffle join (the salted pattern's target regime: the
+    // small side too large to broadcast) and read the executed plan
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = SkewJoin.saltedJoin(big, small, "key", "payload", saltBuckets = 8)
+      joined.count()
+      val plan = joined.queryExecution.executedPlan.toString
+      // the hot key's rows spread across 8 reducers: the partitioning
+      // expression must include the salt beside the key
+      val parts = plan.linesIterator.filter(_.contains("hashpartitioning")).mkString("\n")
+      assert(parts.contains("_salt"), s"salt missing from exchange partitioning:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("salted join spreads a hot key across many partitions") {
     import spark.implicits._
     val big = spark.range(5000).select(lit("hot").as("key"), col("id").as("payload"))
