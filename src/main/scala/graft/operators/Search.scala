@@ -335,7 +335,67 @@ object Search extends QueryPack {
       .orderBy(col("tok"))
   }
 
+  /** Exact-phrase query ("table scan") over the POSITIONAL posting
+    * list ([[graft.sources.TextIndex.postingsPosStd]]) — Lucene's
+    * phrase execution shape: fetch each term's positional postings,
+    * then adjacency is a (doc_id, position) equi-join (second term at
+    * pos+1), never a text re-scan. Probe cost is O(|postings(t1)| +
+    * |postings(t2)|) and the join keys are high-cardinality (doc_id,
+    * pos) — distributed, skew-free, corpus-size-independent.
+    */
+  def searchPhrase(spark: SparkSession, dir: String): DataFrame = {
+    val (t1, t2) = ("table", "scan")
+    val p = TextIndex.postingsPosStd(spark, dir)
+    val first = p.filter(col("tok") === t1).select(col("doc_id"), col("pos"))
+    val second = p.filter(col("tok") === t2)
+      .select(col("doc_id"), (col("pos") - 1).as("pos"))
+    first.join(second, Seq("doc_id", "pos"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** BM25 over the DISK-PERSISTED prefix-partitioned posting list
+    * ([[graft.sources.TextIndex.postingsStdPersisted]]) — the lake
+    * form of [[searchScoreBm25]]'s in-memory probe, and the proof the
+    * index layout prunes: the probe filters on the terms' `tok_prefix`
+    * partition value, so planning-time partition pruning skips every
+    * other prefix directory and the `tok` predicate pushes to row
+    * groups (SearchSpec asserts via input_file_name() that only the
+    * probed prefixes' files are read). df comes from the SAME probe
+    * (count of each term's postings — the dictionary entry is
+    * derivable from the matched rows alone); N/avgdl/dl from the
+    * cached 1-row stats and doc-length tables. Scores are identical to
+    * the in-memory probe, so the oracle is shared.
+    */
+  def searchBm25Persisted(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("spark", "data")
+    val prefixes = terms.map(TextIndex.prefixOf).distinct
+    val p = TextIndex.postingsStdPersisted(spark, dir)
+      .filter(col("tok_prefix").isin(prefixes: _*) && col("tok").isin(terms: _*))
+    val tfAggs = terms.map(t =>
+      coalesce(sum(when(col("tok") === t, col("tf"))), lit(0L)).cast("double").as(s"tf_$t"))
+    val perDoc = p.groupBy(col("doc_id")).agg(tfAggs.head, tfAggs.tail: _*)
+      .join(TextIndex.docLensStd(spark, dir), Seq("doc_id"))
+    // postings hold one row per (tok, doc), so df_t = that term's row count
+    val dfAggs = terms.map(t =>
+      coalesce(sum(when(col("tok") === t, lit(1L))), lit(0L)).cast("double").as(s"df_$t"))
+    val stats = p.agg(dfAggs.head, dfAggs.tail: _*)
+      .crossJoin(TextIndex.statsStd(spark, dir))
+    val lenNorm = lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))
+    val perTerm = terms.map { t =>
+      val idf = log(lit(1.0) + (col("n_docs") - col(s"df_$t") + 0.5) / (col(s"df_$t") + 0.5))
+      idf * col(s"tf_$t") * lit(Bm25K1 + 1.0) / (col(s"tf_$t") + lenNorm)
+    }
+    perDoc.crossJoin(broadcast(stats))
+      .select(col("doc_id"), round(lit(1e-9) + perTerm.reduce(_ + _), 4).as("bm25"))
+      .filter(col("bm25") > 0)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(50)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "search_phrase" -> (searchPhrase _),
+    "search_bm25_persisted" -> (searchBm25Persisted _),
     "search_incremental" -> (searchIncremental _),
     "search_fuzzy" -> (searchFuzzy _),
     "search_suggest" -> (searchSuggest _),
@@ -352,6 +412,18 @@ object Search extends QueryPack {
     "search_hybrid_rrf" -> (searchHybridRrf _))
 
   val oracles: Map[String, String] = Map(
+    "search_phrase" ->
+      """WITH d AS (
+        | SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS w
+        | FROM documents),
+        |p AS (
+        | SELECT doc_id,
+        |  len(list_filter(range(len(w) - 1), i -> w[i + 1] = 'table' AND w[i + 2] = 'scan')) AS n_hits
+        | FROM d)
+        |SELECT doc_id, CAST(n_hits AS BIGINT) AS n_hits
+        |FROM p WHERE n_hits > 0 ORDER BY doc_id""".stripMargin,
+    "search_bm25_persisted" -> bm25OracleSql,
     "search_incremental" ->
       """WITH toks AS (
         | SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS tok

@@ -62,6 +62,16 @@ object TextIndex {
       .groupBy(col("tok"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
 
+  /** POSITIONAL standard-analyzer postings (tok, doc_id, pos) — the
+    * index form phrase queries need (Lucene stores positions next to
+    * each posting for exactly this): adjacency is a (doc_id, pos)
+    * equi-join between the phrase terms' lists, never a text re-scan.
+    */
+  def postingsPosStdOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        posexplode(Analyzers.standardTokens(col("text"))).as(Seq("pos", "tok")))
+      .select(col("tok"), col("doc_id"), col("pos").cast("long").as("pos"))
+
   private def vocabOf(postings: DataFrame): DataFrame =
     postings.groupBy(col("tok"))
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("occurrences"))
@@ -85,6 +95,45 @@ object TextIndex {
     IndexCache.getOrBuild(spark, "text_postings_std", dir) {
       postingsStdOf(parallelDocs(spark, dir)).localCheckpoint(true)
     }
+
+  /** The snapshot's positional posting list (tok, doc_id, pos). */
+  def postingsPosStd(spark: SparkSession, dir: String): DataFrame =
+    IndexCache.getOrBuild(spark, "text_postings_pos_std", dir) {
+      postingsPosStdOf(parallelDocs(spark, dir)).localCheckpoint(true)
+    }
+
+  /** The snapshot's postings PERSISTED to parquet, partitioned by the
+    * term's first character (`tok_prefix` directories — the sorted term
+    * dictionary of a Lucene segment, as a lake layout). This is the
+    * durable form of the index at 100 TB: the in-memory checkpoint
+    * frames above live for one application; a cluster serving queries
+    * reads the written files, and a term probe that filters on
+    * `tok_prefix` PRUNES every other prefix directory at planning time
+    * (PartitionFilters) while the `tok` predicate pushes to parquet row
+    * groups — the probe reads the matched terms' file bytes, not the
+    * index. Written once per snapshot; the returned frame reads the
+    * files (no checkpoint — probing the files IS the point).
+    * SearchSpec asserts via input_file_name() that a probe touches
+    * only its terms' prefix directories.
+    */
+  def postingsStdPersisted(spark: SparkSession, dir: String): DataFrame = {
+    val built = postingsStd(spark, dir) // resolve before entering the cache slot (no reentrant computeIfAbsent)
+    IndexCache.getOrBuild(spark, "text_postings_std_disk", dir) {
+      val out = s"/tmp/graft_textindex/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/postings_std"
+      built.withColumn("tok_prefix", coalesce(nullif(substring(col("tok"), 1, 1), lit("")), lit("_")))
+        .repartition(col("tok_prefix"))
+        .sortWithinPartitions(col("tok_prefix"), col("tok"))
+        .write.mode("overwrite").partitionBy("tok_prefix").parquet(out)
+      spark.read.parquet(out)
+    }
+  }
+
+  /** The prefix-directory key a probe for `term` must select —
+    * driver-computable by construction (the partition column is the
+    * term's own first character, not an engine-internal hash).
+    */
+  def prefixOf(term: String): String =
+    if (term.isEmpty) "_" else term.substring(0, 1)
 
   /** The snapshot's standard-analyzer dictionary (tok, df, occurrences). */
   def vocabStd(spark: SparkSession, dir: String): DataFrame = {

@@ -312,6 +312,45 @@ class SearchSpec extends SparkSpec {
     assert(mergedReingest.except(full).isEmpty && full.except(mergedReingest).isEmpty)
   }
 
+  test("phrase query: positional-postings join equals the direct token-adjacency scan") {
+    import graft.functions.Analyzers
+    val viaIndex = Search.searchPhrase(spark, sf)
+    val w = Analyzers.standardTokens(col("text"))
+    val expected = docs.select(col("doc_id"), w.as("w"))
+      .select(col("doc_id"),
+        when(size(col("w")) >= 2,
+          expr("size(filter(sequence(0, size(w) - 2), i -> w[i] = 'table' AND w[i + 1] = 'scan'))"))
+          .otherwise(0).cast("long").as("n_hits"))
+      .filter(col("n_hits") > 0)
+    assert(viaIndex.count() > 0)
+    assert(viaIndex.except(expected).isEmpty && expected.except(viaIndex).isEmpty)
+    // after the index is warm, the probe never re-scans the corpus
+    graft.sources.TextIndex.postingsPosStd(spark, sf).count()
+    val plan = Search.searchPhrase(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"), s"corpus re-scan in phrase plan:\n$plan")
+  }
+
+  test("persisted postings: probe reads only the terms' prefix directories and scores match") {
+    import graft.sources.TextIndex
+    val p = TextIndex.postingsStdPersisted(spark, sf)
+    // the layout holds many prefix directories...
+    assert(p.select(col("tok_prefix")).distinct().count() > 2)
+    // ...but a two-term probe physically reads only its two
+    val probed = p.filter(col("tok_prefix").isin("s", "d") && col("tok").isin("spark", "data"))
+    val files = probed.select(input_file_name().as("f")).distinct().collect().map(_.getString(0))
+    assert(files.nonEmpty)
+    assert(files.forall(f => f.contains("tok_prefix=s") || f.contains("tok_prefix=d")),
+      s"probe read outside its prefixes:\n${files.mkString("\n")}")
+    // pruning happens at planning time, not by filtering rows post-scan
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("tok_prefix"), s"no partition filter in probe plan:\n$plan")
+    // the persisted probe computes the identical BM25 result (df from
+    // the probed postings themselves == the dictionary's entry)
+    val viaDisk = Search.searchBm25Persisted(spark, sf).collect().toSeq
+    val viaMem = Search.searchScoreBm25(spark, sf).collect().toSeq
+    assert(viaDisk == viaMem)
+  }
+
   test("search_incremental: merged-index stats match the fresh-build stats") {
     import graft.sources.TextIndex
     val viaMerge = Search.searchIncremental(spark, sf)
