@@ -195,12 +195,68 @@ object Multimodal extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** 64-bit average-threshold perceptual hash (aHash) computed from the
+    * DECODED raster — the image near-dup signature of a training-data
+    * pipeline (resize-robust where byte digests are not): sample an
+    * 8×8 grid nearest-neighbor (x_i = (i·w) div 8, y_j = (j·h) div 8 —
+    * integer arithmetic, engine-exact), threshold each sample against
+    * the 64-sample mean, emit bits row-major as a 64-char bitstring.
+    * The oracle derives the identical hash analytically from the
+    * deterministic pixel function without decoding — a match proves
+    * decode→hash reproduces every sampled pixel. At scale the phash
+    * table feeds the banded Hamming-distance self-join machinery of
+    * `dedup_simhash_pairs` (pigeonhole on 16-bit bands, verify with
+    * bit_count) — near-dup candidate cost stays bucketed, never
+    * all-pairs; TextMultimodalSpec asserts a one-pixel edit moves ≤ a
+    * few bits while distinct images differ widely.
+    */
+  def mmPhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    assets(spark, dir)
+      .filter(_.mime == "image/bmp")
+      .mapPartitions(_.flatMap { a =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a.payload))
+        if (img == null) None
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val samples =
+            for (j <- 0 until 8; i <- 0 until 8)
+              yield img.getRGB(i * w / 8, j * h / 8) & 0xff
+          val mean = samples.sum.toDouble / 64.0
+          Some((a.doc_id, w, h, samples.map(v => if (v > mean) '1' else '0').mkString))
+        }
+      })
+      .toDF("doc_id", "decoded_w", "decoded_h", "phash")
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode" -> (mmDecode _),
     "mm_framesample" -> (mmFrameSample _),
+    "mm_phash" -> (mmPhash _),
     "mm_resize" -> (mmResize _))
 
   val oracles: Map[String, String] = Map(
+    // analytic twin of the decoded-pixel aHash: same nearest-neighbor
+    // grid (integer //), same mean threshold, same row-major bit order
+    "mm_phash" ->
+      """WITH img AS (
+        | SELECT doc_id, CAST(doc_id % 16 + 1 AS BIGINT) AS w, CAST(doc_id % 12 + 1 AS BIGINT) AS h
+        | FROM documents WHERE doc_id % 3 = 0),
+        |g AS (
+        | SELECT doc_id, w, h, i.i, j.j,
+        |  (doc_id * 31 + ((i.i * w) // 8) * 7 + ((j.j * h) // 8)) % 256 AS v
+        | FROM img,
+        |  LATERAL (SELECT unnest(generate_series(0, 7)) AS i) i,
+        |  LATERAL (SELECT unnest(generate_series(0, 7)) AS j) j),
+        |m AS (SELECT doc_id, avg(v) AS mean FROM g GROUP BY 1)
+        |SELECT g.doc_id,
+        | CAST(max(g.w) AS INT) AS decoded_w, CAST(max(g.h) AS INT) AS decoded_h,
+        | string_agg(CASE WHEN g.v > m.mean THEN '1' ELSE '0' END, '' ORDER BY g.j * 8 + g.i) AS phash
+        |FROM g JOIN m USING (doc_id)
+        |GROUP BY g.doc_id
+        |ORDER BY g.doc_id""".stripMargin,
     // the oracle NEVER decodes: dims, byte length (54-byte BMP header +
     // 4-byte-aligned 24-bit rows) and the channel sum all derive
     // analytically from the deterministic raster v = (doc_id*31 + 7x + y)

@@ -307,6 +307,34 @@ object TextAnalysis extends QueryPack {
       .orderBy(col("lang"), col("rk"))
   }
 
+  /** Temperature-scaled mixture sampling — the multilingual
+    * rebalancing rule of large LM data pipelines: stratum `l` gets a
+    * quota ∝ n_l^α (α = 0.5, budget 100 docs), so low-resource
+    * languages are upsampled relative to proportional (α = 1) sampling
+    * and high-resource ones damped, without the fixed hand-set quotas
+    * of [[sampleMixture]]. The quota table is a ≤|langs|-row aggregate
+    * (map-side partial counts, broadcast back); selection is the same
+    * deterministic md5-ranked top-k per stratum. floor(+1e-9) keeps
+    * the double→int quota engine-exact (the Σ n^α normalizer's
+    * partial-agg order differs between engines by ulps).
+    */
+  def sampleTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val counts = d.groupBy(col("lang")).agg(count(lit(1)).cast("double").as("n"))
+    val z = counts.agg(sum(pow(col("n"), 0.5)).as("z"))
+    val quotas = counts.crossJoin(broadcast(z))
+      .select(col("lang"),
+        floor(lit(100.0) * pow(col("n"), 0.5) / col("z") + lit(1e-9)).cast("int").as("quota"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+    d.withColumn("rk", row_number().over(w))
+      .join(broadcast(quotas), Seq("lang"))
+      .filter(col("rk") <= col("quota"))
+      .select(col("doc_id"), col("lang"), col("rk").cast("long").as("rk"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
   /** PII scrubbing: regex redaction of email-like and long-digit
     * (phone/ID) spans, with counts of what was redacted. The patterns
     * are deliberately simple/portable; a production pass would chain
@@ -692,6 +720,7 @@ object TextAnalysis extends QueryPack {
     "sample_stratified" -> (sampleStratified _),
     "sample_weighted" -> (sampleWeighted _),
     "sample_mixture" -> (sampleMixture _),
+    "sample_temperature" -> (sampleTemperature _),
     "text_chunk" -> (chunk _),
     "text_normalize" -> (normalize _),
     "text_langid" -> (langId _),
@@ -926,6 +955,17 @@ object TextAnalysis extends QueryPack {
          | FROM documents)
          |WHERE rk <= $quota ORDER BY lang, rk""".stripMargin
     },
+    "sample_temperature" ->
+      """WITH c AS (SELECT lang, count(*)::DOUBLE AS n FROM documents GROUP BY 1),
+        |z AS (SELECT sum(pow(n, 0.5)) AS z FROM c),
+        |q AS (SELECT lang, CAST(floor(100.0 * pow(n, 0.5) / z + 1e-9) AS INT) AS quota FROM c, z),
+        |r AS (
+        | SELECT doc_id, lang,
+        |  row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        | FROM documents)
+        |SELECT r.doc_id, r.lang, CAST(r.rk AS BIGINT) AS rk
+        |FROM r JOIN q USING (lang) WHERE r.rk <= q.quota
+        |ORDER BY lang, rk""".stripMargin,
     "text_chunk" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |chunks AS (

@@ -234,6 +234,68 @@ class TextMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("temperature sampling upsamples low-resource strata vs proportional") {
+    import org.apache.spark.sql.functions._
+    val rows = TextAnalysis.sampleTemperature(spark, sf).collect()
+    val byLang = rows.groupBy(_.getAs[String]("lang")).view.mapValues(_.length).toMap
+    val corpus = Tables.documents(spark, sf).groupBy(col("lang")).count()
+      .collect().map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    val z = corpus.values.map(n => math.sqrt(n.toDouble)).sum
+    corpus.foreach { case (l, n) =>
+      val quota = math.floor(100.0 * math.sqrt(n.toDouble) / z + 1e-9).toInt
+      assert(byLang.getOrElse(l, 0) == math.min(quota.toLong, n))
+      // α = 0.5 damps the majority stratum: its share of the sample is
+      // strictly below its share of the corpus (and vice versa for the
+      // smallest), the whole point of temperature mixing
+      val corpusShare = n.toDouble / corpus.values.sum
+      val sampleShare = byLang.getOrElse(l, 0).toDouble / rows.length
+      if (corpusShare == corpus.values.max.toDouble / corpus.values.sum)
+        assert(sampleShare < corpusShare + 1e-9)
+    }
+    // deterministic re-run
+    assert(rows.map(_.getAs[Long]("doc_id")).sameElements(
+      TextAnalysis.sampleTemperature(spark, sf).collect().map(_.getAs[Long]("doc_id"))))
+  }
+
+  test("phash: decoded-pixel aHash matches the analytic raster, near edits move few bits") {
+    val rows = Multimodal.mmPhash(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (w, h) = ((id % 16 + 1).toInt, (id % 12 + 1).toInt)
+      assert(r.getAs[Int]("decoded_w") == w && r.getAs[Int]("decoded_h") == h)
+      val samples = for (j <- 0 until 8; i <- 0 until 8)
+        yield ((id * 31 + (i * w / 8) * 7 + (j * h / 8)) % 256).toInt
+      val mean = samples.sum.toDouble / 64.0
+      val expected = samples.map(v => if (v > mean) '1' else '0').mkString
+      assert(r.getAs[String]("phash") == expected, s"phash mismatch for doc $id")
+    }
+    // robustness: a one-pixel edit of a decoded image moves few bits;
+    // a different image's hash is far — the property that makes aHash a
+    // near-dup signature where byte digests see only exact copies
+    def hashOf(img: java.awt.image.BufferedImage): String = {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val s = for (j <- 0 until 8; i <- 0 until 8) yield img.getRGB(i * w / 8, j * h / 8) & 0xff
+      val m = s.sum.toDouble / 64.0
+      s.map(v => if (v > m) '1' else '0').mkString
+    }
+    def hamming(a: String, b: String): Int = a.zip(b).count { case (x, y) => x != y }
+    def mk(seed: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(16, 12, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until 12; x <- 0 until 16) {
+        val v = (seed * 31 + x * 7 + y * 13) % 256
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    val base = mk(7)
+    val nearDup = mk(7)
+    nearDup.setRGB(2, 3, 0xffffff) // one-pixel edit ON a sampled grid point
+    val other = mk(101)
+    assert(hamming(hashOf(base), hashOf(nearDup)) <= 4)
+    assert(hamming(hashOf(base), hashOf(other)) >= 16)
+  }
+
   test("frame sampling emits ceil((duration+2)/2) frames per video") {
     val rows = Multimodal.mmFrameSample(spark, sf).collect()
     val perDoc = rows.groupBy(_.getAs[Long]("doc_id"))
