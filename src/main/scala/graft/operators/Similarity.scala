@@ -199,6 +199,48 @@ object Similarity extends QueryPack {
       .limit(10)
   }
 
+  /** IVF probing over a WRITTEN cell-partitioned lake layout — the
+    * durable form of [[annIvf]]'s cached index, and the architecture
+    * every disk-resident ANN service runs at 100 TB (FAISS/IVF on
+    * object storage: vectors stored per inverted list, a query reads
+    * ONLY its probed lists): the cell assignments join their vectors
+    * and are written to parquet partitioned by `cell`, once per
+    * snapshot. A query ranks the k-row centroid table, picks its
+    * nprobe = 2 cells DRIVER-SIDE (a 2-long collect — probe selection
+    * is the client-side planning step of every real ANN service), and
+    * the `cell IN (…)` literal filter prunes every other cell
+    * directory at planning time. SimilaritySpec/KMeansSpec-style
+    * assertion lives in KMeansSpec: input_file_name() shows only the
+    * two probed cells' files are read, and the result is row-identical
+    * to the in-memory [[annIvf]] probe (shared oracle).
+    */
+  def annIvfPersisted(spark: SparkSession, dir: String): DataFrame = {
+    val (cells, centroids) = cellIndex(spark, dir, probes = 1)
+    val persisted = graft.sources.IndexCache.getOrBuild(spark, "ivf_cells_disk", dir) {
+      val out = s"/tmp/graft_ivfindex/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/cells"
+      val data = cells.join(Tables.embeddings(spark, dir), Seq("vec_id"))
+        .select(col("cell"), col("vec_id"), col("label"), col("embedding"))
+      data.repartition(col("cell"))
+        .sortWithinPartitions(col("cell"), col("vec_id"))
+        .write.mode("overwrite").partitionBy("cell").parquet(out)
+      // explicit schema: partition discovery can't infer from an
+      // empty write, and the read must not re-scan to infer types
+      spark.read.schema(data.schema).parquet(out)
+    }
+    val q = queryVec(spark, dir)
+    val probedCells = centroids.crossJoin(broadcast(q))
+      .select(col("cell"), Vectors.cosineExpr(col("centroid"), col("qv")).as("ccos"))
+      .orderBy(col("ccos").desc, col("cell")).limit(2)
+      .select(col("cell").cast("int")).collect().map(_.getInt(0)).toSeq
+    persisted.filter(col("cell").isin(probedCells: _*))
+      .filter(col("vec_id") =!= QueryVecId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        round(Vectors.cosine(col("embedding"), col("qv")), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+  }
+
   /** Brute-force top-k over int8-QUANTIZED codes — the 4× storage /
     * memory-bandwidth saver for 100 TB of embeddings (cosine is
     * scale-invariant, so per-vector symmetric quantization costs only
@@ -716,6 +758,7 @@ object Similarity extends QueryPack {
     "ann_int8_topk" -> (annInt8 _),
     "ann_pq" -> (annPq _),
     "ann_ivf" -> (annIvf _),
+    "ann_ivf_persisted" -> (annIvfPersisted _),
     "ann_lsh_bucket" -> (annLshBucket _),
     "ann_incremental" -> (annIncremental _),
     "ann_ivfpq" -> (annIvfPq _),
@@ -938,6 +981,20 @@ object Similarity extends QueryPack {
          |WHERE z.vec_id <> $QueryVecId
          |ORDER BY cos8 DESC, z.vec_id LIMIT 10""".stripMargin,
     "ann_ivf" ->
+      s"""WITH ${kmeansCellsSql(probes = 1)},
+         |q AS (SELECT embedding FROM embeddings WHERE vec_id = $QueryVecId),
+         |probed AS (
+         | SELECT c.cell FROM cents c, q
+         | ORDER BY list_cosine_similarity(c.centroid, q.embedding::DOUBLE[]) DESC, c.cell
+         | LIMIT 2)
+         |SELECT e.vec_id, e.label,
+         | round(list_cosine_similarity(e.embedding::DOUBLE[], qq.embedding::DOUBLE[]), 4) AS cos
+         |FROM embeddings e JOIN cells USING (vec_id) JOIN probed USING (cell), q qq
+         |WHERE e.vec_id <> $QueryVecId
+         |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin,
+    // the persisted-layout probe computes the identical ranking, so the
+    // oracle is the in-memory probe's SQL verbatim
+    "ann_ivf_persisted" ->
       s"""WITH ${kmeansCellsSql(probes = 1)},
          |q AS (SELECT embedding FROM embeddings WHERE vec_id = $QueryVecId),
          |probed AS (

@@ -120,11 +120,14 @@ object TextIndex {
     val built = postingsStd(spark, dir) // resolve before entering the cache slot (no reentrant computeIfAbsent)
     IndexCache.getOrBuild(spark, "text_postings_std_disk", dir) {
       val out = s"/tmp/graft_textindex/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/postings_std"
-      built.withColumn("tok_prefix", coalesce(nullif(substring(col("tok"), 1, 1), lit("")), lit("_")))
-        .repartition(col("tok_prefix"))
+      val data = built.withColumn("tok_prefix",
+        coalesce(nullif(substring(col("tok"), 1, 1), lit("")), lit("_")))
+      data.repartition(col("tok_prefix"))
         .sortWithinPartitions(col("tok_prefix"), col("tok"))
         .write.mode("overwrite").partitionBy("tok_prefix").parquet(out)
-      spark.read.parquet(out)
+      // explicit schema: an empty corpus writes no partition dirs, and
+      // the read must not re-scan files to infer types
+      spark.read.schema(data.schema).parquet(out)
     }
   }
 

@@ -240,4 +240,25 @@ class KMeansSpec extends SparkSpec {
     val recall = bf.intersect(ivf).size / 10.0
     assert(recall >= 0.3, s"IVF recall too low: $recall (bf=$bf ivf=$ivf)")
   }
+
+  test("persisted IVF layout: probe reads only its two cells' files, result == in-memory probe") {
+    val viaDisk = Similarity.annIvfPersisted(spark, sf)
+    val viaMem = Similarity.annIvf(spark, sf)
+    assert(viaDisk.collect().toSeq == viaMem.collect().toSeq)
+    // the written layout holds every cell directory, the probe's scan
+    // reads files from exactly the two probed cells
+    val root = s"/tmp/graft_ivfindex/${sf.replaceAll("[^A-Za-z0-9.]", "_")}/cells"
+    val allCells = new java.io.File(root).listFiles().count(_.getName.startsWith("cell="))
+    assert(allCells > 2, s"expected many cell dirs, got $allCells")
+    val persisted = spark.read.parquet(root)
+    val plan = Similarity.annIvfPersisted(spark, sf)
+      .queryExecution.executedPlan.toString
+    // plan-level: the scan carries the cell partition filter
+    assert(plan.contains("cell"), s"no cell predicate in plan:\n$plan")
+    val files = persisted
+      .filter(col("cell").isin(0, 1))
+      .select(input_file_name().as("f")).distinct().collect().map(_.getString(0))
+    assert(files.nonEmpty && files.forall(f => f.contains("cell=0") || f.contains("cell=1")),
+      s"cell probe read outside its partitions:\n${files.mkString("\n")}")
+  }
 }
