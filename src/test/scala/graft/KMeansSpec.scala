@@ -260,5 +260,10 @@ class KMeansSpec extends SparkSpec {
       .select(input_file_name().as("f")).distinct().collect().map(_.getString(0))
     assert(files.nonEmpty && files.forall(f => f.contains("cell=0") || f.contains("cell=1")),
       s"cell probe read outside its partitions:\n${files.mkString("\n")}")
+    // write-once per snapshot: re-probing must not rewrite the layout
+    val before = new java.io.File(root).lastModified()
+    Similarity.annIvfPersisted(spark, sf).collect()
+    assert(new java.io.File(root).lastModified() == before,
+      "persisted IVF layout was rewritten by a probe")
   }
 }

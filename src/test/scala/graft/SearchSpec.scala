@@ -349,6 +349,13 @@ class SearchSpec extends SparkSpec {
     val viaDisk = Search.searchBm25Persisted(spark, sf).collect().toSeq
     val viaMem = Search.searchScoreBm25(spark, sf).collect().toSeq
     assert(viaDisk == viaMem)
+    // write-once per snapshot: a second probe must not rewrite the
+    // layout (a per-query rewrite would be a 100 TB-scale bug)
+    val root = new java.io.File(
+      s"/tmp/graft_textindex/${sf.replaceAll("[^A-Za-z0-9.]", "_")}/postings_std")
+    val before = root.lastModified()
+    Search.searchBm25Persisted(spark, sf).collect()
+    assert(root.lastModified() == before, "persisted postings were rewritten by a probe")
   }
 
   test("search_incremental: merged-index stats match the fresh-build stats") {
