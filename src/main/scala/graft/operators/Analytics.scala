@@ -1066,6 +1066,153 @@ object Analytics extends QueryPack {
       .orderBy(col("bucket"))
   }
 
+  /** Rows-per-file target for [[layoutCompaction]]'s ordered
+    * bin-packing. Fixed (not corpus-derived) so the plan is engine-exact
+    * at every SF; a deployment sizes this to its row-group budget
+    * (~128 MB / avg row width). Half of it is the "small file" audit
+    * threshold.
+    */
+  private val CompactRows = 2048L
+
+  /** WRITTEN fragmented + compacted copies of the events table — the
+    * small-file problem and the lakehouse OPTIMIZE job that fixes it,
+    * on real parquet. `fragmented` = one file per (event_type, day)
+    * ingestion partition (the shape a per-batch streaming writer
+    * leaves behind: file count grows with partitions × batches, row
+    * count per file stays tiny). `compacted` = the ordered bin-packing
+    * plan applied: fragments in (event_type, day) order, each assigned
+    * to bin floor(prefix_rows / [[CompactRows]]) — order-preserving
+    * (so downstream zone maps survive), metadata-sized planning (the
+    * cumsum runs over the fragment MANIFEST, one row per file, via
+    * [[graft.functions.Ranks.globalCumSum]] — never over the data),
+    * and data movement is one hash-repartition on the bin id. Both
+    * copies are real directories built once per snapshot (IndexCache)
+    * and re-read for every audit, like [[writtenLayouts]].
+    */
+  private[graft] def compactionLayouts(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    graft.sources.IndexCache.getOrBuild(spark, "compaction_layouts", dir) {
+      val ev = Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("value"), col("event_type"),
+          date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+      val frags = ev.groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n_rows"))
+        .withColumn("_k", concat_ws("|", col("event_type"), col("day")))
+      // bin = floor(preceding-rows / target) over the manifest's total
+      // order; cum is inclusive, so subtract the fragment's own rows
+      val binned = graft.functions.Ranks.globalCumSum(frags, "_k", "n_rows")
+        .withColumn("bin", ((col("cum") - col("n_rows")) / CompactRows).cast("long"))
+        .select(col("event_type"), col("day"), col("bin"))
+      val root = s"/tmp/graft_compact/${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      val fragged = {
+        val out = s"$root/fragmented"
+        // each (event_type, day) lands on exactly one task → exactly
+        // one physical file per leaf directory
+        ev.repartition(col("event_type"), col("day"))
+          .write.mode("overwrite").partitionBy("event_type", "day").parquet(out)
+        spark.read.schema(ev.schema).parquet(out)
+      }
+      val compacted = {
+        val out = s"$root/compacted"
+        val withBin = ev.join(broadcast(binned), Seq("event_type", "day"))
+        withBin.repartition(col("bin"))
+          .sortWithinPartitions(col("bin"), col("event_type"), col("day"), col("event_id"))
+          .write.mode("overwrite").partitionBy("bin").parquet(out)
+        spark.read.schema(withBin.schema).parquet(out)
+      }
+      (fragged, compacted)
+    }
+
+  /** Small-file compaction audit over the WRITTEN copies
+    * ([[compactionLayouts]]): per layout, file count, total rows, and
+    * the min/max/under-half-target file sizes. The fragmented copy
+    * carries partitions × days files of ~rows/150 each; the compacted
+    * copy carries ceil(rows/target) files at the target size (only the
+    * tail bin may run small). At 100 TB this audit is the before/after
+    * readout of the OPTIMIZE job a lake table needs continuously —
+    * file count is THE driver of listing cost, open() overhead, and
+    * scan parallelism granularity.
+    */
+  def layoutCompaction(spark: SparkSession, dir: String): DataFrame = {
+    val (fragged, compacted) = compactionLayouts(spark, dir)
+    def audit(df: DataFrame, unit: Seq[String], layout: String): DataFrame =
+      df.groupBy(unit.map(col): _*).agg(count(lit(1)).as("fr"))
+        .agg(
+          count(lit(1)).as("n_files"),
+          sum(col("fr")).as("rows_total"),
+          max(col("fr")).as("max_file_rows"),
+          min(col("fr")).as("min_file_rows"),
+          sum(when(col("fr") < CompactRows / 2, 1L).otherwise(0L)).as("small_files"))
+        .select(lit(layout).as("layout"), col("n_files"), col("rows_total"),
+          col("max_file_rows"), col("min_file_rows"), col("small_files"))
+    audit(fragged, Seq("event_type", "day"), "fragmented")
+      .unionByName(audit(compacted, Seq("bin"), "compacted"))
+      .orderBy(col("layout"))
+  }
+
+  // ---- file-level Bloom-filter index (point-lookup data skipping) ----
+  private val BloomBits = 16384      // m: bits per file filter
+  private val BloomK = 3             // hash functions
+  private val BloomWord = 32         // bits packed per bigint word
+  private val BloomProbeKeys = Seq(2L, 33L, 95L, 150L, 1234577L)
+
+  private def bloomHash(key: org.apache.spark.sql.Column, i: Int): org.apache.spark.sql.Column =
+    conv(substring(md5(concat(key.cast("string"), lit(":" + i))), 1, 8), 16, 10)
+      .cast("long") % BloomBits
+
+  /** File-level Bloom-filter skipping index over the WRITTEN natural
+    * lineitem layout ([[writtenLayouts]]) — the footer index
+    * Delta/Iceberg/Parquet attach for point lookups on columns zone
+    * maps cannot serve: l_partkey is uncorrelated with insertion
+    * order, so every file's min/max spans the whole key domain and a
+    * zone map keeps ~all files, while the per-file Bloom (m =
+    * [[BloomBits]] bits, k = [[BloomK]] md5 hashes, packed into 32-bit
+    * words) keeps only files that plausibly contain the key. Build is
+    * one pass over the DISTINCT (file, key) pairs (map-side combinable
+    * bit_or per (file, word)); the index is file-count × occupied-words
+    * rows — metadata-sized, broadcast to probes. The audit compares,
+    * per probe key (4 present + 1 absent), files kept by Bloom vs zone
+    * map vs ground truth: never a false negative, false positives
+    * bounded by the (1−e^(−kn/m))^k load curve. At 100 TB, per-file
+    * filters size m to each file's distinct count; m is fixed here so
+    * the oracle is engine-exact.
+    */
+  def layoutBloomSkip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (nat, _) = writtenLayouts(spark, dir)
+    val fileKeys = nat.select(col("file_id"), col("l_partkey")).distinct()
+    val bloom = fileKeys
+      .select(col("file_id"),
+        explode(array((0 until BloomK).map(i => bloomHash(col("l_partkey"), i)): _*)).as("h"))
+      .groupBy(col("file_id"), (col("h") / BloomWord).cast("int").as("word"))
+      .agg(expr(s"bit_or(shiftleft(CAST(1 AS BIGINT), CAST(h % $BloomWord AS INT)))").as("bits"))
+    val zones = nat.groupBy(col("file_id"))
+      .agg(min(col("l_partkey")).as("pmin"), max(col("l_partkey")).as("pmax"))
+    val probes = BloomProbeKeys.toDF("probe_key")
+    val ph = probes
+      .select(col("probe_key"),
+        explode(array((0 until BloomK).map(i => bloomHash(col("probe_key"), i)): _*)).as("h"))
+      .select(col("probe_key"), (col("h") / BloomWord).cast("int").as("word"),
+        (col("h") % BloomWord).cast("int").as("bit"))
+    val keptBloom = ph.join(broadcast(bloom), Seq("word"))
+      .filter(expr("(shiftright(bits, CAST(bit AS INT)) & 1) = 1"))
+      .groupBy(col("probe_key"), col("file_id")).agg(count(lit(1)).as("nset"))
+      .filter(col("nset") === BloomK)
+      .groupBy(col("probe_key")).agg(count(lit(1)).as("files_bloom"))
+    val keptZone = probes.crossJoin(broadcast(zones))
+      .filter(col("probe_key").between(col("pmin"), col("pmax")))
+      .groupBy(col("probe_key")).agg(count(lit(1)).as("files_zone"))
+    val trueFiles = probes.join(fileKeys, col("probe_key") === col("l_partkey"))
+      .groupBy(col("probe_key")).agg(count(lit(1)).as("files_true"))
+    probes
+      .join(keptZone, Seq("probe_key"), "left")
+      .join(keptBloom, Seq("probe_key"), "left")
+      .join(trueFiles, Seq("probe_key"), "left")
+      .select(col("probe_key"), lit(LayoutFiles.toLong).as("files_total"),
+        coalesce(col("files_zone"), lit(0L)).as("files_zone"),
+        coalesce(col("files_bloom"), lit(0L)).as("files_bloom"),
+        coalesce(col("files_true"), lit(0L)).as("files_true"))
+      .orderBy(col("probe_key"))
+  }
+
   /** First-order event-type transition counts per user stream (the
     * Markov-chain fingerprint of user behavior): lag the ordered
     * per-user stream, count (prev → next) pairs. One shuffle on
@@ -1101,6 +1248,8 @@ object Analytics extends QueryPack {
     "q11_stockshare" -> (q11 _),
     "scd2_history" -> (scd2History _),
     "zonemap_prune" -> (zonemapPrune _),
+    "layout_compaction" -> (layoutCompaction _),
+    "layout_bloom_skip" -> (layoutBloomSkip _),
     "graph_pagerank" -> (graphPagerank _),
     "events_sliding_agg" -> (slidingAgg _),
     "events_gapfill" -> (eventsGapfill _),
@@ -1354,6 +1503,76 @@ object Analytics extends QueryPack {
         |SELECT prev_type, next_type, count(*) AS n
         |FROM seq WHERE prev_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY prev_type, next_type""".stripMargin,
+    "layout_compaction" ->
+      s"""WITH frags AS (
+         | SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         |  count(*) AS n_rows
+         | FROM events GROUP BY 1, 2),
+         |binned AS (
+         | SELECT n_rows,
+         |  CAST(coalesce(sum(n_rows) OVER (ORDER BY event_type || '|' || day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |    // $CompactRows AS bin
+         | FROM frags),
+         |cfiles AS (SELECT bin, CAST(sum(n_rows) AS BIGINT) AS fr FROM binned GROUP BY bin),
+         |a_f AS (
+         | SELECT 'fragmented' AS layout, CAST(count(*) AS BIGINT) AS n_files,
+         |  CAST(sum(n_rows) AS BIGINT) AS rows_total,
+         |  CAST(max(n_rows) AS BIGINT) AS max_file_rows,
+         |  CAST(min(n_rows) AS BIGINT) AS min_file_rows,
+         |  CAST(sum(CASE WHEN n_rows < ${CompactRows / 2} THEN 1 ELSE 0 END) AS BIGINT) AS small_files
+         | FROM frags),
+         |a_c AS (
+         | SELECT 'compacted' AS layout, CAST(count(*) AS BIGINT) AS n_files,
+         |  CAST(sum(fr) AS BIGINT) AS rows_total,
+         |  CAST(max(fr) AS BIGINT) AS max_file_rows,
+         |  CAST(min(fr) AS BIGINT) AS min_file_rows,
+         |  CAST(sum(CASE WHEN fr < ${CompactRows / 2} THEN 1 ELSE 0 END) AS BIGINT) AS small_files
+         | FROM cfiles)
+         |SELECT * FROM a_f UNION ALL SELECT * FROM a_c ORDER BY layout""".stripMargin,
+    "layout_bloom_skip" ->
+      s"""WITH rpf AS (SELECT (count(*) + ${LayoutFiles - 1}) // $LayoutFiles AS rpf FROM lineitem),
+         |nat AS (
+         | SELECT l_partkey,
+         |  (row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1) // (SELECT rpf FROM rpf) AS file_id
+         | FROM lineitem),
+         |fk AS (SELECT DISTINCT file_id, l_partkey FROM nat),
+         |member AS (
+         | SELECT file_id,
+         |  ('0x' || substring(md5(l_partkey || ':' || i.i), 1, 8))::BIGINT % $BloomBits AS h
+         | FROM fk, (SELECT unnest(generate_series(0, ${BloomK - 1})) AS i) i),
+         |bloom AS (
+         | SELECT file_id, h // $BloomWord AS word,
+         |  bit_or(CAST(1 AS BIGINT) << CAST(h % $BloomWord AS INT)) AS bits
+         | FROM member GROUP BY 1, 2),
+         |probes AS (SELECT unnest([${BloomProbeKeys.mkString(", ")}]) AS probe_key),
+         |ph AS (
+         | SELECT probe_key,
+         |  ('0x' || substring(md5(probe_key || ':' || i.i), 1, 8))::BIGINT % $BloomBits AS h
+         | FROM probes, (SELECT unnest(generate_series(0, ${BloomK - 1})) AS i) i),
+         |phb AS (SELECT probe_key, h // $BloomWord AS word, CAST(h % $BloomWord AS INT) AS bit FROM ph),
+         |bkept AS (
+         | SELECT probe_key, file_id
+         | FROM phb JOIN bloom USING (word)
+         | WHERE ((bits >> bit) & 1) = 1
+         | GROUP BY probe_key, file_id HAVING count(*) = $BloomK),
+         |bcnt AS (SELECT probe_key, CAST(count(*) AS BIGINT) AS files_bloom FROM bkept GROUP BY 1),
+         |zones AS (SELECT file_id, min(l_partkey) AS pmin, max(l_partkey) AS pmax FROM nat GROUP BY 1),
+         |zcnt AS (
+         | SELECT probe_key, CAST(count(*) AS BIGINT) AS files_zone
+         | FROM probes, zones WHERE probe_key BETWEEN pmin AND pmax GROUP BY 1),
+         |tcnt AS (
+         | SELECT probe_key, CAST(count(*) AS BIGINT) AS files_true
+         | FROM probes JOIN fk ON probe_key = l_partkey GROUP BY 1)
+         |SELECT p.probe_key, CAST($LayoutFiles AS BIGINT) AS files_total,
+         | coalesce(zcnt.files_zone, 0) AS files_zone,
+         | coalesce(bcnt.files_bloom, 0) AS files_bloom,
+         | coalesce(tcnt.files_true, 0) AS files_true
+         |FROM probes p
+         | LEFT JOIN zcnt USING (probe_key)
+         | LEFT JOIN bcnt USING (probe_key)
+         | LEFT JOIN tcnt USING (probe_key)
+         |ORDER BY p.probe_key""".stripMargin,
     "layout_zorder" -> {
       val terms = (0 until 16).flatMap(j => Seq(
         s"(((l_partkey >> $j) & 1) << ${2 * j})",

@@ -80,6 +80,53 @@ class AnalyticsSpec extends SparkSpec {
       s"2-D predicate must be pushed to the parquet scan:\n$planStr")
   }
 
+  test("compaction: written small files collapse to target-sized bins, rows preserved") {
+    import org.apache.spark.sql.functions.{col, countDistinct, input_file_name}
+    val rows = Analytics.layoutCompaction(spark, sf).collect()
+    assert(rows.length == 2)
+    val byLayout = rows.map(r => r.getAs[String]("layout") -> r).toMap
+    val frag = byLayout("fragmented"); val comp = byLayout("compacted")
+    // compaction rewrites, never drops: same rows, far fewer files
+    assert(frag.getAs[Long]("rows_total") == comp.getAs[Long]("rows_total"))
+    assert(comp.getAs[Long]("n_files") < frag.getAs[Long]("n_files"))
+    // the small-file problem and its fix, quantified: every ingestion
+    // fragment is under half-target; compacted bins all reach the
+    // target except at most the tail remainder
+    assert(frag.getAs[Long]("small_files") == frag.getAs[Long]("n_files"))
+    assert(comp.getAs[Long]("small_files") <= 1)
+    // physical reality: the audits describe REAL written directories —
+    // file counts on disk equal the plan's, one file per leaf dir
+    val (fragged, compacted) = Analytics.compactionLayouts(spark, sf)
+    val fragFiles = fragged.select(input_file_name()).distinct().count()
+    assert(fragFiles == frag.getAs[Long]("n_files"), s"disk $fragFiles vs audit")
+    val compFiles = compacted.select(input_file_name()).distinct().count()
+    assert(compFiles == comp.getAs[Long]("n_files"), s"disk $compFiles vs audit")
+    val perFrag = fragged.select(col("event_type"), col("day"), input_file_name().as("f"))
+      .groupBy(col("event_type"), col("day")).agg(countDistinct(col("f")).as("nf")).collect()
+    assert(perFrag.forall(_.getAs[Long]("nf") == 1L), "one physical file per fragment")
+  }
+
+  test("bloom skip: no false negatives, and tighter than zone maps on a scattered key") {
+    val rows = Analytics.layoutBloomSkip(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val total = r.getAs[Long]("files_total")
+      val bloom = r.getAs[Long]("files_bloom")
+      val zone = r.getAs[Long]("files_zone")
+      val truth = r.getAs[Long]("files_true")
+      // a Bloom filter may overshoot (false positives) but NEVER
+      // undershoot the files that really hold the key
+      assert(bloom >= truth, s"false negative at key ${r.getAs[Long]("probe_key")}")
+      assert(bloom <= total && zone <= total && truth <= total)
+      // l_partkey is uncorrelated with insertion order, so min/max zone
+      // maps keep nearly everything while the Bloom keeps ~the truth
+      if (truth > 0) assert(bloom < zone,
+        s"bloom $bloom should beat zone $zone at key ${r.getAs[Long]("probe_key")}")
+    }
+    // the out-of-domain key exists nowhere
+    assert(rows.map(_.getAs[Long]("files_true")).min == 0)
+  }
+
   test("changepoint cusum telescopes to ~0 over each full series") {
     val rows = Analytics.eventsChangepoint(spark, sf).collect()
     assert(rows.nonEmpty)
