@@ -48,6 +48,14 @@ object Bench {
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")), json + "\n")
     catch { case _: Throwable => () }
+    // The driver records only a 2000-char stdout TAIL: with 140+ queries
+    // the full line above never fits, so its per-round record carried an
+    // unparseable fragment. Emit a LAST line compact enough to always
+    // land whole inside the tail — total + environment + the 20 slowest
+    // queries (3-decimal seconds) + a pointer to the full per-query file.
+    val top = results.toSeq.sortBy(-_._2).take(20)
+      .map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"sf":"$sfDir","loadavg":$loadAvgs,"cpus":$cpus,"top20":$top,"queries_file":"BENCH_LAST.json"}""")
     spark.stop()
   }
 }

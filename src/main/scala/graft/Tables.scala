@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated parquet tables (see TESTDATA.md).
   *
@@ -25,21 +25,33 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS): Spark reads it only as a
-    * long (spark.sql.legacy.parquet.nanosAsLong=true, set by
-    * GraftSession/Verify/Bench). Expose both the exact ns (`ts_ns`, for
-    * gap arithmetic that must match DuckDB's epoch_ns) and a
-    * us-truncated timestamp (`ts`).
+  /** events.ts has shipped in three physical forms across driver
+    * testdata generations: parquet TIMESTAMP(NANOS) (read as a long
+    * under spark.sql.legacy.parquet.nanosAsLong=true), TIMESTAMP_NTZ
+    * (pandas/pyarrow naive micros), and plain TIMESTAMP. Normalize all
+    * three to the same two columns: `ts` as session-TZ TIMESTAMP and
+    * `ts_ns` as exact epoch nanoseconds (the key used for gap
+    * arithmetic, which must match DuckDB's epoch_ns on the same file).
+    * NTZ wall-clock is interpreted as UTC — byte-identical to what
+    * DuckDB's naive reader does — so the session TZ is pinned here.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     // runtime-settable; required to read the TIMESTAMP(NANOS) column
     // even when the caller's session wasn't built by GraftSession
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = load(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts_ns", col("ts"))
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts_ns", col("ts"))
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        // NTZ -> LTZ under UTC is a physical no-op on the stored micros
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+          .withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+      case _ =>
+        raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
