@@ -1,8 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{LongType, StructType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated parquet tables (see TESTDATA.md).
   *
@@ -46,13 +46,37 @@ object Tables {
         raw.withColumn("ts_ns", col("ts"))
           .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType =>
-        // NTZ -> LTZ under UTC is a physical no-op on the stored micros
-        raw.withColumn("ts", col("ts").cast(TimestampType))
+        // Re-read under an explicit LTZ schema: the NTZ->LTZ conversion
+        // happens IN THE SCAN (under UTC it is a physical no-op on the
+        // stored micros), so `ts` stays a scan attribute and delta
+        // predicates on it reach the parquet row groups — a cast
+        // would block pushdown.
+        val sch = StructType(raw.schema.fields.map(f =>
+          if (f.name == "ts") f.copy(dataType = TimestampType) else f))
+        s.read.schema(sch).parquet(s"$d/events.parquet")
           .withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
       case _ =>
         raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
     }
   }
+
+  /** Delta-cutoff predicates over the normalized events frame, written
+    * so one conjunct always reaches the parquet scan in EVERY physical
+    * era of the table: NANOS-era files carry ts_ns as the raw column
+    * (the ts_ns conjunct pushes), timestamp files carry ts (the ts
+    * conjunct pushes). The timestamp twin is implied by the exact
+    * ts_ns conjunct — ts is the microsecond truncation of ts_ns — so
+    * the row set is decided by the ns comparison alone.
+    */
+  def tsSinceNs(cutoffNs: Long): Column =
+    col("ts_ns") >= cutoffNs &&
+      col("ts") >= timestamp_micros(lit(Math.floorDiv(cutoffNs, 1000L)))
+  def tsAfterNs(cutoffNs: Long): Column =
+    col("ts_ns") > cutoffNs &&
+      col("ts") >= timestamp_micros(lit(Math.floorDiv(cutoffNs, 1000L)))
+  def tsBeforeNs(cutoffNs: Long): Column =
+    col("ts_ns") < cutoffNs &&
+      col("ts") <= timestamp_micros(lit(Math.floorDiv(cutoffNs - 1L, 1000L)))
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Tables
 import graft.model.RunMetrics
 import graft.sources.IndexStore
 import org.apache.spark.sql.{Column, SparkSession}
@@ -87,7 +88,7 @@ object Indexer {
     val partitioned = odataFilter.fold(PathIndexOps.changeLog(spark, dir))(f =>
       PathIndexOps.changeLog(spark, dir)
         .filter(graft.functions.ODataFilter.compile(f, searchField = "pathUrlEncoded")))
-    val log = partitioned.filter(col("ts_ns") > since).persist()
+    val log = partitioned.filter(Tables.tsAfterNs(since)).persist()
 
     val maxNsRow = log.agg(max(col("ts_ns"))).collect().head
     if (maxNsRow.isNullAt(0)) {

@@ -131,7 +131,7 @@ object IndexerOps extends QueryPack {
   def incrementalRun(spark: SparkSession, dir: String): DataFrame = {
     val delta = PathIndexOps.upsertState(
       PathIndexOps.changeLog(spark, dir)
-        .filter(col("ts_ns") >= PathIndexOps.CutoffNs))
+        .filter(Tables.tsSinceNs(PathIndexOps.CutoffNs)))
       .filter(!col("is_delete"))
       .withColumn("doc_id", col("event_id") % 500)
       .select(col("key"), col("doc_id"), col("filesystem"),

@@ -231,13 +231,130 @@ object Multimodal extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-image pHash split into 4×16-bit band values (the join keys of
+    * the banded Hamming self-join) — bit p (row-major j·8+i) lands in
+    * band p/16 with weight 1 << (p mod 16). Degenerate flat hashes
+    * (all-zero / all-one — flat-color thumbnails, the classic aHash
+    * failure mode) are dropped: they carry no signal and would
+    * otherwise collapse every flat image into one quadratic bucket.
+    */
+  private def phashBands(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    assets(spark, dir)
+      .filter(_.mime == "image/bmp")
+      .mapPartitions(_.flatMap { a =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a.payload))
+        if (img == null) None
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val samples =
+            for (j <- 0 until 8; i <- 0 until 8)
+              yield img.getRGB(i * w / 8, j * h / 8) & 0xff
+          val mean = samples.sum.toDouble / 64.0
+          val bits = samples.map(_ > mean)
+          if (!bits.exists(identity) || bits.forall(identity)) None
+          else {
+            val hs = (0 until 4).map(b =>
+              (0 until 16).map(k => if (bits(16 * b + k)) 1L << k else 0L).sum)
+            Some((a.doc_id, hs(0), hs(1), hs(2), hs(3)))
+          }
+        }
+      })
+      .toDF("doc_id", "h0", "h1", "h2", "h3")
+  }
+
+  /** Image near-dup pairs: Hamming ≤ 3 over the 64-bit decoded-pixel
+    * pHash via pigeonhole banding — 4 bands of 16 bits, so any pair
+    * within distance 3 collides on ≥ 1 band (guaranteed recall); the
+    * `dedup_simhash_pairs` machinery applied to the image modality,
+    * which is how a 100 TB pipeline dedups frames and thumbnails
+    * (byte digests miss re-encodes; pHash survives them).
+    *
+    * Exact-identical hashes are collapsed FIRST (the dedup_embedding
+    * pattern): each distinct hash becomes one representative (min
+    * doc_id) carrying its member count, and the banded self-join runs
+    * over DISTINCT hashes only. Without the collapse, duplicate-heavy
+    * corpora explode quadratically — measured here: doc-level pairs
+    * grew 107× for 10× data on this corpus (the raster repeats every
+    * 768 ids, so identical-image groups grow linearly), while the
+    * distinct-hash pair count stays bounded by the hash vocabulary.
+    * Output = (rep_a, rep_b, hamming 1..3, n_a, n_b): every doc-level
+    * near-dup pair is recoverable as members(a) × members(b), and
+    * hamming-0 duplicates are the n > 1 groups themselves. The group
+    * table builds once (localCheckpoint); both join sides replay it;
+    * verify is codegen'd bit_count(xor).
+    */
+  def mmPhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    val groups = phashBands(spark, dir)
+      .groupBy((0 until 4).map(b => col(s"h$b")): _*)
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n"))
+      .localCheckpoint(true) // both join sides replay one decode+collapse
+    val banded = groups.select(col("rep") +: col("n") +: (0 until 4).map(b => col(s"h$b")) :+
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"), col(s"h$b").as("v"))): _*)).as("bs"): _*)
+      .select(col("rep") +: col("n") +: (0 until 4).map(b => col(s"h$b")) :+
+        col("bs.band").as("band") :+ col("bs.v").as("v"): _*)
+    val l = banded.select(col("rep").as("rep_a") +: col("n").as("n_a") +:
+      (0 until 4).map(b => col(s"h$b").as(s"a$b")) :+ col("band") :+ col("v"): _*)
+    val r = banded.select(col("rep").as("rep_b") +: col("n").as("n_b") +:
+      (0 until 4).map(b => col(s"h$b").as(s"b$b")) :+ col("band") :+ col("v"): _*)
+    val ham = (0 until 4).map(i => expr(s"bit_count(a$i ^ b$i)").cast("long")).reduce(_ + _)
+    l.join(r, Seq("band", "v")).filter(col("rep_a") < col("rep_b"))
+      .select(col("rep_a") +: col("rep_b") +: col("n_a") +: col("n_b") +:
+        (0 until 4).flatMap(i => Seq(col(s"a$i"), col(s"b$i"))): _*)
+      .distinct()
+      .withColumn("hamming", ham)
+      .filter(col("hamming") <= 3)
+      .select(col("rep_a"), col("rep_b"), col("hamming"), col("n_a"), col("n_b"))
+      .orderBy(col("rep_a"), col("rep_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode" -> (mmDecode _),
     "mm_framesample" -> (mmFrameSample _),
     "mm_phash" -> (mmPhash _),
+    "mm_phash_dedup" -> (mmPhashDedup _),
     "mm_resize" -> (mmResize _))
 
   val oracles: Map[String, String] = Map(
+    // analytic twin of the banded Hamming join: same raster, same
+    // nearest-neighbor grid, same band packing (bit p -> band p//16,
+    // weight 1 << (p % 16)), same degenerate-hash drop
+    "mm_phash_dedup" -> {
+      val hsums = (0 until 4).map(b =>
+        s"sum(CASE WHEN p // 16 = $b THEN bit * (1::BIGINT << (p % 16)) ELSE 0 END) AS h$b")
+        .mkString(", ")
+      val hcols = (0 until 4).map(b => s"h$b").mkString(", ")
+      val bandsUnion = (0 until 4).map(b =>
+        s"SELECT rep, n, $b AS band, h$b AS v FROM grp").mkString(" UNION ALL ")
+      val ham = (0 until 4).map(i => s"bit_count(xor(ga.h$i, gb.h$i))").mkString(" + ")
+      s"""WITH img AS (
+         | SELECT doc_id, CAST(doc_id % 16 + 1 AS BIGINT) AS w, CAST(doc_id % 12 + 1 AS BIGINT) AS h
+         | FROM documents WHERE doc_id % 3 = 0),
+         |g AS (
+         | SELECT doc_id, j.j * 8 + i.i AS p,
+         |  (doc_id * 31 + ((i.i * w) // 8) * 7 + ((j.j * h) // 8)) % 256 AS v
+         | FROM img,
+         |  LATERAL (SELECT unnest(generate_series(0, 7)) AS i) i,
+         |  LATERAL (SELECT unnest(generate_series(0, 7)) AS j) j),
+         |m AS (SELECT doc_id, avg(v) AS mean FROM g GROUP BY 1),
+         |bits AS (
+         | SELECT g.doc_id, g.p, CASE WHEN g.v > m.mean THEN 1 ELSE 0 END AS bit
+         | FROM g JOIN m USING (doc_id)),
+         |hs AS (SELECT doc_id, $hsums, sum(bit) AS nb FROM bits GROUP BY 1),
+         |live AS (SELECT * FROM hs WHERE nb > 0 AND nb < 64),
+         |grp AS (SELECT $hcols, min(doc_id) AS rep, count(*) AS n FROM live GROUP BY $hcols),
+         |bands AS ($bandsUnion),
+         |cand AS (
+         | SELECT DISTINCT ba.rep AS rep_a, bb.rep AS rep_b
+         | FROM bands ba JOIN bands bb
+         |  ON bb.band = ba.band AND bb.v = ba.v AND ba.rep < bb.rep)
+         |SELECT c.rep_a, c.rep_b, CAST($ham AS BIGINT) AS hamming, ga.n AS n_a, gb.n AS n_b
+         |FROM cand c JOIN grp ga ON ga.rep = c.rep_a JOIN grp gb ON gb.rep = c.rep_b
+         |WHERE $ham <= 3
+         |ORDER BY rep_a, rep_b""".stripMargin
+    },
     // analytic twin of the decoded-pixel aHash: same nearest-neighbor
     // grid (integer //), same mean threshold, same row-major bit order
     "mm_phash" ->

@@ -127,8 +127,8 @@ object PathIndexOps extends QueryPack {
 
   def upsertPathsMetrics(spark: SparkSession, dir: String): DataFrame = {
     val log = changeLog(spark, dir)
-    val existing = upsertState(log.filter(col("ts_ns") < CutoffNs)).select(col("key"))
-    val batch = upsertState(log.filter(col("ts_ns") >= CutoffNs)).select(col("key"))
+    val existing = upsertState(log.filter(Tables.tsBeforeNs(CutoffNs))).select(col("key"))
+    val batch = upsertState(log.filter(Tables.tsSinceNs(CutoffNs))).select(col("key"))
     val joined = batch.join(existing.withColumn("pre", lit(1)), Seq("key"), "left")
     joined.agg(
       sum(when(col("pre").isNull, 1L).otherwise(0L)).as("created"),
@@ -290,12 +290,15 @@ object PathIndexOps extends QueryPack {
     // per-key shuffles move 5 narrow columns instead of the JSON
     // payload (at sf1 this halves the query's bytes through both
     // exchanges)
+    // (ts rides along only to give tsBeforeNs its scan-pushable twin —
+    // it is the same physical column ts_ns derives from, so the scan
+    // reads no extra bytes, and it drops out right after the filters)
     val log = changeLog(spark, dir)
-      .select(col("key"), col("filesystem"), col("ts_ns"),
+      .select(col("key"), col("filesystem"), col("ts"), col("ts_ns"),
         col("event_id"), col("is_delete"))
-    val t1 = upsertState(log.filter(col("ts_ns") < CutoffNs))
+    val t1 = upsertState(log.filter(Tables.tsBeforeNs(CutoffNs)))
       .select(col("key"), col("event_id").as("id1"), col("is_delete").as("del1"))
-    val t2 = upsertState(log.filter(col("ts_ns") < DeltaCutoffNs))
+    val t2 = upsertState(log.filter(Tables.tsBeforeNs(DeltaCutoffNs)))
       .select(col("key"), col("filesystem"), col("event_id").as("id2"),
         col("is_delete").as("del2"))
     // t2's window is a superset of t1's, so every t1 key exists in t2

@@ -705,7 +705,53 @@ object TextAnalysis extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** The curation FUNNEL — the five gates of a training-data pipeline
+    * composed end-to-end over the library's own stages, reported as a
+    * per-stage survivor count (the readout every corpus-curation run
+    * publishes): raw → exact-dedup keeper (min doc_id per content
+    * hash) → language identified (any marker hit) → quality ≥ 0.5 →
+    * Gopher repetition rules → deterministic 10% hash sample. Gates
+    * apply cumulatively; everything reduces to ONE pass over the
+    * per-doc flag frame (six conditional sums in a single aggregate,
+    * unpivoted with stack) — at 100 TB the cost is the component
+    * flag computations, each individually scale-audited under its own
+    * §2 key; the funnel adds one conjunction projection and a 6-row
+    * aggregate.
+    */
+  def curateEnd2End(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val byHash = Window.partitionBy(md5(col("text").cast("binary")))
+    val flags = docs
+      .withColumn("keeper", min(col("doc_id")).over(byHash))
+      .select(col("doc_id"), (col("doc_id") === col("keeper")).as("k_dedup"))
+      .join(langId(spark, dir).select(col("doc_id"), (col("marker_hits") > 0).as("k_lang")), Seq("doc_id"))
+      .join(quality(spark, dir).select(col("doc_id"), (col("quality") >= 0.5).as("k_q")), Seq("doc_id"))
+      .join(gopherRules(spark, dir).select(col("doc_id"), col("keep").as("k_g")), Seq("doc_id"), "left")
+      .na.fill(false, Seq("k_g"))
+      .withColumn("k_s",
+        conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4), 16, 10)
+          .cast("long") % 100 < 10)
+    def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+    flags.agg(
+        count(lit(1)).as("c0"),
+        cnt(col("k_dedup")).as("c1"),
+        cnt(col("k_dedup") && col("k_lang")).as("c2"),
+        cnt(col("k_dedup") && col("k_lang") && col("k_q")).as("c3"),
+        cnt(col("k_dedup") && col("k_lang") && col("k_q") && col("k_g")).as("c4"),
+        cnt(col("k_dedup") && col("k_lang") && col("k_q") && col("k_g") && col("k_s")).as("c5"))
+      .selectExpr("""stack(6,
+        0, 'raw', c0,
+        1, 'exact_dedup', c1,
+        2, 'langid', c2,
+        3, 'quality', c3,
+        4, 'gopher', c4,
+        5, 'sample10', c5) AS (stage_idx, stage, docs)""")
+      .select(col("stage_idx").cast("int"), col("stage"), col("docs").cast("long").as("docs"))
+      .orderBy(col("stage_idx"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curate_end2end" -> (curateEnd2End _),
     "text_gopher_rules" -> (gopherRules _),
     "profile_columns" -> (profileColumns _),
     "text_unigram_logprob" -> (unigramLogprob _),
@@ -732,6 +778,53 @@ object TextAnalysis extends QueryPack {
     s"len(list_filter(string_split(text,' '), t -> t IN (${ms.map(m => s"'$m'").mkString(",")})))"
 
   val oracles: Map[String, String] = Map(
+    // the funnel twin: identical per-gate definitions (quality shares
+    // qualityScoreSql with text_quality / dedup_keep_best; the gopher
+    // chain mirrors text_gopher_rules with docs absent from its >= 2
+    // word base counted NOT kept; sample = sample_deterministic's
+    // md5-bucket rule), cumulative conjunctions, UNION ALL unpivot
+    "curate_end2end" -> {
+      val markerMax = "greatest(" + Markers.map { case (_, ms) => markerCountSql(ms) }.mkString(", ") + ")"
+      s"""WITH q AS ($qualityScoreSql),
+         |lid AS (SELECT doc_id, $markerMax AS mh FROM documents),
+         |gt AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |gb AS (SELECT doc_id, len(w) AS n_words, len(list_distinct(w)) AS ndw, w
+         |       FROM gt WHERE len(w) >= 2),
+         |gbg AS (SELECT doc_id, n_words, ndw, w[i.i] || ' ' || w[i.i + 1] AS g
+         |        FROM gb, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) i),
+         |gc AS (SELECT doc_id, n_words, ndw, g, count(*) AS k FROM gbg GROUP BY 1, 2, 3, 4),
+         |gs AS (SELECT doc_id, n_words, ndw, sum(k) AS total, max(k) AS topk, count(*) AS nd
+         |       FROM gc GROUP BY 1, 2, 3),
+         |gk AS (SELECT doc_id,
+         |        ((1 - nd::DOUBLE / total) <= 0.08 AND topk::DOUBLE / total <= 0.10
+         |          AND (1 - ndw::DOUBLE / n_words) <= 0.55) AS keep
+         |       FROM gs),
+         |dk AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keeper FROM documents),
+         |f AS (
+         | SELECT d.doc_id,
+         |  d.doc_id = d.keeper AS k_dedup,
+         |  l.mh > 0 AS k_lang,
+         |  q.quality >= 0.5 AS k_q,
+         |  coalesce(g.keep, FALSE) AS k_g,
+         |  ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 < 10 AS k_s
+         | FROM dk d JOIN q USING (doc_id) JOIN lid l USING (doc_id) LEFT JOIN gk g USING (doc_id)),
+         |cnt AS (
+         | SELECT count(*) AS c0,
+         |  sum(CASE WHEN k_dedup THEN 1 ELSE 0 END) AS c1,
+         |  sum(CASE WHEN k_dedup AND k_lang THEN 1 ELSE 0 END) AS c2,
+         |  sum(CASE WHEN k_dedup AND k_lang AND k_q THEN 1 ELSE 0 END) AS c3,
+         |  sum(CASE WHEN k_dedup AND k_lang AND k_q AND k_g THEN 1 ELSE 0 END) AS c4,
+         |  sum(CASE WHEN k_dedup AND k_lang AND k_q AND k_g AND k_s THEN 1 ELSE 0 END) AS c5
+         | FROM f)
+         |SELECT CAST(stage_idx AS INT) AS stage_idx, stage, CAST(docs AS BIGINT) AS docs FROM (
+         | SELECT 0 AS stage_idx, 'raw' AS stage, c0 AS docs FROM cnt
+         | UNION ALL SELECT 1, 'exact_dedup', c1 FROM cnt
+         | UNION ALL SELECT 2, 'langid', c2 FROM cnt
+         | UNION ALL SELECT 3, 'quality', c3 FROM cnt
+         | UNION ALL SELECT 4, 'gopher', c4 FROM cnt
+         | UNION ALL SELECT 5, 'sample10', c5 FROM cnt)
+         |ORDER BY stage_idx""".stripMargin
+    },
     "text_gopher_rules" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |b AS (SELECT doc_id, len(w) AS n_words, len(list_distinct(w)) AS ndw, w

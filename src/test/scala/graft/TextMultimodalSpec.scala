@@ -306,4 +306,36 @@ class TextMultimodalSpec extends SparkSpec {
       assert(ts.head == 0 && ts.last <= dur)
     }
   }
+
+  test("phash dedup: banding finds EVERY distinct-hash pair within Hamming 3 (pigeonhole recall)") {
+    val pairs = Multimodal.mmPhashDedup(spark, sf).collect()
+      .map(r => (r.getAs[Long]("rep_a"), r.getAs[Long]("rep_b"), r.getAs[Long]("hamming")))
+    // distinct hashes only: reps are unique on each side and hamming ≥ 1
+    assert(pairs.forall { case (a, b, h) => a < b && h >= 1 && h <= 3 })
+    // brute-force ground truth over the (small) distinct-hash set
+    val hs = Multimodal.mmPhash(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("phash")))
+      .filter { case (_, p) => p.contains('0') && p.contains('1') } // degenerate dropped
+      .groupBy(_._2).map { case (p, ds) => (ds.map(_._1).min, p) }.toSeq
+    val exact = (for {
+      (ra, pa) <- hs; (rb, pb) <- hs if ra < rb
+      h = pa.zip(pb).count { case (x, y) => x != y } if h <= 3
+    } yield (ra, rb, h.toLong)).toSet
+    assert(pairs.toSet == exact, s"banded=${pairs.length} exact=${exact.size}")
+  }
+
+  test("curation funnel: six stages, monotone non-increasing survivor counts") {
+    val stages = TextAnalysis.curateEnd2End(spark, sf).collect()
+      .map(r => (r.getAs[Int]("stage_idx"), r.getAs[String]("stage"), r.getAs[Long]("docs")))
+    assert(stages.map(_._1).toSeq == (0 until 6))
+    assert(stages.map(_._2).toSeq ==
+      Seq("raw", "exact_dedup", "langid", "quality", "gopher", "sample10"))
+    val counts = stages.map(_._3)
+    assert(counts.head == Tables.documents(spark, sf).count())
+    counts.sliding(2).foreach { case Array(hi, lo) => assert(hi >= lo) }
+    // the gopher gate is harsh on this synthetic repetitive corpus (18
+    // keepers of 500 at sf0.01), so the terminal 10% sample may
+    // legitimately be empty — monotonicity and the DuckDB twin are the
+    // gates here, not a non-empty tail
+  }
 }
