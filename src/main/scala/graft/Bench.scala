@@ -42,20 +42,18 @@ object Bench {
       try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ").take(3).mkString("[", ",", "]")
       catch { case _: Throwable => s"[$load]" }
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg":$loadAvgs,"cpus":$cpus}"""
-    println(json)
-    // sbt prefixes stdout lines with "[info] "; also drop the raw line
-    // in a file so any consumer can read it un-mangled
+    // The full per-query line above runs ~4KB at 140+ queries; the driver
+    // records only a 2000-char stdout TAIL, so printing it guarantees an
+    // unparseable fragment in the round artifact (r01–r07 all carried
+    // one). It goes ONLY to the file; stdout gets exactly ONE compact
+    // JSON line — total + environment + the 20 slowest queries under the
+    // contract's "queries" key — short enough to always land whole.
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")), json + "\n")
     catch { case _: Throwable => () }
-    // The driver records only a 2000-char stdout TAIL: with 140+ queries
-    // the full line above never fits, so its per-round record carried an
-    // unparseable fragment. Emit a LAST line compact enough to always
-    // land whole inside the tail — total + environment + the 20 slowest
-    // queries (3-decimal seconds) + a pointer to the full per-query file.
     val top = results.toSeq.sortBy(-_._2).take(20)
       .map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"sf":"$sfDir","loadavg":$loadAvgs,"cpus":$cpus,"top20":$top,"queries_file":"BENCH_LAST.json"}""")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"queries":$top,"sf":"$sfDir","loadavg":$loadAvgs,"cpus":$cpus,"queries_full":"BENCH_LAST.json"}""")
     spark.stop()
   }
 }

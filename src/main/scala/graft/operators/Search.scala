@@ -393,7 +393,91 @@ object Search extends QueryPack {
       .limit(50)
   }
 
+  private val MfTitleLen = 10
+  private val MfWTitle = 3.0
+  private val MfWBody = 1.0
+
+  /** One derived field of the corpus: `title` = the first
+    * [[MfTitleLen]] whitespace tokens, `body` = the rest — the
+    * two-field document shape (title + content) of the reference's
+    * index models (IndexModels/TextIndexModel.cs declares multiple
+    * searchable fields, each with its own analyzer and weight).
+    */
+  private def mfField(spark: SparkSession, dir: String, field: String): DataFrame = {
+    val w = split(col("text"), " ")
+    val txt =
+      if (field == "title") array_join(slice(w, 1, MfTitleLen), " ")
+      else array_join(slice(w, MfTitleLen + 1, Int.MaxValue), " ")
+    Tables.documents(spark, dir).select(col("doc_id"), txt.as("text"))
+  }
+
+  /** Per-field index triple (postings, docLens, stats), built once per
+    * snapshot — a multi-field Lucene index is per-field posting lists
+    * with per-field length norms, and so is this.
+    */
+  private def mfIndex(spark: SparkSession, dir: String,
+      field: String): (DataFrame, DataFrame, DataFrame) =
+    graft.sources.IndexCache.getOrBuild(spark, s"mf_index_$field", dir) {
+      val docs = Tables.parallelized(spark, mfField(spark, dir, field), "doc_id")
+      val p = TextIndex.postingsStdOf(docs).localCheckpoint(true)
+      val lens = docs.select(col("doc_id"),
+        size(graft.functions.Analyzers.standardTokens(col("text"))).cast("double").as("dl"))
+        .localCheckpoint(true)
+      val st = lens.agg(count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
+        .localCheckpoint(true)
+      (p, lens, st)
+    }
+
+  /** Unrounded per-field BM25 for `terms` (df derived from the probed
+    * postings themselves — one row per (tok, doc)): (doc_id, s), docs
+    * with no matched posting in the field omitted (their field score
+    * is exactly 0).
+    */
+  private def mfFieldScore(spark: SparkSession, dir: String, field: String,
+      terms: Seq[String]): DataFrame = {
+    val (p0, lens, stats0) = mfIndex(spark, dir, field)
+    val p = p0.filter(col("tok").isin(terms: _*))
+    val tfAggs = terms.map(t =>
+      coalesce(sum(when(col("tok") === t, col("tf"))), lit(0L)).cast("double").as(s"tf_$t"))
+    val perDoc = p.groupBy(col("doc_id")).agg(tfAggs.head, tfAggs.tail: _*)
+      .join(lens, Seq("doc_id"))
+    val dfAggs = terms.map(t =>
+      coalesce(sum(when(col("tok") === t, lit(1L))), lit(0L)).cast("double").as(s"df_$t"))
+    val stats = p.agg(dfAggs.head, dfAggs.tail: _*).crossJoin(stats0)
+    val lenNorm = lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))
+    val perTerm = terms.map { t =>
+      val idf = log(lit(1.0) + (col("n_docs") - col(s"df_$t") + 0.5) / (col(s"df_$t") + 0.5))
+      idf * col(s"tf_$t") * lit(Bm25K1 + 1.0) / (col(s"tf_$t") + lenNorm)
+    }
+    perDoc.crossJoin(broadcast(stats))
+      .select(col("doc_id"), perTerm.reduce(_ + _).as("s"))
+  }
+
+  /** Multi-field weighted relevance — the Azure Search SCORING PROFILE
+    * (`weights: {title: 3, body: 1}`; the reference's index models
+    * declare several searchable fields and the service ranks across
+    * them): score = 3·BM25_title + 1·BM25_body for "spark data", each
+    * field scored against ITS OWN posting lists, length norms, and
+    * corpus stats (per-field dl/avgdl/df — the Lucene multi-field
+    * execution, not a concatenated-text rescore). Probe cost is the
+    * two fields' matched postings; the fusion is a full-outer join of
+    * two matched-doc frames (a doc may hit in either field alone).
+    */
+  def searchMultiField(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("spark", "data")
+    val t = mfFieldScore(spark, dir, "title", terms).withColumnRenamed("s", "s_title")
+    val b = mfFieldScore(spark, dir, "body", terms).withColumnRenamed("s", "s_body")
+    t.join(b, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), round(lit(1e-9) +
+        lit(MfWTitle) * coalesce(col("s_title"), lit(0.0)) +
+        lit(MfWBody) * coalesce(col("s_body"), lit(0.0)), 4).as("score"))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(50)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "search_multifield" -> (searchMultiField _),
     "search_phrase" -> (searchPhrase _),
     "search_bm25_persisted" -> (searchBm25Persisted _),
     "search_incremental" -> (searchIncremental _),
@@ -411,7 +495,45 @@ object Search extends QueryPack {
     "search_score_bm25" -> (searchScoreBm25 _),
     "search_hybrid_rrf" -> (searchHybridRrf _))
 
+  /** One field's BM25 sub-expression over the `a`/`stats` CTE columns
+    * of the multifield oracle (f = "t" or "b").
+    */
+  private def mfFieldSql(f: String): String =
+    s"""(ln(1.0 + (n_docs - df${f}_spark + 0.5) / (df${f}_spark + 0.5)) * tf${f}_spark * ${Bm25K1 + 1.0} /
+       |   (tf${f}_spark + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * dl_$f / avgdl_$f)) +
+       |  ln(1.0 + (n_docs - df${f}_data + 0.5) / (df${f}_data + 0.5)) * tf${f}_data * ${Bm25K1 + 1.0} /
+       |   (tf${f}_data + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * dl_$f / avgdl_$f)))""".stripMargin
+
+  private lazy val mfScoreSql: String =
+    s"round(1e-9 + $MfWTitle * ${mfFieldSql("t")} + $MfWBody * ${mfFieldSql("b")}, 4)"
+
   val oracles: Map[String, String] = Map(
+    "search_multifield" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |f AS (
+         | SELECT doc_id,
+         |  list_filter(string_split_regex(lower(array_to_string(ws[1:$MfTitleLen], ' ')), '[^a-z0-9]+'), t -> t <> '') AS tt,
+         |  list_filter(string_split_regex(lower(coalesce(array_to_string(ws[${MfTitleLen + 1}:len(ws)], ' '), '')), '[^a-z0-9]+'), t -> t <> '') AS bt
+         | FROM w),
+         |a AS (
+         | SELECT doc_id,
+         |  len(tt)::DOUBLE AS dl_t, len(bt)::DOUBLE AS dl_b,
+         |  len(list_filter(tt, t -> t = 'spark'))::DOUBLE AS tft_spark,
+         |  len(list_filter(tt, t -> t = 'data'))::DOUBLE AS tft_data,
+         |  len(list_filter(bt, t -> t = 'spark'))::DOUBLE AS tfb_spark,
+         |  len(list_filter(bt, t -> t = 'data'))::DOUBLE AS tfb_data
+         | FROM f),
+         |stats AS (
+         | SELECT count(*)::DOUBLE AS n_docs, avg(dl_t) AS avgdl_t, avg(dl_b) AS avgdl_b,
+         |  sum(CASE WHEN tft_spark > 0 THEN 1.0 ELSE 0.0 END) AS dft_spark,
+         |  sum(CASE WHEN tft_data > 0 THEN 1.0 ELSE 0.0 END) AS dft_data,
+         |  sum(CASE WHEN tfb_spark > 0 THEN 1.0 ELSE 0.0 END) AS dfb_spark,
+         |  sum(CASE WHEN tfb_data > 0 THEN 1.0 ELSE 0.0 END) AS dfb_data
+         | FROM a)
+         |SELECT doc_id, $mfScoreSql AS score
+         |FROM a, stats
+         |WHERE $mfScoreSql > 0
+         |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin,
     "search_phrase" ->
       """WITH d AS (
         | SELECT doc_id,

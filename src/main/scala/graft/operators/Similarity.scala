@@ -415,6 +415,47 @@ object Similarity extends QueryPack {
     * cell count). Both sides are 10-row frames, so the intersection
     * join costs nothing beyond the two searches themselves.
     */
+  /** BATCHED vector retrieval — the offline serving shape of every
+    * RAG-corpus-linking / embedding-join pipeline (retrieve neighbors
+    * for a whole query SET in one plan, not one driver round-trip per
+    * query): 8 query vectors (vec_id < 8) each probe their 2 nearest
+    * IVF cells and rank candidates within them, top-5 per query.
+    *
+    * Execution shape at 100 TB: probe selection is a (Q × k) centroid
+    * ranking — queries broadcast onto the k-row centroid table, a
+    * Q-partition window over k rows each (driver-scale). The candidate
+    * stage joins the (query, cell) probe pairs (2Q rows, broadcast)
+    * against the cell assignments, so each query reads ONLY its probed
+    * inverted lists — total candidate volume ≈ Q × 2 × cell-population,
+    * independent of corpus size, and the whole batch amortizes ONE pass
+    * over the probed lists instead of Q sequential jobs. The per-query
+    * top-5 window partitions on query_id with cell-bounded partitions.
+    */
+  def annMultiQuery(spark: SparkSession, dir: String): DataFrame = {
+    val NumQ = 8
+    val (cells, centroids) = cellIndex(spark, dir, probes = 1)
+    val queries = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < NumQ)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val probed = centroids.crossJoin(broadcast(queries))
+      .select(col("query_id"), col("cell"),
+        Vectors.cosineExpr(col("centroid"), col("qv")).as("ccos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("cell"))))
+      .filter(col("rk") <= 2)
+      .select(col("query_id"), col("cell"))
+    cells.join(broadcast(probed), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(Tables.embeddings(spark, dir), Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"), col("label"),
+        round(Vectors.cosine(col("embedding"), col("qv")), 4).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+      .filter(col("rank") <= 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   def annRecall(spark: SparkSession, dir: String): DataFrame = {
     val bf = annBruteForce(spark, dir).select(col("vec_id"))
     val ivf = annIvf(spark, dir).select(col("vec_id"))
@@ -763,6 +804,7 @@ object Similarity extends QueryPack {
     "ann_incremental" -> (annIncremental _),
     "ann_ivfpq" -> (annIvfPq _),
     "ann_recall" -> (annRecall _),
+    "ann_multiquery" -> (annMultiQuery _),
     "ann_filtered" -> (annFiltered _),
     "knn_join" -> (knnJoin _),
     "knn_classify" -> (knnClassify _))
@@ -980,6 +1022,28 @@ object Similarity extends QueryPack {
          |FROM qz z, q
          |WHERE z.vec_id <> $QueryVecId
          |ORDER BY cos8 DESC, z.vec_id LIMIT 10""".stripMargin,
+    "ann_multiquery" ->
+      s"""WITH ${kmeansCellsSql(probes = 1)},
+         |qs AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8),
+         |pr AS (
+         | SELECT q.query_id, c.cell,
+         |  row_number() OVER (PARTITION BY q.query_id
+         |    ORDER BY list_cosine_similarity(c.centroid, q.qv) DESC, c.cell) AS rk
+         | FROM cents c, qs q),
+         |probed AS (SELECT query_id, cell FROM pr WHERE rk <= 2),
+         |cand AS (
+         | SELECT p.query_id, e.vec_id, e.label,
+         |  round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 4) AS cos
+         | FROM cells JOIN probed p USING (cell)
+         |  JOIN embeddings e USING (vec_id)
+         |  JOIN qs q ON q.query_id = p.query_id
+         | WHERE e.vec_id <> p.query_id),
+         |rk AS (
+         | SELECT query_id, vec_id, label, cos,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+         | FROM cand)
+         |SELECT query_id, vec_id, label, cos, rank FROM rk
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "ann_ivf" ->
       s"""WITH ${kmeansCellsSql(probes = 1)},
          |q AS (SELECT embedding FROM embeddings WHERE vec_id = $QueryVecId),

@@ -750,7 +750,31 @@ object TextAnalysis extends QueryPack {
       .orderBy(col("stage_idx"))
   }
 
+  /** The corpus MIX report — the per-language table every LM data
+    * pipeline publishes before setting mixture weights (docs, token
+    * volume, token share, mean doc length per language): one
+    * partial-aggregated pass over (lang, token-count) projections, a
+    * |langs|-row result, and the global token total re-enters as a
+    * 1-row broadcast for the share column. All integer arithmetic
+    * until the final exact double divisions — engine-portable.
+    */
+  def corpusReport(spark: SparkSession, dir: String): DataFrame = {
+    val perLang = Tables.documents(spark, dir)
+      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("toks"),
+        col("n_chars"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"))
+    val total = perLang.agg(sum(col("n_tokens")).as("tot_tokens"))
+    perLang.crossJoin(broadcast(total))
+      .select(col("lang"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        round(lit(1e-9) + col("n_tokens") * 100.0 / col("tot_tokens"), 4).as("token_pct"),
+        round(lit(1e-9) + col("n_tokens").cast("double") / col("n_docs"), 2).as("mean_doc_tokens"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_report" -> (corpusReport _),
     "curate_end2end" -> (curateEnd2End _),
     "text_gopher_rules" -> (gopherRules _),
     "profile_columns" -> (profileColumns _),
@@ -778,6 +802,17 @@ object TextAnalysis extends QueryPack {
     s"len(list_filter(string_split(text,' '), t -> t IN (${ms.map(m => s"'$m'").mkString(",")})))"
 
   val oracles: Map[String, String] = Map(
+    "corpus_report" ->
+      """WITH pl AS (
+        | SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars
+        | FROM documents GROUP BY 1),
+        |tot AS (SELECT sum(n_tokens) AS tot_tokens FROM pl)
+        |SELECT lang, n_docs, n_tokens, n_chars,
+        | round(1e-9 + n_tokens * 100.0 / tot_tokens, 4) AS token_pct,
+        | round(1e-9 + n_tokens::DOUBLE / n_docs, 2) AS mean_doc_tokens
+        |FROM pl, tot ORDER BY lang""".stripMargin,
     // the funnel twin: identical per-gate definitions (quality shares
     // qualityScoreSql with text_quality / dedup_keep_best; the gopher
     // chain mirrors text_gopher_rules with docs absent from its >= 2

@@ -329,4 +329,69 @@ class AnalyticsSpec extends SparkSpec {
       .join(recent, col("c_custkey") === col("o_custkey"), "left_anti").count()
     assert(out == expected && out > 0)
   }
+
+  test("incremental aggregate merge equals full recompute; refresh scans only the batch") {
+    import org.apache.spark.sql.functions._
+    val inc = Analytics.aggIncremental(spark, sf)
+    val full = Tables.events(spark, sf)
+      .groupBy(col("event_type"),
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(floor(col("value") * 100 + 0.5).cast("long")) / 100.0 + 1e-9, 2).as("total_value"))
+    assert(inc.count() > 0)
+    assert(inc.except(full).isEmpty && full.except(inc).isEmpty,
+      "state+batch merge diverged from full recompute")
+    // with the state warm (checkpointed), the refresh plan reads the
+    // events table exactly once — the batch side, under the cutoff
+    // predicate; history is never re-scanned
+    val plan = Analytics.aggIncremental(spark, sf).queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.count(_.contains("events.parquet"))
+    assert(scans == 1, s"expected exactly 1 events scan (the batch), got $scans:\n$plan")
+    assert(plan.contains("PushedFilters"), s"batch cutoff not pushed:\n$plan")
+  }
+
+  test("scd2 as-of lookup is point-in-time correct against a driver-side replay") {
+    import org.apache.spark.sql.functions._
+    val got = Analytics.scd2AsofLookup(spark, sf).collect()
+      .map(r => r.getAs[Long]("purchase_id") ->
+        (if (r.isNullAt(r.fieldIndex("version"))) None
+         else Some((r.getAs[Long]("version"), r.getAs[String]("attr_type"))))).toMap
+    // independent replay: sort each user's stream, walk it in order
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("ts_ns"), col("event_type")).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("ts_ns"),
+        r.getAs[Long]("event_id"), r.getAs[String]("event_type")))
+    var checked = 0
+    ev.groupBy(_._1).foreach { case (_, rows) =>
+      // dim rows first at equal timestamps — the operator's tie rule
+      val ordered = rows.sortBy(t => (t._2, if (t._4 == "purchase") 1 else 0, t._3))
+      var version = 0L
+      var attr: Option[String] = None
+      ordered.foreach { case (_, _, id, tpe) =>
+        if (tpe == "purchase") {
+          val expected = if (version == 0) None else Some((version, attr.get))
+          assert(got(id) == expected, s"purchase $id: got ${got(id)}, expected $expected")
+          checked += 1
+        } else { version += 1; attr = Some(tpe) }
+      }
+    }
+    assert(checked > 0 && checked == got.size)
+  }
+
+  test("cohort LTV triangle covers every order once with nonnegative offsets") {
+    import org.apache.spark.sql.functions._
+    val rows = Analytics.ordersCohortLtv(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Int]("month_offset") >= 0))
+    assert(rows.map(_.getAs[Long]("n_orders")).sum == Tables.orders(spark, sf).count())
+    // the first order defines the cohort, so every cohort has an offset-0 cell
+    val byCohort = rows.groupBy(_.getAs[String]("cohort_month"))
+    byCohort.foreach { case (c, rs) =>
+      assert(rs.exists(_.getAs[Int]("month_offset") == 0), s"cohort $c missing offset 0")
+    }
+    // customers are counted once per cell and at least once per cohort at offset 0
+    assert(byCohort.values.map(
+      _.find(_.getAs[Int]("month_offset") == 0).get.getAs[Long]("n_customers")).sum ==
+      Tables.orders(spark, sf).select(col("o_custkey")).distinct().count())
+  }
 }

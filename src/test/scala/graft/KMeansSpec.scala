@@ -266,4 +266,27 @@ class KMeansSpec extends SparkSpec {
     assert(new java.io.File(root).lastModified() == before,
       "persisted IVF layout was rewritten by a probe")
   }
+
+  test("batched multi-query retrieval: 5 ranked hits per query, query 0 == single-query probe") {
+    val rows = Similarity.annMultiQuery(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.keySet.subsetOf((0L until 8L).toSet))
+    byQuery.foreach { case (q, rs) =>
+      // ranks are contiguous from 1 and ordered by descending cosine
+      assert(rs.map(_.getAs[Long]("rank")).sorted.sameElements(1L to rs.length.toLong))
+      assert(rs.length <= 5)
+      val cos = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("cos"))
+      assert(cos.sameElements(cos.sortBy(-_)))
+      // a query never retrieves itself
+      assert(rs.forall(_.getAs[Long]("vec_id") != q))
+    }
+    // query_id 0 is the single-query operator's query vector: the batch
+    // path must produce exactly that probe's top-5 prefix
+    val single = Similarity.annIvf(spark, sf).collect().take(5)
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos"))).toSeq
+    val batched = byQuery(0L).sortBy(_.getAs[Long]("rank"))
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos"))).toSeq
+    assert(batched == single, s"batched=$batched single=$single")
+  }
 }

@@ -368,4 +368,40 @@ class SearchSpec extends SparkSpec {
     assert(viaMerge.count() > 0)
     assert(viaMerge.except(fresh).isEmpty && fresh.except(viaMerge).isEmpty)
   }
+
+  test("multifield scoring profile: ranked weighted hits, probe never rescans the corpus") {
+    import graft.functions.Analyzers
+    val rows = Search.searchMultiField(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val scores = rows.map(_.getAs[Double]("score"))
+    assert(scores.forall(_ > 0) && scores.sameElements(scores.sortBy(-_)))
+    // every hit contains a query term under the standard analyzer
+    val ids = rows.map(_.getAs[Long]("doc_id")).toSet
+    val withTerm = docs.select(col("doc_id"), Analyzers.standardTokens(col("text")).as("t"))
+      .filter(array_contains(col("t"), "spark") || array_contains(col("t"), "data"))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(ids.subsetOf(withTerm))
+    // field weighting is real: among docs with exactly ONE query-term
+    // occurrence in total, a title hit (weight 3, 10-token field)
+    // always outscores a body hit (weight 1, long field)
+    val w = split(col("text"), " ")
+    val fields = docs.select(col("doc_id"),
+      Analyzers.standardTokens(array_join(slice(w, 1, 10), " ")).as("tt"),
+      Analyzers.standardTokens(array_join(slice(w, 11, Int.MaxValue), " ")).as("bt"))
+    def hits(c: org.apache.spark.sql.Column) =
+      size(filter(c, t => t === "spark" || t === "data"))
+    val single = fields.select(col("doc_id"),
+        hits(col("tt")).as("ht"), hits(col("bt")).as("hb"))
+      .filter(col("ht") + col("hb") === 1)
+      .collect().map(r => r.getAs[Long]("doc_id") -> (r.getAs[Int]("ht") == 1)).toMap
+    val scored = rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    val titleOnly = scored.collect { case (d, s) if single.get(d).contains(true) => s }
+    val bodyOnly = scored.collect { case (d, s) if single.get(d).contains(false) => s }
+    if (titleOnly.nonEmpty && bodyOnly.nonEmpty)
+      assert(titleOnly.min > bodyOnly.max,
+        s"title weight not dominant: title min ${titleOnly.min} <= body max ${bodyOnly.max}")
+    // with the per-field indexes warm, the probe plan never rescans documents
+    val plan = Search.searchMultiField(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"), s"corpus re-scan in multifield plan:\n$plan")
+  }
 }

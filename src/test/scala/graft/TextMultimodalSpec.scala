@@ -338,4 +338,40 @@ class TextMultimodalSpec extends SparkSpec {
     // legitimately be empty — monotonicity and the DuckDB twin are the
     // gates here, not a non-empty tail
   }
+
+  test("wav features come from REALLY decoded PCM samples") {
+    val rows = Multimodal.mmWavFeatures(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // every payload decoded through the JDK codec — no stub fallback
+    assert(rows.forall(_.getAs[Boolean]("decoded")))
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val n = (id % 50 + 10).toInt
+      assert(r.getAs[Long]("n_samples") == n)
+      assert(r.getAs[Long]("byte_len") == 44 + 2L * n)
+      assert(r.getAs[Int]("sample_rate") == 8000)
+      assert(r.getAs[Long]("duration_us") == n.toLong * 125)
+      // recompute the waveform independently from its formula
+      val vs = Array.tabulate(n)(i => ((id * 31 + i * 7) % 2003 - 1001).toInt)
+      assert(r.getAs[Long]("sum_abs") == vs.map(v => math.abs(v).toLong).sum)
+      assert(r.getAs[Long]("max_abs") == vs.map(v => math.abs(v).toLong).max)
+      assert(r.getAs[Long]("zero_crossings") ==
+        vs.sliding(2).count(p => p(0).toLong * p(1) < 0))
+    }
+  }
+
+  test("corpus mix report: one row per language, shares sum to 100, totals reconcile") {
+    import org.apache.spark.sql.functions._
+    val rows = TextAnalysis.corpusReport(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val langs = rows.map(_.getAs[String]("lang"))
+    assert(langs.distinct.length == langs.length)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == Tables.documents(spark, sf).count())
+    val pctSum = rows.map(_.getAs[Double]("token_pct")).sum
+    assert(math.abs(pctSum - 100.0) < 0.01, s"token shares sum to $pctSum")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("mean_doc_tokens") > 0)
+      assert(r.getAs[Long]("n_tokens") >= r.getAs[Long]("n_docs"))
+    }
+  }
 }
