@@ -1310,6 +1310,26 @@ object Analytics extends QueryPack {
       .orderBy(col("purchase_id"))
   }
 
+  /** Dwell-time matrix: mean seconds spent between consecutive events
+    * per (from_type → to_type) transition — the temporal companion of
+    * events_transitions (which counts edges, this times them): one
+    * per-user sorted window (lag/lead on the high-cardinality user
+    * key, one shuffle, no skew), then a k²-row combinable aggregate.
+    * The behavioral dwell readout every funnel/engagement analysis
+    * pairs with its transition counts.
+    */
+  def eventsDwell(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .withColumn("next_ts_ns", lead(col("ts_ns"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"),
+        round(lit(1e-9) + avg((col("next_ts_ns") - col("ts_ns")) / 1e9), 2).as("mean_dwell_s"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
   /** Signup-cohort lifetime value — the cohort × month-offset revenue
     * triangle every growth team reads: cohort = month of the
     * customer's FIRST order (a combinable per-key min, one shuffle on
@@ -1339,6 +1359,7 @@ object Analytics extends QueryPack {
     "agg_incremental" -> (aggIncremental _),
     "scd2_asof_lookup" -> (scd2AsofLookup _),
     "orders_cohort_ltv" -> (ordersCohortLtv _),
+    "events_dwell" -> (eventsDwell _),
     "orders_basket_pairs" -> (basketPairs _),
     "orders_basket_rules" -> (basketRules _),
     "events_transitions" -> (eventTransitions _),
@@ -1412,6 +1433,16 @@ object Analytics extends QueryPack {
         | ON d.user_id = p.user_id AND d.ts <= p.ts
         |  AND (d.next_ts IS NULL OR p.ts < d.next_ts)
         |ORDER BY purchase_id""".stripMargin,
+    "events_dwell" ->
+      """WITH s AS (
+        | SELECT user_id, event_id, event_type, epoch_ns(ts) AS ts_ns,
+        |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type,
+        |  lead(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts_ns
+        | FROM events)
+        |SELECT event_type AS from_type, next_type AS to_type, count(*) AS n,
+        | round(1e-9 + avg((next_ts_ns - ts_ns) / 1e9), 2) AS mean_dwell_s
+        |FROM s WHERE next_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "orders_cohort_ltv" ->
       """WITH first AS (
         | SELECT o_custkey, min(o_orderdate) AS first_dt FROM orders GROUP BY 1)

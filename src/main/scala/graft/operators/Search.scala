@@ -476,7 +476,38 @@ object Search extends QueryPack {
       .limit(50)
   }
 
+  /** moreLikeThis (the Lucene/Azure Search MLT query): find documents
+    * similar to a SOURCE DOCUMENT by extracting its most
+    * characteristic terms and querying with them. Both halves are
+    * index probes: the source doc's "interesting terms" are its top-3
+    * by tf·ln(N/df) — tf from ITS OWN posting rows, df from the cached
+    * dictionary (a |doc-vocab|-row join, driver-scale) — and retrieval
+    * expands those 3 terms through their posting lists (broadcast of a
+    * 3-row frame), ranking matches by shared-term count, then total
+    * tf, then doc_id. The corpus text is never touched; cost is
+    * O(Σ|postings(top-terms)|) at any corpus size.
+    */
+  def searchMoreLikeThis(spark: SparkSession, dir: String): DataFrame = {
+    val SrcDoc = 1L
+    val p = TextIndex.postingsWs(spark, dir)
+    val nDocs = TextIndex.docLensStd(spark, dir).agg(count(lit(1)).cast("double").as("n_docs"))
+    val terms = p.filter(col("doc_id") === SrcDoc)
+      .join(TextIndex.vocabWs(spark, dir).select(col("tok"), col("df")), Seq("tok"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("tok"), (col("tf") * log(col("n_docs") / col("df"))).as("tfidf"))
+      .orderBy(col("tfidf").desc, col("tok"))
+      .limit(3)
+      .select(col("tok"))
+    p.join(broadcast(terms), Seq("tok"))
+      .filter(col("doc_id") =!= SrcDoc)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("sum_tf"))
+      .orderBy(col("n_terms").desc, col("sum_tf").desc, col("doc_id"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "search_more_like_this" -> (searchMoreLikeThis _),
     "search_multifield" -> (searchMultiField _),
     "search_phrase" -> (searchPhrase _),
     "search_bm25_persisted" -> (searchBm25Persisted _),
@@ -508,6 +539,24 @@ object Search extends QueryPack {
     s"round(1e-9 + $MfWTitle * ${mfFieldSql("t")} + $MfWBody * ${mfFieldSql("b")}, 4)"
 
   val oracles: Map[String, String] = Map(
+    "search_more_like_this" ->
+      """WITH dt AS (
+        | SELECT doc_id, tok, count(*) AS tf FROM (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        | GROUP BY 1, 2),
+        |dfreq AS (SELECT tok, count(*) AS df FROM dt GROUP BY 1),
+        |n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+        |terms AS (
+        | SELECT tok FROM (
+        |  SELECT d.tok, d.tf * ln(n.n_docs / f.df) AS tfidf
+        |  FROM dt d JOIN dfreq f USING (tok), n
+        |  WHERE d.doc_id = 1)
+        | ORDER BY tfidf DESC, tok LIMIT 3)
+        |SELECT doc_id, count(*) AS n_terms, CAST(sum(tf) AS BIGINT) AS sum_tf
+        |FROM dt JOIN terms USING (tok)
+        |WHERE doc_id <> 1
+        |GROUP BY doc_id
+        |ORDER BY n_terms DESC, sum_tf DESC, doc_id LIMIT 20""".stripMargin,
     "search_multifield" ->
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
          |f AS (

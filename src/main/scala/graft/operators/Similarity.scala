@@ -456,6 +456,32 @@ object Similarity extends QueryPack {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** RANGE search (FAISS `range_search`, the other ANN serving API):
+    * ALL vectors within a cosine radius of the query, not a fixed
+    * top-k — the shape dedup thresholds and recall-critical retrieval
+    * use. Same IVF architecture as [[annIvf]] but with nprobe WIDENED
+    * to 4: a radius query's result set isn't bounded at k, so it
+    * trades more probed lists for recall at the radius boundary.
+    * Candidates stay bounded by the probed cells' population; the
+    * threshold filter is scan-level (codegen'd) over them.
+    */
+  def annRange(spark: SparkSession, dir: String): DataFrame = {
+    val Radius = 0.25
+    val (cells, centroids) = cellIndex(spark, dir, probes = 1)
+    val q = queryVec(spark, dir)
+    val probed = centroids.crossJoin(broadcast(q))
+      .select(col("cell"), Vectors.cosineExpr(col("centroid"), col("qv")).as("ccos"))
+      .orderBy(col("ccos").desc, col("cell")).limit(4).select(col("cell"))
+    cells.join(broadcast(probed), Seq("cell"))
+      .filter(col("vec_id") =!= QueryVecId)
+      .join(Tables.embeddings(spark, dir), Seq("vec_id"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        round(Vectors.cosine(col("embedding"), col("qv")), 4).as("cos"))
+      .filter(col("cos") >= Radius)
+      .orderBy(col("cos").desc, col("vec_id"))
+  }
+
   def annRecall(spark: SparkSession, dir: String): DataFrame = {
     val bf = annBruteForce(spark, dir).select(col("vec_id"))
     val ivf = annIvf(spark, dir).select(col("vec_id"))
@@ -804,6 +830,7 @@ object Similarity extends QueryPack {
     "ann_incremental" -> (annIncremental _),
     "ann_ivfpq" -> (annIvfPq _),
     "ann_recall" -> (annRecall _),
+    "ann_range" -> (annRange _),
     "ann_multiquery" -> (annMultiQuery _),
     "ann_filtered" -> (annFiltered _),
     "knn_join" -> (knnJoin _),
@@ -1022,6 +1049,19 @@ object Similarity extends QueryPack {
          |FROM qz z, q
          |WHERE z.vec_id <> $QueryVecId
          |ORDER BY cos8 DESC, z.vec_id LIMIT 10""".stripMargin,
+    "ann_range" ->
+      s"""WITH ${kmeansCellsSql(probes = 1)},
+         |q AS (SELECT embedding FROM embeddings WHERE vec_id = $QueryVecId),
+         |probed AS (
+         | SELECT c.cell FROM cents c, q
+         | ORDER BY list_cosine_similarity(c.centroid, q.embedding::DOUBLE[]) DESC, c.cell
+         | LIMIT 4)
+         |SELECT e.vec_id, e.label,
+         | round(list_cosine_similarity(e.embedding::DOUBLE[], qq.embedding::DOUBLE[]), 4) AS cos
+         |FROM embeddings e JOIN cells USING (vec_id) JOIN probed USING (cell), q qq
+         |WHERE e.vec_id <> $QueryVecId
+         | AND round(list_cosine_similarity(e.embedding::DOUBLE[], qq.embedding::DOUBLE[]), 4) >= 0.25
+         |ORDER BY cos DESC, e.vec_id""".stripMargin,
     "ann_multiquery" ->
       s"""WITH ${kmeansCellsSql(probes = 1)},
          |qs AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8),

@@ -596,14 +596,15 @@ object TextAnalysis extends QueryPack {
     */
   def tfidfTop(spark: SparkSession, dir: String): DataFrame = {
     val HeadK = 1024
-    val docs = Tables.parallelized(spark,
-      Tables.documents(spark, dir).select(col("doc_id"), col("text")), "doc_id")
-    val dt = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)
-    val dfreq = dt.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    // tf-idf IS a probe of the materialized lexical index: (doc, tok,
+    // tf) is the whitespace posting list and df is the dictionary —
+    // both built once per snapshot (graft.sources.TextIndex) and shared
+    // with the search family; only the head/tail skew split, the score
+    // and the per-doc top-3 remain per-query work
+    import graft.sources.TextIndex
+    val dt = TextIndex.postingsWs(spark, dir)
+    val dfreq = TextIndex.vocabWs(spark, dir).select(col("tok"), col("df"))
+    val nDocs = TextIndex.docLensStd(spark, dir).agg(count(lit(1)).as("n_docs"))
     val head = dfreq.orderBy(col("df").desc, col("tok")).limit(HeadK).localCheckpoint(true)
     val tail = dfreq.join(broadcast(head.select(col("tok"))), Seq("tok"), "left_anti")
     val scored = dt.join(broadcast(head), Seq("tok"))

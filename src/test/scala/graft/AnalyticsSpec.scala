@@ -378,6 +378,20 @@ class AnalyticsSpec extends SparkSpec {
     assert(checked > 0 && checked == got.size)
   }
 
+  test("dwell matrix counts every consecutive transition once, nonnegative dwell") {
+    import org.apache.spark.sql.functions._
+    val rows = Analytics.eventsDwell(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n") >= 1)
+      assert(r.getAs[Double]("mean_dwell_s") >= 0.0)
+    }
+    // transitions per user = events - 1, summed over users with events
+    val ev = Tables.events(spark, sf)
+    val expected = ev.count() - ev.select(col("user_id")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n")).sum == expected)
+  }
+
   test("cohort LTV triangle covers every order once with nonnegative offsets") {
     import org.apache.spark.sql.functions._
     val rows = Analytics.ordersCohortLtv(spark, sf).collect()

@@ -267,6 +267,26 @@ class KMeansSpec extends SparkSpec {
       "persisted IVF layout was rewritten by a probe")
   }
 
+  test("range search returns only in-radius vectors from probed cells, high recall vs brute force") {
+    import graft.functions.Vectors
+    val got = Similarity.annRange(spark, sf).collect()
+    assert(got.nonEmpty)
+    val cos = got.map(_.getAs[Double]("cos"))
+    assert(cos.forall(_ >= 0.25))
+    assert(cos.sameElements(cos.sortBy(-_)))
+    // brute-force ground truth: every in-radius vector in the corpus
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val truth = e.filter(col("vec_id") =!= 0).crossJoin(q)
+      .select(col("vec_id"), round(Vectors.cosine(col("embedding"), col("qv")), 4).as("cos"))
+      .filter(col("cos") >= 0.25)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val ids = got.map(_.getAs[Long]("vec_id")).toSet
+    assert(ids.subsetOf(truth), "range probe returned an out-of-radius vector")
+    assert(ids.size >= (truth.size + 1) / 2,
+      s"range recall too low: ${ids.size}/${truth.size}")
+  }
+
   test("batched multi-query retrieval: 5 ranked hits per query, query 0 == single-query probe") {
     val rows = Similarity.annMultiQuery(spark, sf).collect()
     assert(rows.nonEmpty)

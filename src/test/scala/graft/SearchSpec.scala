@@ -369,6 +369,27 @@ class SearchSpec extends SparkSpec {
     assert(viaMerge.except(fresh).isEmpty && fresh.except(viaMerge).isEmpty)
   }
 
+  test("moreLikeThis retrieves docs sharing the source doc's top terms, index-only") {
+    val rows = Search.searchMoreLikeThis(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    assert(rows.forall(_.getAs[Long]("doc_id") != 1L))
+    assert(rows.forall(r => r.getAs[Long]("n_terms") >= 1 && r.getAs[Long]("n_terms") <= 3))
+    // ranked by shared-term count, then total tf
+    val keys = rows.map(r => (-r.getAs[Long]("n_terms"), -r.getAs[Long]("sum_tf"), r.getAs[Long]("doc_id")))
+    assert(keys.sameElements(keys.sorted))
+    // every hit genuinely shares a token with the source document
+    val srcToks = docs.filter(col("doc_id") === 1)
+      .select(explode(split(col("text"), " ")).as("t")).collect().map(_.getString(0)).toSet
+    val hitIds = rows.map(_.getAs[Long]("doc_id")).toSet
+    val sharing = docs.filter(col("doc_id").isin(hitIds.toSeq: _*))
+      .select(col("doc_id"), split(col("text"), " ").as("w")).collect()
+      .filter(_.getSeq[String](1).exists(srcToks)).map(_.getLong(0)).toSet
+    assert(hitIds == sharing)
+    // warm probe: no corpus rescan
+    val plan = Search.searchMoreLikeThis(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"), s"corpus re-scan in MLT plan:\n$plan")
+  }
+
   test("multifield scoring profile: ranked weighted hits, probe never rescans the corpus") {
     import graft.functions.Analyzers
     val rows = Search.searchMultiField(spark, sf).collect()
