@@ -445,28 +445,59 @@ object Dedup extends QueryPack {
     * pigeonhole banding: 4 bands × 16 bits — any pair within distance 3
     * differs in at most 3 bands, so it MUST collide on at least one,
     * and only band-colliding pairs are ever distance-checked (the
-    * all-pairs Hamming scan never happens; at 16-bit band width the
-    * buckets stay tiny at any corpus size). The distance check itself
+    * all-pairs Hamming scan never happens). The distance check itself
     * is codegen'd bit_count(xor) — no token re-reads.
+    *
+    * Exact-identical signatures COLLAPSE to (rep = min doc_id, n)
+    * representatives FIRST — the same collapse mm_phash_dedup needed:
+    * on a dup-heavy corpus identical-signature groups grow with the
+    * corpus, so doc-level pairs grow quadratically (measured 22× for
+    * 10× data at sf10 before the collapse) while DISTINCT signatures
+    * grow slowly. The output (rep_a, rep_b, hamming ∈ [1,3], n_a,
+    * n_b) reconstructs every doc-level pair (within-group dup pairs
+    * are the n > 1 groups, hamming 0 by definition).
+    *
+    * Banding uses Manku et al. 2007's block-permutation scheme (the
+    * WWW "Detecting Near-Duplicates for Web Crawling" design, built
+    * for 8B-page scale): naive 4×16-bit banding birthday-collides
+    * once distinct signatures outgrow 2^16 (measured 125M candidate
+    * pairs at sf10's 193k distinct sigs). Instead the 64 bits split
+    * into SIX blocks (4×11 + 2×10 bits) and each signature posts C(6,
+    * 3) = 20 keys, one per block TRIPLE (≤33-bit key space) — a pair
+    * within Hamming distance 3 damages at most 3 blocks, so at least
+    * one triple survives intact in both and recall stays guaranteed,
+    * while collisions now require 33 matching bits instead of 16.
     */
   def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val sims = simhashBands(spark, dir) // cached signature index — both join sides replay it
-    val banded = sims.select(col("doc_id") +: (0 until 4).map(b => col(s"h$b")) :+
-      explode(array((0 until 4).map(b => struct(lit(b).as("band"), col(s"h$b").as("v"))): _*)).as("bs"): _*)
-      .select(col("doc_id") +: (0 until 4).map(b => col(s"h$b")) :+
+    val grp = sims.groupBy((0 until 4).map(b => col(s"h$b")): _*)
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n"))
+      .withColumn("full", expr("h0 | shiftleft(h1, 16) | shiftleft(h2, 32) | shiftleft(h3, 48)"))
+    val blocks = Seq((0, 11), (11, 11), (22, 11), (33, 11), (44, 10), (54, 10))
+    val blk = blocks.map { case (off, len) =>
+      expr(s"shiftright(full, $off) & ${(1L << len) - 1}") }
+    val combos = blocks.indices.combinations(3).toSeq
+    val keys = combos.zipWithIndex.map { case (c, ci) =>
+      struct(lit(ci).as("band"),
+        (blk(c(0)) * (1L << 22) + blk(c(1)) * (1L << 11) + blk(c(2))).as("v"))
+    }
+    val banded = grp.select(col("rep") +: col("n") +: (0 until 4).map(b => col(s"h$b")) :+
+        explode(array(keys: _*)).as("bs"): _*)
+      .select(col("rep") +: col("n") +: (0 until 4).map(b => col(s"h$b")) :+
         col("bs.band").as("band") :+ col("bs.v").as("v"): _*)
-    val l = banded.select(col("doc_id").as("a") +: (0 until 4).map(b => col(s"h$b").as(s"a$b")) :+
-      col("band") :+ col("v"): _*)
-    val r = banded.select(col("doc_id").as("b") +: (0 until 4).map(b => col(s"h$b").as(s"b$b")) :+
-      col("band") :+ col("v"): _*)
+    val l = banded.select(col("rep").as("rep_a") +: col("n").as("n_a") +:
+      (0 until 4).map(b => col(s"h$b").as(s"a$b")) :+ col("band") :+ col("v"): _*)
+    val r = banded.select(col("rep").as("rep_b") +: col("n").as("n_b") +:
+      (0 until 4).map(b => col(s"h$b").as(s"b$b")) :+ col("band") :+ col("v"): _*)
     val ham = (0 until 4).map(i => expr(s"bit_count(a$i ^ b$i)").cast("long")).reduce(_ + _)
-    l.join(r, Seq("band", "v")).filter(col("a") < col("b"))
-      .select(col("a") +: col("b") +: (0 until 4).flatMap(i => Seq(col(s"a$i"), col(s"b$i"))): _*)
+    l.join(r, Seq("band", "v")).filter(col("rep_a") < col("rep_b"))
+      .select(col("rep_a") +: col("rep_b") +: col("n_a") +: col("n_b") +:
+        (0 until 4).flatMap(i => Seq(col(s"a$i"), col(s"b$i"))): _*)
       .distinct()
       .withColumn("hamming", ham)
       .filter(col("hamming") <= 3)
-      .select(col("a"), col("b"), col("hamming"))
-      .orderBy(col("a"), col("b"))
+      .select(col("rep_a"), col("rep_b"), col("hamming"), col("n_a"), col("n_b"))
+      .orderBy(col("rep_a"), col("rep_b"))
   }
 
   /** Duplicate clustering: connected components over the LSH candidate
@@ -970,11 +1001,15 @@ object Dedup extends QueryPack {
          | SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
          |vals AS (SELECT doc_id, $vcols FROM toks),
          |summed AS (SELECT doc_id, $sums FROM vals GROUP BY doc_id),
-         |sh AS (SELECT doc_id, $hcols FROM summed)
-         |SELECT a.doc_id AS a, b.doc_id AS b, CAST($ham AS BIGINT) AS hamming
-         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id AND ($anyBand)
+         |sh AS (SELECT doc_id, $hcols FROM summed),
+         |grp AS (
+         | SELECT h0, h1, h2, h3, min(doc_id) AS rep, count(*) AS n
+         | FROM sh GROUP BY 1, 2, 3, 4)
+         |SELECT a.rep AS rep_a, b.rep AS rep_b, CAST($ham AS BIGINT) AS hamming,
+         | a.n AS n_a, b.n AS n_b
+         |FROM grp a JOIN grp b ON a.rep < b.rep AND ($anyBand)
          |WHERE $ham <= 3
-         |ORDER BY a, b""".stripMargin
+         |ORDER BY rep_a, rep_b""".stripMargin
     },
     "dedup_ngram_jaccard" ->
       s"""WITH pairs AS ($pairsSql),

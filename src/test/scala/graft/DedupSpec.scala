@@ -38,19 +38,42 @@ class DedupSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Double]("cos") >= 0.3))
   }
 
-  test("banded simhash pairs find EVERY pair within hamming 3 (pigeonhole completeness)") {
+  test("banded simhash pairs reconstruct EVERY doc pair within hamming 3 (pigeonhole completeness)") {
     import org.apache.spark.sql.functions._
     val rows = Dedup.dedupSimhashPairs(spark, sf).collect()
-    val found = rows.map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) -> r.getAs[Long]("hamming")).toMap
-    // brute force over ALL pairs from the collected band hashes
+    val found = rows.map(r => (r.getAs[Long]("rep_a"), r.getAs[Long]("rep_b")) ->
+      (r.getAs[Long]("hamming"), r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))).toMap
+    // brute force over the collected signatures
     val hs = Dedup.simhashBands(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") -> (0 until 4).map(i => r.getAs[Long](s"h$i")))
+    val groups = hs.groupBy(_._2).map { case (sig, ms) => sig -> ms.map(_._1).sorted }
+    def dist(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum.toLong
+    // rep-level expected: every distinct-signature pair within distance 3
+    val sigs = groups.keys.toSeq
     val expected = (for {
-      (a, ha) <- hs; (b, hb) <- hs if a < b
-      d = ha.zip(hb).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum.toLong
-      if d <= 3
-    } yield (a, b) -> d).toMap
+      sa <- sigs; sb <- sigs
+      ra = groups(sa).min; rb = groups(sb).min
+      if ra < rb
+      d = dist(sa, sb) if d <= 3
+    } yield (ra, rb) -> (d, groups(sa).size.toLong, groups(sb).size.toLong)).toMap
     assert(found == expected, s"found ${found.size}, expected ${expected.size}")
+    // doc-level reconstruction: a brute-force doc pair within distance 3
+    // is either an identical-signature pair (its group has n > 1) or an
+    // expansion of exactly one emitted representative pair
+    val repOf = hs.map { case (d, sig) => d -> groups(sig).min }.toMap
+    val sigOf = hs.toMap
+    for { (a, ha) <- hs; (b, hb) <- hs if a < b } {
+      val d = dist(ha, hb)
+      if (d <= 3) {
+        if (ha == hb) assert(groups(ha).size > 1)
+        else {
+          val key = (math.min(repOf(a), repOf(b)), math.max(repOf(a), repOf(b)))
+          assert(found.contains(key), s"doc pair ($a,$b) d=$d not reconstructible")
+        }
+      }
+    }
+    assert(sigOf.size == hs.length)
   }
 
   test("cell-bucketed near-dup recall vs the label formulation") {
