@@ -24,6 +24,26 @@ final case class KeyState(
     last_ts_ns: Long,
     n_events: Long)
 
+/** Per-user SCD2 state for the streaming point-in-time lookup: the
+  * current dimension version count + latest attributes.
+  */
+final case class AsofState(
+    n_versions: Long,
+    attr_type: String,
+    attr_value: Double,
+    last_ts_ns: Long,
+    last_event_id: Long)
+
+/** One point-in-time lookup result (None fields = the purchase
+  * preceded every dimension version).
+  */
+final case class AsofOut(
+    purchase_id: Long,
+    user_id: Long,
+    version: Option[Long],
+    attr_type: Option[String],
+    attr_value: Option[Double])
+
 /** Replay-idempotent metrics for the streaming indexer: counts are
   * keyed by micro-batch id and overwritten on re-record, so an
   * at-least-once replay of a batch (crash between store write and
@@ -200,6 +220,60 @@ object StreamingOps extends QueryPack {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Fold a user's events (one micro-batch worth) through the SCD2
+    * state machine: dimension events (non-purchase) advance the
+    * version, purchases emit a lookup against the CURRENT state —
+    * point-in-time correct because the fold sorts its slice by (ts,
+    * dim-first, id), the same tie rule as the batch window
+    * formulation. Shared by the streaming and batch paths so the two
+    * cannot diverge.
+    */
+  def asofFold(userId: Long, events: Seq[EventRow],
+      prior: Option[AsofState]): (AsofState, Seq[AsofOut]) = {
+    val sorted = events.sortBy(e =>
+      (e.ts_ns, if (e.event_type == "purchase") 1 else 0, e.event_id))
+    var st = prior.getOrElse(AsofState(0L, "", 0.0, Long.MinValue, -1L))
+    val out = scala.collection.mutable.ArrayBuffer.empty[AsofOut]
+    sorted.foreach { e =>
+      if (e.event_type == "purchase") {
+        val hit = st.n_versions > 0
+        out += AsofOut(e.event_id, userId,
+          if (hit) Some(st.n_versions) else None,
+          if (hit) Some(st.attr_type) else None,
+          if (hit) Some(st.attr_value) else None)
+      } else st = AsofState(st.n_versions + 1, e.event_type, e.value, e.ts_ns, e.event_id)
+    }
+    (st, out.toSeq)
+  }
+
+  /** Streaming point-in-time SCD2 lookup (the feature-store training
+    * join as a STREAM): per-user dimension state lives in the state
+    * store (flatMapGroupsWithState — one compact AsofState per user,
+    * not a history buffer), purchases emit their lookups as they
+    * arrive. The batch twin [[streamAsof]] is gated by the SAME DuckDB
+    * oracle as the window-formulated `scd2_asof_lookup`, proving the
+    * state machine == the declarative interval join; StreamingSpec
+    * proves the MemoryStream run (state carried across micro-batches)
+    * equals the batch twin.
+    */
+  def asofLookupStream(spark: SparkSession, events: Dataset[EventRow]): Dataset[AsofOut] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[EventRow], state: GroupState[AsofState]) =>
+          val (next, out) = asofFold(uid, it.toSeq, state.getOption)
+          state.update(next)
+          out.iterator
+      }
+  }
+
+  /** Batch form of the same state machine (for the oracle gate). */
+  def asofLookupBatch(spark: SparkSession, events: Dataset[EventRow]): Dataset[AsofOut] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroups((uid, it) => asofFold(uid, it.toSeq, None)._2.iterator)
+  }
+
   // ---- batch-equivalent registered queries ----
 
   private def eventRows(spark: SparkSession, dir: String): Dataset[EventRow] = {
@@ -271,7 +345,14 @@ object StreamingOps extends QueryPack {
       .orderBy(col("event_id"))
   }
 
+  def streamAsof(spark: SparkSession, dir: String): DataFrame =
+    asofLookupBatch(spark, eventRows(spark, dir)).toDF()
+      .select(col("purchase_id"), col("user_id"), col("version"), col("attr_type"),
+        round(col("attr_value") + 1e-9, 2).as("attr_value"))
+      .orderBy(col("purchase_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_asof" -> (streamAsof _),
     "stream_upsert" -> (streamUpsert _),
     "stream_window" -> (streamWindow _),
     "stream_sliding" -> (streamSliding _),
@@ -279,6 +360,10 @@ object StreamingOps extends QueryPack {
     "stream_dedup" -> (streamDedup _))
 
   val oracles: Map[String, String] = Map(
+    // the SAME oracle as the window-formulated scd2_asof_lookup: two
+    // independent execution strategies (state-machine fold vs window
+    // forward-fill) gated against one declarative interval-join truth
+    "stream_asof" -> graft.operators.Analytics.oracles("scd2_asof_lookup"),
     "stream_dedup" ->
       """WITH h AS (
         | SELECT event_id, ts, user_id, event_type, value,

@@ -40,6 +40,44 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming as-of lookup carries SCD2 state across micro-batches, equals the batch twin") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+
+    val rows = Tables.events(spark, sf)
+      .selectExpr("event_id", "ts_ns", "user_id", "event_type", "value")
+      .as[EventRow].collect().sortBy(e => (e.ts_ns, e.event_id))
+
+    val input = MemoryStream[EventRow]
+    val query = StreamingOps.asofLookupStream(spark, input.toDS())
+      .writeStream.format("memory").queryName("asof_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // time-ordered replay split mid-stream: purchases in batch 2 must
+      // see dimension versions accumulated in batch 1's state
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      input.addData(b1.toSeq); query.processAllAvailable()
+      input.addData(b2.toSeq); query.processAllAvailable()
+
+      def key(pid: Long, v: Option[Long], t: Option[String]) = (pid, v, t)
+      val streamed = spark.table("asof_out").collect()
+        .map(r => key(r.getAs[Long]("purchase_id"),
+          Option(r.get(r.fieldIndex("version"))).map(_.asInstanceOf[Long]),
+          Option(r.getAs[String]("attr_type"))))
+        .sortBy(_._1)
+      val batch = StreamingOps.asofLookupBatch(spark, spark.createDataset(rows.toSeq))
+        .collect().map(o => key(o.purchase_id, o.version, o.attr_type)).sortBy(_._1)
+      assert(streamed.length == batch.length && streamed.sameElements(batch))
+      // and the state machine agrees with the window formulation
+      val windowed = graft.operators.Analytics.scd2AsofLookup(spark, sf).collect()
+        .map(r => key(r.getAs[Long]("purchase_id"),
+          Option(r.get(r.fieldIndex("version"))).map(_.asInstanceOf[Long]),
+          Option(r.getAs[String]("attr_type"))))
+        .sortBy(_._1)
+      assert(batch.sameElements(windowed))
+    } finally query.stop()
+  }
+
   test("watermarked stream-stream interval join equals the batch twin") {
     // the streaming form of attribution (views joined to purchases in a
     // 1-hour lookback, both sides unbounded streams): watermarks bound
