@@ -903,6 +903,30 @@ object Analytics extends QueryPack {
       .orderBy(col("event_type"))
   }
 
+  /** Exponentially time-decayed engagement score per event type — the
+    * freshness-weighted counter every ranking/trending system keeps
+    * (half-life 7 days): weight = 0.5^((t_ref − t)/hl), score = Σ w,
+    * value = Σ w·v, referenced to the corpus max timestamp (a 1-row
+    * broadcast). The decay weight is a pure per-row Column expression
+    * (codegen'd pow in the scan stage) and both sums are map-side
+    * combinable, so the whole query is one partial-aggregated pass —
+    * the streaming-friendly alternative to windowed recounts: a decayed
+    * counter is mergeable (weights multiply under a shared reference),
+    * so per-partition partials at 100 TB merge exactly.
+    */
+  def eventsDecay(spark: SparkSession, dir: String): DataFrame = {
+    val HlNs = 7L * 24 * 3600 * 1000000000L // 7-day half-life
+    val ref = Tables.events(spark, dir).agg(max(col("ts_ns")).as("ref_ns"))
+    val w = pow(lit(0.5), (col("ref_ns") - col("ts_ns")).cast("double") / lit(HlNs.toDouble))
+    Tables.events(spark, dir)
+      .crossJoin(broadcast(ref))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(w) + 1e-9, 4).as("decayed_n"),
+        round(sum(w * col("value")) + 1e-9, 4).as("decayed_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** Seasonal-naive forecast backtest: per (event_type, hour-of-day),
     * forecast = mean hourly value over the history days (absent hours
     * count as zero — total/n_days), actual = the held-out final day.
@@ -1386,6 +1410,7 @@ object Analytics extends QueryPack {
     "events_gapfill" -> (eventsGapfill _),
     "parts_abc" -> (partsAbc _),
     "events_forecast" -> (eventsForecast _),
+    "events_decay" -> (eventsDecay _),
     "events_ab_test" -> (eventsAbTest _),
     "events_rolling_7d" -> (eventsRolling7d _),
     "orders_ship_lag" -> (ordersShipLag _),
@@ -1546,6 +1571,14 @@ object Analytics extends QueryPack {
         | round(abs(coalesce(fc.fc, 0) - coalesce(act.av, 0)) + 1e-9, 2) AS abs_err
         |FROM fc FULL OUTER JOIN act ON act.event_type = fc.event_type AND act.hod = fc.hod
         |ORDER BY event_type, hod""".stripMargin,
+    "events_decay" ->
+      """WITH ref AS (SELECT max(epoch_ns(ts)) AS ref_ns FROM events)
+        |SELECT event_type, count(*) AS n_events,
+        | round(sum(power(0.5, (ref_ns - epoch_ns(ts))::DOUBLE / 604800000000000.0)) + 1e-9, 4) AS decayed_n,
+        | round(sum(power(0.5, (ref_ns - epoch_ns(ts))::DOUBLE / 604800000000000.0) * value) + 1e-9, 4) AS decayed_value
+        |FROM events, ref
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "parts_abc" ->
       """WITH rev AS (
         | SELECT l_partkey AS p_partkey,

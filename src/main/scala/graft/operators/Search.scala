@@ -506,7 +506,37 @@ object Search extends QueryPack {
       .limit(20)
   }
 
+  /** Full Boolean query execution over posting lists — Lucene's
+    * BooleanQuery, the query form behind Azure Search's
+    * `search=a OR b -c` syntax: `(spark OR stream) AND filter AND NOT
+    * slow`. Every clause is an index probe and the combination is set
+    * algebra on doc_id keys:
+    *
+    *  - SHOULD (OR): union of the clause terms' posting lists, one
+    *    aggregate collecting which terms hit and their total tf;
+    *  - MUST (AND): left-semi join on the required term's postings;
+    *  - MUST_NOT: left-anti join on the excluded term's postings.
+    *
+    * Cost is O(Σ|postings(clause terms)|) — the corpus text is never
+    * touched, and all joins key on high-cardinality doc_id (no skew).
+    */
+  def searchBoolean(spark: SparkSession, dir: String): DataFrame = {
+    val orTerms = Seq("spark", "stream")
+    val p = TextIndex.postingsStd(spark, dir)
+    val should = p.filter(col("tok").isin(orTerms: _*))
+      .groupBy(col("doc_id"))
+      .agg(array_join(array_sort(collect_set(col("tok"))), ",").as("hit_terms"),
+        sum(col("tf")).as("or_tf"))
+    val must = p.filter(col("tok") === "filter").select(col("doc_id"))
+    val mustNot = p.filter(col("tok") === "slow").select(col("doc_id"))
+    should
+      .join(must, Seq("doc_id"), "left_semi")
+      .join(mustNot, Seq("doc_id"), "left_anti")
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "search_boolean" -> (searchBoolean _),
     "search_more_like_this" -> (searchMoreLikeThis _),
     "search_multifield" -> (searchMultiField _),
     "search_phrase" -> (searchPhrase _),
@@ -539,6 +569,22 @@ object Search extends QueryPack {
     s"round(1e-9 + $MfWTitle * ${mfFieldSql("t")} + $MfWBody * ${mfFieldSql("b")}, 4)"
 
   val oracles: Map[String, String] = Map(
+    "search_boolean" ->
+      """WITH a AS (
+        | SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+        | FROM documents),
+        |m AS (
+        | SELECT doc_id,
+        |  array_to_string(list_sort(list_distinct(
+        |    list_filter(toks, t -> t IN ('spark', 'stream')))), ',') AS hit_terms,
+        |  CAST(len(list_filter(toks, t -> t IN ('spark', 'stream'))) AS BIGINT) AS or_tf,
+        |  list_contains(toks, 'filter') AS has_must,
+        |  list_contains(toks, 'slow') AS has_not
+        | FROM a)
+        |SELECT doc_id, hit_terms, or_tf FROM m
+        |WHERE or_tf > 0 AND has_must AND NOT has_not
+        |ORDER BY doc_id""".stripMargin,
     "search_more_like_this" ->
       """WITH dt AS (
         | SELECT doc_id, tok, count(*) AS tf FROM (

@@ -774,7 +774,76 @@ object TextAnalysis extends QueryPack {
       .orderBy(col("lang"))
   }
 
+  private val DsirB = 256 // hashed-feature buckets
+
+  /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every raw
+    * document by how much it looks like a TARGET domain (here the `en`
+    * slice) under hashed unigram language models. Both distributions
+    * live in [[DsirB]] md5-hash buckets, so the model is two 256-row
+    * aggregates built in the SAME single pass over (doc, bucket) counts
+    * — at 100 TB the corpus is read once, the bucket log-ratio table
+    * (add-0.5 smoothed) broadcasts at kilobyte size, and each doc's
+    * importance = mean over its tokens of the bucket log-ratios is one
+    * more partial-aggregated pass over that same frame. Top-100 by
+    * importance — the resampling pool.
+    */
+  def sampleImportance(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"), col("text"))
+    val db = Tables.parallelized(spark, docs, "doc_id")
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"), col("lang"),
+        (conv(substring(md5(col("w").cast("binary")), 1, 8), 16, 10).cast("long") % DsirB).as("b"))
+      .groupBy(col("doc_id"), col("lang"), col("b")).agg(count(lit(1)).as("k"))
+    val raw = db.groupBy(col("b")).agg(sum(col("k")).as("r"))
+    val tgt = db.filter(col("lang") === "en").groupBy(col("b")).agg(sum(col("k")).as("t"))
+    val totals = db.agg(sum(col("k")).as("rt"),
+      sum(when(col("lang") === "en", col("k")).otherwise(lit(0L))).as("tt"))
+    val lr = raw.join(tgt, Seq("b"), "left").na.fill(0L, Seq("t"))
+      .crossJoin(broadcast(totals))
+      .select(col("b"),
+        (log((col("t") + 0.5) / (col("tt") + 0.5 * DsirB)) -
+         log((col("r") + 0.5) / (col("rt") + 0.5 * DsirB))).as("lr"))
+    db.join(broadcast(lr), Seq("b"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(round(sum(col("k") * col("lr")) / sum(col("k")) + 1e-9, 4).as("importance"))
+      .orderBy(col("importance").desc, col("doc_id"))
+      .limit(100)
+  }
+
+  private val PackSeqLen = 512
+  private val PackShards = 64
+
+  /** Training-sequence packing (the sample-packing stage every LM
+    * pre-training pipeline runs before batching): documents
+    * concatenate into fixed-length token streams of [[PackSeqLen]],
+    * each doc assigned to the sequence where its FIRST token falls in
+    * the concatenated stream. Docs shard deterministically into
+    * [[PackShards]] md5 shards — at cluster scale each shard is one
+    * independent packing stream, so the only coordination is the
+    * shuffle on the shard key; within a shard the layout is a window
+    * cumsum in doc_id order (shard cardinality ≫ cores ⇒ parallel,
+    * skew-free). Output: per-(shard, seq) packed stats — the frame a
+    * writer would iterate to emit training shards.
+    */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("toks"))
+      .withColumn("shard",
+        conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4), 16, 10)
+          .cast("long") % PackShards)
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+    d.withColumn("start", sum(col("toks")).over(w) - col("toks"))
+      .withColumn("seq_id", (col("start") / PackSeqLen).cast("long"))
+      .groupBy(col("shard"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("tokens"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy(col("shard"), col("seq_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pack_sequences" -> (packSequences _),
+    "sample_importance" -> (sampleImportance _),
     "corpus_report" -> (corpusReport _),
     "curate_end2end" -> (curateEnd2End _),
     "text_gopher_rules" -> (gopherRules _),
@@ -803,6 +872,36 @@ object TextAnalysis extends QueryPack {
     s"len(list_filter(string_split(text,' '), t -> t IN (${ms.map(m => s"'$m'").mkString(",")})))"
 
   val oracles: Map[String, String] = Map(
+    "pack_sequences" ->
+      s"""WITH d AS (
+         | SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+         |  ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % $PackShards AS shard
+         | FROM documents),
+         |p AS (
+         | SELECT shard, doc_id, toks,
+         |  sum(toks) OVER (PARTITION BY shard ORDER BY doc_id) - toks AS strt
+         | FROM d)
+         |SELECT shard, CAST(strt // $PackSeqLen AS BIGINT) AS seq_id, count(*) AS n_docs,
+         | CAST(sum(toks) AS BIGINT) AS tokens, min(doc_id) AS first_doc
+         |FROM p GROUP BY 1, 2 ORDER BY shard, seq_id""".stripMargin,
+    "sample_importance" ->
+      s"""WITH db AS (
+         | SELECT doc_id, lang,
+         |  ('0x' || substring(md5(w), 1, 8))::BIGINT % $DsirB AS b, count(*) AS k
+         | FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents)
+         | GROUP BY 1, 2, 3),
+         |raw AS (SELECT b, sum(k) AS r FROM db GROUP BY 1),
+         |tgt AS (SELECT b, sum(k) AS t FROM db WHERE lang = 'en' GROUP BY 1),
+         |tot AS (SELECT sum(k) AS rt, sum(CASE WHEN lang = 'en' THEN k ELSE 0 END) AS tt FROM db),
+         |lr AS (
+         | SELECT raw.b,
+         |  ln((coalesce(t, 0) + 0.5) / (tt + ${0.5 * DsirB})) -
+         |  ln((r + 0.5) / (rt + ${0.5 * DsirB})) AS lr
+         | FROM raw LEFT JOIN tgt ON raw.b = tgt.b, tot)
+         |SELECT doc_id, lang, round(sum(k * lr) / sum(k) + 1e-9, 4) AS importance
+         |FROM db JOIN lr USING (b)
+         |GROUP BY 1, 2
+         |ORDER BY importance DESC, doc_id LIMIT 100""".stripMargin,
     "corpus_report" ->
       """WITH pl AS (
         | SELECT lang, count(*) AS n_docs,
