@@ -1354,6 +1354,77 @@ object Analytics extends QueryPack {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** Population-stability-index drift between the OLD and NEW halves of
+    * the event stream (split at the timestamp midpoint) — the
+    * distribution-shift monitor every feature pipeline runs before
+    * trusting fresh data: `value` is binned into [[DriftBins]]
+    * fixed-width bins over the global range, per-era bin shares are
+    * Laplace-smoothed (+0.5 per present bin against a +0.5·K
+    * denominator), and PSI = Σ (p−q)·ln(p/q) per event type. One
+    * corpus scan builds the (type, bin, era) counts (map-side
+    * combinable); the range/midpoint scalars are a 1-row broadcast and
+    * everything after the counts is |types|·|bins| rows — at 100 TB
+    * the query is exactly one pass plus kilobyte-scale arithmetic.
+    */
+  private val DriftBins = 10
+
+  def eventsDrift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val stats = ev.agg(min(col("ts_ns")).as("t_lo"), max(col("ts_ns")).as("t_hi"),
+      min(col("value")).as("v_lo"), max(col("value")).as("v_hi"))
+    val binned = ev.crossJoin(broadcast(stats))
+      .withColumn("era",
+        when(col("ts_ns") * 2 < col("t_lo") + col("t_hi"), lit("old")).otherwise(lit("new")))
+      .withColumn("bin", least(lit(DriftBins - 1),
+        floor((col("value") - col("v_lo")) * DriftBins / (col("v_hi") - col("v_lo") + lit(1e-9)))
+          .cast("int")))
+    val counts = binned.groupBy(col("event_type"), col("bin"))
+      .agg(sum(when(col("era") === "old", 1L).otherwise(0L)).as("n_old"),
+        sum(when(col("era") === "new", 1L).otherwise(0L)).as("n_new"))
+    // |types| × |bins| rows from here down — the window is over a tiny frame
+    val tot = Window.partitionBy(col("event_type"))
+    counts
+      .withColumn("p", (col("n_new") + lit(0.5)) / (sum(col("n_new")).over(tot) + lit(0.5 * DriftBins)))
+      .withColumn("q", (col("n_old") + lit(0.5)) / (sum(col("n_old")).over(tot) + lit(0.5 * DriftBins)))
+      .groupBy(col("event_type"))
+      .agg(round(sum((col("p") - col("q")) * log(col("p") / col("q"))) + lit(1e-9), 4).as("psi"),
+        sum(col("n_old")).as("n_old"), sum(col("n_new")).as("n_new"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Top-20 three-step navigation paths (the k=3 sequential-pattern
+    * readout funnels generalize): two leads over the per-user
+    * time-ordered window, concatenated to a path key, one
+    * partial-aggregated count, TakeOrdered(20) — the only shuffles are
+    * the user-keyed window sort (high-cardinality key, skew-free) and
+    * the path-keyed count.
+    */
+  def eventsTrigrams(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("t2", lead(col("event_type"), 1).over(w))
+      .withColumn("t3", lead(col("event_type"), 2).over(w))
+      .filter(col("t3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("t2"), col("t3")).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path")).limit(20)
+  }
+
+  /** CUBE over (event_type, day-of-week) with an explicit grouping id —
+    * completes the OLAP grouping family next to [[eventsRollup]]'s
+    * ROLLUP: all four grouping sets in ONE pass (Spark expands the
+    * cube into a single Expand + partial-aggregated count, never four
+    * scans). dow is 0=Sunday to match the oracle engine's convention.
+    */
+  def eventsCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("dow", (dayofweek(col("ts")) - 1).cast("int"))
+      .cube(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n"),
+        round(lit(1e-9) + sum(col("value")), 2).as("total_value"),
+        (grouping(col("event_type")) * 2 + grouping(col("dow"))).cast("int").as("gid"))
+      .orderBy(col("event_type").asc_nulls_first, col("dow").asc_nulls_first)
+
   /** Signup-cohort lifetime value — the cohort × month-offset revenue
     * triangle every growth team reads: cohort = month of the
     * customer's FIRST order (a combinable per-key min, one shuffle on
@@ -1384,6 +1455,9 @@ object Analytics extends QueryPack {
     "scd2_asof_lookup" -> (scd2AsofLookup _),
     "orders_cohort_ltv" -> (ordersCohortLtv _),
     "events_dwell" -> (eventsDwell _),
+    "events_drift" -> (eventsDrift _),
+    "events_trigrams" -> (eventsTrigrams _),
+    "events_cube" -> (eventsCube _),
     "orders_basket_pairs" -> (basketPairs _),
     "orders_basket_rules" -> (basketRules _),
     "events_transitions" -> (eventTransitions _),
@@ -1458,6 +1532,39 @@ object Analytics extends QueryPack {
         | ON d.user_id = p.user_id AND d.ts <= p.ts
         |  AND (d.next_ts IS NULL OR p.ts < d.next_ts)
         |ORDER BY purchase_id""".stripMargin,
+    "events_drift" ->
+      """WITH st AS (SELECT min(epoch_ns(ts)) AS t_lo, max(epoch_ns(ts)) AS t_hi,
+        |  min(value) AS v_lo, max(value) AS v_hi FROM events),
+        |b AS (SELECT event_type,
+        |  CASE WHEN 2 * epoch_ns(ts) < t_lo + t_hi THEN 'old' ELSE 'new' END AS era,
+        |  least(9, CAST(floor((value - v_lo) * 10 / (v_hi - v_lo + 1e-9)) AS INT)) AS bin
+        | FROM events, st),
+        |c AS (SELECT event_type, bin,
+        |  sum(CASE WHEN era = 'old' THEN 1 ELSE 0 END) AS n_old,
+        |  sum(CASE WHEN era = 'new' THEN 1 ELSE 0 END) AS n_new
+        | FROM b GROUP BY 1, 2),
+        |pq AS (SELECT event_type, n_old, n_new,
+        |  (n_new + 0.5) / (sum(n_new) OVER (PARTITION BY event_type) + 5.0) AS p,
+        |  (n_old + 0.5) / (sum(n_old) OVER (PARTITION BY event_type) + 5.0) AS q
+        | FROM c)
+        |SELECT event_type, round(sum((p - q) * ln(p / q)) + 1e-9, 4) AS psi,
+        | CAST(sum(n_old) AS BIGINT) AS n_old, CAST(sum(n_new) AS BIGINT) AS n_new
+        |FROM pq GROUP BY 1 ORDER BY 1""".stripMargin,
+    "events_trigrams" ->
+      """WITH s AS (
+        | SELECT event_type,
+        |  lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t2,
+        |  lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t3
+        | FROM events)
+        |SELECT event_type || '>' || t2 || '>' || t3 AS path, count(*) AS n
+        |FROM s WHERE t3 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
+    "events_cube" ->
+      """SELECT event_type, CAST(dayofweek(ts) AS INT) AS dow, count(*) AS n,
+        | round(1e-9 + sum(value), 2) AS total_value,
+        | CAST(GROUPING(event_type) * 2 + GROUPING(dayofweek(ts)) AS INT) AS gid
+        |FROM events GROUP BY CUBE (event_type, dayofweek(ts))
+        |ORDER BY event_type ASC NULLS FIRST, dow ASC NULLS FIRST""".stripMargin,
     "events_dwell" ->
       """WITH s AS (
         | SELECT user_id, event_id, event_type, epoch_ns(ts) AS ts_ns,

@@ -113,11 +113,20 @@ object TextAnalysis extends QueryPack {
     * approximation of the re-ranked BPE apply loop, and is exactly
     * mirrored by the DuckDB twin ([[bpeVocabSql]]).
     */
-  private[graft] def bpeTokenCount(w: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val rules = array(BpeMerges.map(lit): _*)
+  private[graft] def bpeTokenCount(w: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(length(w) === 0, lit(0L)).otherwise(size(split(bpeTokenFold(w), BpeD)).cast("long"))
+
+  /** The folded token sequence itself ([[BpeD]]-joined) — shared by the
+    * count ([[bpeTokenCount]]) and the pair-statistics step of BPE
+    * TRAINING ([[bpeTrainStep]]), which needs the tokens, not just how
+    * many there are.
+    */
+  private[graft] def bpeTokenFold(w: org.apache.spark.sql.Column,
+      merges: Seq[String] = BpeMerges): org.apache.spark.sql.Column = {
+    val rules = array(merges.map(lit): _*)
     val applicable = filter(rules, r => w.contains(translate(r, " ", "")))
     val init = array_join(filter(split(w, ""), c => c =!= ""), BpeD)
-    val folded = aggregate(applicable, init, (acc, r) => {
+    aggregate(applicable, init, (acc, r) => {
       val a = substring_index(r, " ", 1)
       val b = substring_index(r, " ", -1)
       aggregate(split(acc, BpeD), lit(""), (a2, t) =>
@@ -126,7 +135,6 @@ object TextAnalysis extends QueryPack {
           .when(a2 === "", t)
           .otherwise(concat(a2, lit(BpeD), t)))
     })
-    when(length(w) === 0, lit(0L)).otherwise(size(split(folded, BpeD)).cast("long"))
   }
 
   /** DuckDB twin of the BPE tokenization: CTEs `dw` (doc_id, w, k),
@@ -135,16 +143,14 @@ object TextAnalysis extends QueryPack {
     * bpe_tokens). MATERIALIZED: the vocabulary fold must run once per
     * distinct word, like the Spark side.
     */
-  private[graft] def bpeVocabSql: String = {
-    val rulesSql = BpeMerges.map(r => s"'$r'").mkString(", ")
-    s"""dw AS (
-       | SELECT doc_id, w, count(*) AS k
-       | FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
-       | GROUP BY 1, 2),
-       |bvocab AS MATERIALIZED (
-       | SELECT w,
-       |  CASE WHEN length(w) = 0 THEN 0 ELSE len(string_split(
-       |   list_reduce(list_prepend(
+  /** The DuckDB twin of [[bpeTokenFold]] as an expression over a word
+    * column `w` — the chr(1)-joined folded token string.
+    */
+  private[graft] def bpeFoldSql: String = bpeFoldSqlOf(BpeMerges)
+
+  private[graft] def bpeFoldSqlOf(merges: Seq[String]): String = {
+    val rulesSql = merges.map(r => s"'$r'").mkString(", ")
+    s"""list_reduce(list_prepend(
        |     array_to_string(string_split(w, ''), chr(1)),
        |     list_filter([$rulesSql], r -> contains(w, replace(r, ' ', '')))),
        |    (acc, r) -> list_reduce(list_prepend('', string_split(acc, chr(1))),
@@ -153,13 +159,23 @@ object TextAnalysis extends QueryPack {
        |            AND t = string_split(r, ' ')[2]
        |       THEN left(a2, length(a2) - length(string_split(r, ' ')[1])) || string_split(r, ' ')[1] || t
        |       WHEN a2 = '' THEN t
-       |       ELSE a2 || chr(1) || t END)),
+       |       ELSE a2 || chr(1) || t END))""".stripMargin
+  }
+
+  private[graft] def bpeVocabSql: String =
+    s"""dw AS (
+       | SELECT doc_id, w, count(*) AS k
+       | FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+       | GROUP BY 1, 2),
+       |bvocab AS MATERIALIZED (
+       | SELECT w,
+       |  CASE WHEN length(w) = 0 THEN 0 ELSE len(string_split(
+       |   $bpeFoldSql,
        |   chr(1))) END AS wtoks
        | FROM (SELECT DISTINCT w FROM dw)),
        |bperdoc AS (
        | SELECT doc_id, CAST(sum(k * wtoks) AS BIGINT) AS bpe_tokens
        | FROM dw JOIN bvocab USING (w) GROUP BY 1)""".stripMargin
-  }
 
   /** Per-document token counts: whitespace tokens, REAL byte-pair
     * tokens under the embedded merge table, and character length. The
@@ -841,7 +857,45 @@ object TextAnalysis extends QueryPack {
       .orderBy(col("shard"), col("seq_id"))
   }
 
+  /** One step of distributed BPE TRAINING — the pair-counting argmax
+    * the textbook procedure repeats to grow the merge table (the
+    * embedded [[BpeMerges]] table was produced by exactly this loop
+    * offline): under the current merges, count every adjacent token
+    * pair over the corpus weighted by word frequency and emit the
+    * top-10 candidates — the next merges to adopt. The scale shape is
+    * the tokenize-the-vocab discipline: word counts are one
+    * corpus-sized composite-key aggregate, the fold + pair explode run
+    * once per DISTINCT word (Heaps'-law bounded, corpus-size-
+    * independent), and pair counts partial-aggregate map-side. An
+    * iteration of training = this step + appending the winner; at
+    * 100 TB the corpus is scanned once for the word counts and never
+    * again across iterations. The step runs at iteration
+    * [[BpeTrainAt]] (the full embedded table is SATURATED on this
+    * corpus — under all 89 merges every vocab word is a single token
+    * and there is nothing left to count — so the mid-training prefix
+    * is the honest in-progress state).
+    */
+  private[graft] val BpeTrainAt = 40
+
+  def bpeTrainStep(spark: SparkSession, dir: String): DataFrame = {
+    val dw = Tables.parallelized(spark,
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")), "doc_id")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("k"))
+      .filter(length(col("w")) > 0)
+    val vocab = dw.withColumn("toks",
+      split(bpeTokenFold(col("w"), BpeMerges.take(BpeTrainAt)), BpeD))
+      .filter(size(col("toks")) >= 2)
+    val pairs = vocab.select(col("k"),
+      explode(transform(sequence(lit(1), size(col("toks")) - 1), i =>
+        concat(element_at(col("toks"), i), lit(" "), element_at(col("toks"), i + 1)))).as("pair"))
+    pairs.groupBy(col("pair")).agg(sum(col("k")).as("freq"))
+      .orderBy(col("freq").desc, col("pair"))
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bpe_train_step" -> (bpeTrainStep _),
     "pack_sequences" -> (packSequences _),
     "sample_importance" -> (sampleImportance _),
     "corpus_report" -> (corpusReport _),
@@ -872,6 +926,22 @@ object TextAnalysis extends QueryPack {
     s"len(list_filter(string_split(text,' '), t -> t IN (${ms.map(m => s"'$m'").mkString(",")})))"
 
   val oracles: Map[String, String] = Map(
+    "bpe_train_step" ->
+      s"""WITH dw AS (
+         | SELECT w, count(*) AS k
+         | FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         | WHERE length(w) > 0 GROUP BY 1),
+         |v AS MATERIALIZED (
+         | SELECT k, string_split(
+         |  ${bpeFoldSqlOf(BpeMerges.take(BpeTrainAt))},
+         |  chr(1)) AS toks
+         | FROM dw),
+         |p AS (
+         | SELECT k, toks[i.i] || ' ' || toks[i.i + 1] AS pair
+         | FROM v, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) i
+         | WHERE len(toks) >= 2)
+         |SELECT pair, CAST(sum(k) AS BIGINT) AS freq
+         |FROM p GROUP BY 1 ORDER BY freq DESC, pair LIMIT 10""".stripMargin,
     "pack_sequences" ->
       s"""WITH d AS (
          | SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,

@@ -34,6 +34,18 @@ final case class AsofState(
     last_ts_ns: Long,
     last_event_id: Long)
 
+/** Per-user decayed-counter state: sums are referenced to `ref_ns`
+  * (this key's latest seen event time); a decayed counter is mergeable
+  * because re-referencing is one multiply — 0.5^((t'−t)/hl) —
+  * so micro-batches fold in exactly and any two partials combine.
+  */
+final case class DecayState(
+    user_id: Long,
+    ref_ns: Long,
+    decayed_n: Double,
+    decayed_value: Double,
+    n_events: Long)
+
 /** One point-in-time lookup result (None fields = the purchase
   * preceded every dimension version).
   */
@@ -345,6 +357,57 @@ object StreamingOps extends QueryPack {
       .orderBy(col("event_id"))
   }
 
+  private[graft] val DecayHlNs = 7L * 24 * 3600 * 1000000000L // 7-day half-life
+
+  /** Fold one micro-batch into a key's decayed-counter state: advance
+    * the reference to the newest timestamp seen, rescale the prior
+    * sums by 0.5^(Δref/hl) (the mergeability property — see
+    * [[DecayState]]), and add the batch's decay-weighted terms.
+    */
+  def decayFold(uid: Long, events: Seq[EventRow], prior: Option[DecayState]): DecayState = {
+    val p = prior.getOrElse(DecayState(uid, Long.MinValue, 0.0, 0.0, 0L))
+    val ref = math.max(p.ref_ns, events.map(_.ts_ns).max)
+    val scale =
+      if (p.n_events == 0L) 0.0
+      else math.pow(0.5, (ref - p.ref_ns).toDouble / DecayHlNs)
+    val ws = events.map(e => math.pow(0.5, (ref - e.ts_ns).toDouble / DecayHlNs))
+    DecayState(uid, ref,
+      p.decayed_n * scale + ws.sum,
+      p.decayed_value * scale + ws.zip(events).map { case (w, e) => w * e.value }.sum,
+      p.n_events + events.length)
+  }
+
+  /** Streaming per-user decayed engagement counters (mapGroupsWithState)
+    * — the freshness-weighted score maintained INCREMENTALLY instead of
+    * recomputed by windowed re-scans; the state per key is 5 numbers.
+    */
+  def decayStream(spark: SparkSession, events: Dataset[EventRow]): Dataset[DecayState] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[EventRow], state: GroupState[DecayState]) =>
+          val next = decayFold(uid, it.toSeq, state.getOption)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Batch twin of [[decayStream]] rescaled to the corpus-max reference
+    * (what a query-time probe of the state store would emit): the
+    * direct one-pass decay formula per user.
+    */
+  def streamDecay(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventRows(spark, dir).toDF()
+    val ref = ev.agg(max(col("ts_ns")).as("ref_ns"))
+    val w = pow(lit(0.5), (col("ref_ns") - col("ts_ns")).cast("double") / lit(DecayHlNs.toDouble))
+    ev.crossJoin(broadcast(ref))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(w) + lit(1e-9), 4).as("decayed_n"),
+        round(sum(w * col("value")) + lit(1e-9), 4).as("decayed_value"))
+      .orderBy(col("user_id"))
+  }
+
   def streamAsof(spark: SparkSession, dir: String): DataFrame =
     asofLookupBatch(spark, eventRows(spark, dir)).toDF()
       .select(col("purchase_id"), col("user_id"), col("version"), col("attr_type"),
@@ -353,6 +416,7 @@ object StreamingOps extends QueryPack {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_asof" -> (streamAsof _),
+    "stream_decay" -> (streamDecay _),
     "stream_upsert" -> (streamUpsert _),
     "stream_window" -> (streamWindow _),
     "stream_sliding" -> (streamSliding _),
@@ -364,6 +428,13 @@ object StreamingOps extends QueryPack {
     // independent execution strategies (state-machine fold vs window
     // forward-fill) gated against one declarative interval-join truth
     "stream_asof" -> graft.operators.Analytics.oracles("scd2_asof_lookup"),
+    "stream_decay" ->
+      """WITH ref AS (SELECT max(epoch_ns(ts)) AS ref_ns FROM events)
+        |SELECT user_id, count(*) AS n_events,
+        | round(sum(power(0.5, (ref_ns - epoch_ns(ts))::DOUBLE / 604800000000000.0)) + 1e-9, 4) AS decayed_n,
+        | round(sum(power(0.5, (ref_ns - epoch_ns(ts))::DOUBLE / 604800000000000.0) * value) + 1e-9, 4) AS decayed_value
+        |FROM events, ref
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "stream_dedup" ->
       """WITH h AS (
         | SELECT event_id, ts, user_id, event_type, value,

@@ -40,6 +40,56 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming decayed counters carry state across micro-batches, equal the batch twin") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+
+    val rows = Tables.events(spark, sf)
+      .selectExpr("event_id", "ts_ns", "user_id", "event_type", "value")
+      .as[EventRow].collect().sortBy(e => (e.ts_ns, e.event_id))
+
+    val input = MemoryStream[EventRow]
+    val query = StreamingOps.decayStream(spark, input.toDS())
+      .writeStream.format("memory").queryName("decay_state")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // three micro-batches: the prior sums must rescale by
+      // 0.5^(Δref/hl) at every reference advance (mergeability)
+      val third = rows.length / 3
+      input.addData(rows.take(third).toSeq); query.processAllAvailable()
+      input.addData(rows.slice(third, 2 * third).toSeq); query.processAllAvailable()
+      input.addData(rows.drop(2 * third).toSeq); query.processAllAvailable()
+
+      val globalRef = rows.map(_.ts_ns).max
+      // last state per user, rescaled to the corpus-max reference —
+      // what a query-time probe of the state store emits
+      val streamed = spark.table("decay_state").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("ref_ns"),
+          r.getAs[Double]("decayed_n"), r.getAs[Double]("decayed_value"),
+          r.getAs[Long]("n_events")))
+        .groupBy(_._1).map { case (uid, vs) =>
+          val (_, ref, dn, dv, n) = vs.maxBy(_._5)
+          val s = math.pow(0.5, (globalRef - ref).toDouble / StreamingOps.DecayHlNs)
+          uid -> (dn * s, dv * s, n)
+        }
+
+      val batch = StreamingOps.streamDecay(spark, sf).collect()
+        .map(r => r.getAs[Long]("user_id") ->
+          (r.getAs[Double]("decayed_n"), r.getAs[Double]("decayed_value"),
+           r.getAs[Long]("n_events"))).toMap
+
+      assert(streamed.keySet == batch.keySet)
+      streamed.foreach { case (uid, (dn, dv, n)) =>
+        val (bdn, bdv, bn) = batch(uid)
+        assert(n == bn, s"user $uid n_events $n != $bn")
+        // incremental rescale vs one-pass sum: identical up to fp
+        // rounding (the batch side rounds to 4 decimals)
+        assert(math.abs(dn - bdn) < 1e-3, s"user $uid decayed_n $dn != $bdn")
+        assert(math.abs(dv - bdv) < 1e-3, s"user $uid decayed_value $dv != $bdv")
+      }
+    } finally query.stop()
+  }
+
   test("streaming as-of lookup carries SCD2 state across micro-batches, equals the batch twin") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext

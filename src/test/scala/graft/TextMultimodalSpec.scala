@@ -85,6 +85,44 @@ class TextMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("bpe training step equals a plain-Scala pair count under the mid-training prefix") {
+    // reference: fold every corpus word under the 40-merge prefix with
+    // the same one-pass-per-rule semantics, count adjacent token pairs
+    // weighted by word frequency, rank (freq desc, pair asc), top 10
+    val prefix = TextAnalysis.BpeMerges.take(TextAnalysis.BpeTrainAt)
+    def refFold(w: String): List[String] = {
+      var toks = w.map(_.toString).toList
+      for (r <- prefix if w.contains(r.replace(" ", ""))) {
+        val Array(a, b) = r.split(" ")
+        val out = scala.collection.mutable.ListBuffer[String]()
+        for (t <- toks) {
+          if (out.nonEmpty && out.last == a && t == b) out(out.length - 1) = a + b
+          else out += t
+        }
+        toks = out.toList
+      }
+      toks
+    }
+    val words = Tables.documents(spark, sf).select("text").collect()
+      .flatMap(_.getAs[String]("text").split(" ")).filter(_.nonEmpty)
+    val pairFreq = scala.collection.mutable.Map[String, Long]()
+    words.groupBy(identity).foreach { case (w, occs) =>
+      val toks = refFold(w)
+      if (toks.length >= 2)
+        toks.sliding(2).foreach { p =>
+          val key = p.mkString(" ")
+          pairFreq(key) = pairFreq.getOrElse(key, 0L) + occs.length
+        }
+    }
+    val expect = pairFreq.toSeq.sortBy { case (p, f) => (-f, p) }.take(10)
+    val got = TextAnalysis.bpeTrainStep(spark, sf).collect()
+      .map(r => r.getAs[String]("pair") -> r.getAs[Long]("freq")).toSeq
+    assert(got == expect, s"got $got\nexpect $expect")
+    // the step is mid-training for real: candidates exist and the
+    // winner is a pair the saturated table would have merged later
+    assert(expect.nonEmpty)
+  }
+
   test("unigram scoring tail keys are bounded by total/HeadK (the skew guarantee)") {
     import org.apache.spark.sql.functions._
     // the de-skewed join broadcasts the top-1024 tokens; any token left
