@@ -820,7 +820,53 @@ object Similarity extends QueryPack {
     } finally e.unpersist() // both outputs are materialized: safe to release
   }
 
+  /** Top principal component of the embedding corpus by distributed
+    * power iteration — the spectral readout (dominant direction +
+    * explained-variance share) every embedding-quality audit starts
+    * with. The scale shape is the classic two-phase Gram pattern: the
+    * corpus is touched exactly twice (once for the per-dimension means,
+    * once for the d² Gram matrix — the self-join on vec_id feeds its
+    * hash aggregate map-side, so shuffle volume is d²·partitions, never
+    * n·d²), and everything after is arithmetic on d²-row frames: three
+    * normalized power steps from the deterministic 1/√d start vector,
+    * then Rayleigh quotient + trace for the variance share. At 100 TB
+    * the Gram pass is one scan and the iterations are free.
+    */
+  def embedPca(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val d = emb.select(size(col("embedding"))).first().getInt(0)
+    val n = emb.count()
+    val e = emb.select(col("vec_id"),
+      posexplode(transform(col("embedding"), x => x.cast("double"))).as(Seq("i", "x")))
+    val mean = e.groupBy(col("i")).agg((sum(col("x")) / count(lit(1))).as("mi"))
+    val c = e.join(broadcast(mean), "i")
+      .select(col("vec_id"), col("i"), (col("x") - col("mi")).as("xi"))
+    val c2 = c.select(col("vec_id"), col("i").as("j"), col("xi").as("xj"))
+    val gram = c.join(c2, "vec_id")
+      .groupBy(col("i"), col("j"))
+      .agg((sum(col("xi") * col("xj")) / lit(n.toDouble)).as("cv"))
+    val v0 = mean.select(col("i").as("j"), lit(1.0 / math.sqrt(d.toDouble)).as("vj"))
+    def step(v: DataFrame): DataFrame = {
+      val mv = gram.join(broadcast(v), "j")
+        .groupBy(col("i")).agg(sum(col("cv") * col("vj")).as("mvi"))
+      val nrm = mv.agg(sqrt(sum(col("mvi") * col("mvi"))).as("nrm"))
+      mv.crossJoin(broadcast(nrm)).select(col("i").as("j"), (col("mvi") / col("nrm")).as("vj"))
+    }
+    val v3 = step(step(step(v0)))
+    val mv4 = gram.join(broadcast(v3), "j")
+      .groupBy(col("i")).agg(sum(col("cv") * col("vj")).as("mvi"))
+    val lam = v3.join(mv4, col("j") === col("i"))
+      .agg(sum(col("vj") * col("mvi")).as("l"))
+    val tr = gram.filter(col("i") === col("j")).agg(sum(col("cv")).as("t"))
+    v3.crossJoin(broadcast(lam)).crossJoin(broadcast(tr))
+      .select(col("j").as("i"), round(col("vj") + lit(1e-9), 4).as("loading"),
+        round(col("l") + lit(1e-9), 4).as("eigval"),
+        round(col("l") / col("t") + lit(1e-9), 4).as("var_share"))
+      .orderBy(col("i"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_pca" -> (embedPca _),
     "ann_bruteforce_topk" -> (annBruteForce _),
     "ann_int8_topk" -> (annInt8 _),
     "ann_pq" -> (annPq _),
@@ -918,6 +964,32 @@ object Similarity extends QueryPack {
   }
 
   val oracles: Map[String, String] = Map(
+    // dims hardcoded 64 (the corpus width; the Spark side derives it)
+    "embed_pca" ->
+      """WITH dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+        |e AS (SELECT vec_id, d.i AS i, CAST(embedding[d.i] AS DOUBLE) AS x
+        |      FROM embeddings, dims d),
+        |m AS (SELECT i, sum(x) / count(*) AS mi FROM e GROUP BY 1),
+        |c AS (SELECT vec_id, e.i, x - mi AS xi FROM e JOIN m USING (i)),
+        |nn AS (SELECT count(*) AS n FROM embeddings),
+        |g AS (SELECT a.i AS i, b.i AS j, sum(a.xi * b.xi) / (SELECT n FROM nn) AS cv
+        |      FROM c a JOIN c b USING (vec_id) GROUP BY 1, 2),
+        |v0 AS (SELECT i AS j, 1.0 / 8.0 AS vj FROM dims),
+        |mv1 AS (SELECT g.i, sum(cv * vj) AS mvi FROM g JOIN v0 ON g.j = v0.j GROUP BY 1),
+        |n1 AS (SELECT sqrt(sum(mvi * mvi)) AS nrm FROM mv1),
+        |v1 AS (SELECT i AS j, mvi / nrm AS vj FROM mv1, n1),
+        |mv2 AS (SELECT g.i, sum(cv * vj) AS mvi FROM g JOIN v1 ON g.j = v1.j GROUP BY 1),
+        |n2 AS (SELECT sqrt(sum(mvi * mvi)) AS nrm FROM mv2),
+        |v2 AS (SELECT i AS j, mvi / nrm AS vj FROM mv2, n2),
+        |mv3 AS (SELECT g.i, sum(cv * vj) AS mvi FROM g JOIN v2 ON g.j = v2.j GROUP BY 1),
+        |n3 AS (SELECT sqrt(sum(mvi * mvi)) AS nrm FROM mv3),
+        |v3 AS (SELECT i AS j, mvi / nrm AS vj FROM mv3, n3),
+        |mv4 AS (SELECT g.i, sum(cv * vj) AS mvi FROM g JOIN v3 ON g.j = v3.j GROUP BY 1),
+        |lam AS (SELECT sum(vj * mvi) AS l FROM v3 JOIN mv4 ON v3.j = mv4.i),
+        |tr AS (SELECT sum(cv) AS t FROM g WHERE i = j)
+        |SELECT CAST(v3.j - 1 AS INT) AS i, round(vj + 1e-9, 4) AS loading,
+        | round(l + 1e-9, 4) AS eigval, round(l / t + 1e-9, 4) AS var_share
+        |FROM v3, lam, tr ORDER BY i""".stripMargin,
     "ann_pq" ->
       s"""WITH sub AS (
          | SELECT vec_id, m.m AS m,

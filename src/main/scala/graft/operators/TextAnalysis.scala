@@ -877,6 +877,58 @@ object TextAnalysis extends QueryPack {
     */
   private[graft] val BpeTrainAt = 40
 
+  /** Embedded linear quality model — the fasttext-style learned filter
+    * every production pipeline runs next to the heuristics: a logistic
+    * regression over the SAME 64-dim hashed bag-of-words the
+    * [[hashEmbed]] stage emits, DISTILLED offline from the heuristic
+    * [[quality]] gate (teacher = quality ≥ 0.5; 2000 full-batch steps,
+    * L2 1e-4, 83% train agreement at sf0.01) — weights embedded like
+    * [[BpeMerges]]. At run time the model is a 64-row broadcast join +
+    * one map-side partial-aggregated dot product per doc: one corpus
+    * pass, no driver loop, the inference shape of any linear scorer at
+    * 100 TB.
+    */
+  private[graft] val QualityLrBias = -8.8447
+  private[graft] val QualityLrW: Seq[Double] = Seq(
+    -2.1224, -2.4448, 0.0, 0.0, 0.0, 2.13, 0.0, 0.0, 0.0, 0.0, 2.4608, 0.0,
+    1.9961, 0.1187, 0.7751, 0.0, 0.0, 0.0, 0.0, -1.6216, 0.0, 0.0, 2.4392,
+    1.3495, 0.0, -1.7143, 0.0, -2.4423, 0.0, 0.0, 2.9435, 1.3314, -2.374,
+    0.0, 0.0, 0.0, -2.8503, 0.0, 0.0, -1.5627, 0.0, -2.1873, 0.0, 0.0, 0.0,
+    -0.8747, 0.0, 0.0, -1.5447, 3.6895, 0.0, 0.0, 0.0, 0.0, 0.0, -1.3854,
+    1.193, -2.349, 4.6718, 0.0, 0.0, -2.564, 0.0, 0.0)
+
+  def qualityModel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dt = Tables.parallelized(spark,
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")), "doc_id")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("k"))
+    val hashed = dt.select(
+      col("doc_id"),
+      (expr("conv(substring(md5(tok), 1, 8), 16, 10)").cast("long") % 64).as("dim"),
+      (expr("conv(substring(md5(tok), 9, 1), 16, 10)").cast("long") % 2 * 2 - 1).as("sign"),
+      col("k"))
+    val dims = hashed.groupBy(col("doc_id"), col("dim"))
+      .agg(sum(col("sign") * col("k")).as("s"))
+      .filter(col("s") =!= 0)
+    val norms = dims.groupBy(col("doc_id"))
+      .agg(sum(col("s") * col("s")).as("sq")) // exact integer
+    val wtab = QualityLrW.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("dim", "w")
+    val z = dims.join(norms, Seq("doc_id"))
+      .join(broadcast(wtab), Seq("dim"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("s") / sqrt(col("sq").cast("double")) * col("w")).as("z"))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(z, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (coalesce(col("z"), lit(0.0)) + lit(QualityLrBias)).as("zb"))
+      .select(col("doc_id"),
+        round(lit(1.0) / (lit(1.0) + exp(-col("zb"))) + lit(1e-9), 4).as("p_keep"),
+        (col("zb") > 0).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   def bpeTrainStep(spark: SparkSession, dir: String): DataFrame = {
     val dw = Tables.parallelized(spark,
       Tables.documents(spark, dir).select(col("doc_id"), col("text")), "doc_id")
@@ -896,6 +948,7 @@ object TextAnalysis extends QueryPack {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bpe_train_step" -> (bpeTrainStep _),
+    "text_quality_model" -> (qualityModel _),
     "pack_sequences" -> (packSequences _),
     "sample_importance" -> (sampleImportance _),
     "corpus_report" -> (corpusReport _),
@@ -925,7 +978,32 @@ object TextAnalysis extends QueryPack {
   private def markerCountSql(ms: Seq[String]) =
     s"len(list_filter(string_split(text,' '), t -> t IN (${ms.map(m => s"'$m'").mkString(",")})))"
 
+  private def qualityLrWSql: String =
+    QualityLrW.zipWithIndex.map { case (w, i) => s"($i, $w)" }.mkString(", ")
+
   val oracles: Map[String, String] = Map(
+    "text_quality_model" ->
+      s"""WITH toks AS (
+         | SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |dt AS (SELECT doc_id, tok, count(*) AS k FROM toks GROUP BY doc_id, tok),
+         |hashed AS (
+         | SELECT doc_id,
+         |  ('0x' || substring(md5(tok), 1, 8))::BIGINT % 64 AS dim,
+         |  ('0x' || substring(md5(tok), 9, 1))::BIGINT % 2 * 2 - 1 AS sign, k
+         | FROM dt),
+         |dims AS (
+         | SELECT doc_id, dim, CAST(sum(sign * k) AS BIGINT) AS s
+         | FROM hashed GROUP BY 1, 2 HAVING sum(sign * k) <> 0),
+         |norms AS (SELECT doc_id, CAST(sum(s * s) AS BIGINT) AS sq FROM dims GROUP BY 1),
+         |wt(dim, w) AS (VALUES $qualityLrWSql),
+         |z AS (
+         | SELECT doc_id, sum(s / sqrt(sq::DOUBLE) * w) AS z
+         | FROM dims JOIN norms USING (doc_id) JOIN wt USING (dim) GROUP BY 1),
+         |zb AS (
+         | SELECT d.doc_id, coalesce(z.z, 0.0) + ${QualityLrBias} AS zb
+         | FROM documents d LEFT JOIN z ON d.doc_id = z.doc_id)
+         |SELECT doc_id, round(1.0 / (1.0 + exp(-zb)) + 1e-9, 4) AS p_keep, zb > 0 AS keep
+         |FROM zb ORDER BY doc_id""".stripMargin,
     "bpe_train_step" ->
       s"""WITH dw AS (
          | SELECT w, count(*) AS k

