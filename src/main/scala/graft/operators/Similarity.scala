@@ -823,29 +823,60 @@ object Similarity extends QueryPack {
   /** Top principal component of the embedding corpus by distributed
     * power iteration — the spectral readout (dominant direction +
     * explained-variance share) every embedding-quality audit starts
-    * with. The scale shape is the classic two-phase Gram pattern: the
-    * corpus is touched exactly twice (once for the per-dimension means,
-    * once for the d² Gram matrix — the self-join on vec_id feeds its
-    * hash aggregate map-side, so shuffle volume is d²·partitions, never
-    * n·d²), and everything after is arithmetic on d²-row frames: three
-    * normalized power steps from the deterministic 1/√d start vector,
-    * then Rayleigh quotient + trace for the variance share. At 100 TB
-    * the Gram pass is one scan and the iterations are free.
+    * with. The scale shape is the classic two-pass Gram pattern
+    * (RowMatrix.computeGramianMatrix's treeAggregate, reimplemented on
+    * Dataset): pass 1 aggregates the per-dimension means; pass 2
+    * accumulates the centered upper-triangle outer products INTO A
+    * d²-double array per partition — tight local loops, so the work is
+    * n·d² FLOPs but the shuffle is partitions·d² values and nothing
+    * row-shaped ever materializes (the first cut's vec_id self-join
+    * pushed 20M join rows at sf0.1 and would push n·d² at 100 TB).
+    * The d² reduce lands on the driver (constant-size, like the
+    * keyset-page collects), becomes a d²-row frame, and three
+    * normalized power steps + Rayleigh quotient + trace run on that —
+    * free at any corpus size.
     */
   def embedPca(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
-    val d = emb.select(size(col("embedding"))).first().getInt(0)
-    val n = emb.count()
-    val e = emb.select(col("vec_id"),
-      posexplode(transform(col("embedding"), x => x.cast("double"))).as(Seq("i", "x")))
-    val mean = e.groupBy(col("i")).agg((sum(col("x")) / count(lit(1))).as("mi"))
-    val c = e.join(broadcast(mean), "i")
-      .select(col("vec_id"), col("i"), (col("x") - col("mi")).as("xi"))
-    val c2 = c.select(col("vec_id"), col("i").as("j"), col("xi").as("xj"))
-    val gram = c.join(c2, "vec_id")
-      .groupBy(col("i"), col("j"))
-      .agg((sum(col("xi") * col("xj")) / lit(n.toDouble)).as("cv"))
-    val v0 = mean.select(col("i").as("j"), lit(1.0 / math.sqrt(d.toDouble)).as("vj"))
+    val vecs = emb
+      .select(transform(col("embedding"), x => x.cast("double")).as("v")).as[Seq[Double]]
+    // pass 1: per-dimension sums + row count in ONE aggregate
+    // (d rows collected — constant-size)
+    val meanRows = emb
+      .select(posexplode(transform(col("embedding"), x => x.cast("double"))).as(Seq("i", "x")))
+      .groupBy(col("i")).agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+      .orderBy(col("i")).collect()
+    val n = meanRows.head.getAs[Long]("n")
+    val meanArr: Array[Double] = meanRows.map(_.getAs[Double]("sx") / n)
+    val d = meanArr.length
+    val bcMean = spark.sparkContext.broadcast(meanArr)
+    // pass 2: partition-local centered Gram accumulation (upper triangle)
+    val partials = vecs.mapPartitions { it =>
+      val m = bcMean.value
+      val dd = m.length
+      val acc = new Array[Double](dd * dd)
+      val c = new Array[Double](dd)
+      it.foreach { v =>
+        var i = 0
+        while (i < dd) { c(i) = v(i) - m(i); i += 1 }
+        i = 0
+        while (i < dd) {
+          val ci = c(i); var j = i
+          while (j < dd) { acc(i * dd + j) += ci * c(j); j += 1 }
+          i += 1
+        }
+      }
+      Iterator.single(acc)
+    }
+    val tot = partials.reduce { (a, b) =>
+      val r = new Array[Double](a.length)
+      var k = 0; while (k < a.length) { r(k) = a(k) + b(k); k += 1 }; r
+    }
+    val gram = (for (i <- 0 until d; j <- 0 until d)
+      yield (i, j, (if (i <= j) tot(i * d + j) else tot(j * d + i)) / n.toDouble))
+      .toDF("i", "j", "cv")
+    val v0 = (0 until d).map(j => (j, 1.0 / math.sqrt(d.toDouble))).toDF("j", "vj")
     def step(v: DataFrame): DataFrame = {
       val mv = gram.join(broadcast(v), "j")
         .groupBy(col("i")).agg(sum(col("cv") * col("vj")).as("mvi"))
