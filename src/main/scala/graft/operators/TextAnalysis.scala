@@ -185,13 +185,27 @@ object TextAnalysis extends QueryPack {
     * corpus-sized pass is one splitting scan plus a composite-key
     * aggregate, never a per-occurrence tokenization.
     */
+  /** The per-snapshot tokenized VOCABULARY (w, wtoks): the BPE fold
+    * runs once per distinct word per corpus snapshot and is cached
+    * through [[graft.sources.IndexCache]] like every other derived
+    * index — the tokenizer table of a production pipeline is built
+    * once and probed by everything downstream (token counts, budget
+    * sampling), never re-folded per query. Eagerly checkpointed so
+    * cached probes replay materialized blocks.
+    */
+  private[graft] def bpeVocab(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.IndexCache.getOrBuild(spark, "bpe_vocab", dir) {
+      Tables.documents(spark, dir)
+        .select(explode(split(col("text"), " ")).as("w")).distinct()
+        .withColumn("wtoks", bpeTokenCount(col("w")))
+        .localCheckpoint(true)
+    }
+
   def tokenCounts(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val dw = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("k"))
-    val vocab = dw.select(col("w")).distinct()
-      .withColumn("wtoks", bpeTokenCount(col("w")))
-    val perDoc = dw.join(vocab, Seq("w"))
+    val perDoc = dw.join(bpeVocab(spark, dir), Seq("w"))
       .groupBy(col("doc_id")).agg(sum(col("k") * col("wtoks")).as("bpe_tokens"))
     docs.select(col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("ws_tokens"),

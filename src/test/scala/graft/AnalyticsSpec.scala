@@ -408,4 +408,43 @@ class AnalyticsSpec extends SparkSpec {
       _.find(_.getAs[Int]("month_offset") == 0).get.getAs[Long]("n_customers")).sum ==
       Tables.orders(spark, sf).select(col("o_custkey")).distinct().count())
   }
+
+  test("events_cube expands all four grouping sets in one pass (Expand, no re-scan)") {
+    val df = Analytics.eventsCube(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), s"cube must expand grouping sets in one pass:\n$plan")
+    assert(plan.linesIterator.count(_.contains("events.parquet")) == 1,
+      s"cube must scan events exactly once:\n$plan")
+    // grand total present with gid 3 and sane reconciliation
+    val rows = df.collect()
+    val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.length == 1 && grand.head.getAs[Int]("gid") == 3)
+    val detail = rows.filter(r => !r.isNullAt(0) && !r.isNullAt(1)).map(_.getAs[Long]("n")).sum
+    assert(detail == grand.head.getAs[Long]("n"))
+  }
+
+  test("events_trigrams top-k never global-sorts: TakeOrdered caps the result") {
+    val df = Analytics.eventsTrigrams(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"limit+orderBy must compile to TakeOrdered, not a global sort:\n$plan")
+    val rows = df.collect()
+    assert(rows.length == 20)
+    // descending, tie-broken by path
+    val ns = rows.map(_.getAs[Long]("n"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("decay and drift are single-pass shapes: broadcast scalars, no shuffle joins") {
+    Seq(Analytics.eventsDecay(spark, sf), Analytics.eventsDrift(spark, sf)).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("SortMergeJoin"),
+        s"scalar frames must broadcast, never shuffle-join:\n$plan")
+    }
+    // drift smoothing: per-type PSI is finite and n_old+n_new reconcile to the corpus
+    val drift = Analytics.eventsDrift(spark, sf).collect()
+    val total = drift.map(r => r.getAs[Long]("n_old") + r.getAs[Long]("n_new")).sum
+    assert(total == Tables.events(spark, sf).count())
+    drift.foreach(r => assert(!r.getAs[Double]("psi").isNaN))
+  }
 }

@@ -296,6 +296,25 @@ class SearchSpec extends SparkSpec {
     }
   }
 
+  test("boolean query: set algebra on postings — MUST honored, MUST_NOT excluded, no corpus scan") {
+    import graft.sources.TextIndex
+    TextIndex.postingsStd(spark, sf).count() // warm the snapshot index
+    val df = Search.searchBoolean(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"), s"corpus re-scan in boolean plan:\n$plan")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // verify the clause semantics against the postings directly
+    val withTok = TextIndex.postingsStd(spark, sf).collect()
+      .groupBy(_.getAs[Long]("doc_id")).view.mapValues(_.map(_.getAs[String]("tok")).toSet).toMap
+    rows.foreach { r =>
+      val toks = withTok(r.getAs[Long]("doc_id"))
+      assert(toks.contains("filter"), "MUST clause violated")
+      assert(!toks.contains("slow"), "MUST_NOT clause violated")
+      assert(toks.contains("spark") || toks.contains("stream"), "SHOULD clause violated")
+    }
+  }
+
   test("posting-list batch merge equals a fresh full build (new docs and re-ingest)") {
     import graft.sources.TextIndex
     val full = TextIndex.postingsStdOf(docs)
