@@ -31,18 +31,23 @@ object Bench {
     // best of 3 timed runs per query: steady-state plan execution,
     // robust to co-tenant load spikes (the round-3 recorded bench was
     // 3× inflated by machine load; best-of-3 plus the recorded load
-    // averages below let a reader adjudicate without a re-run)
+    // averages below let a reader adjudicate without a re-run).
+    // A run that THROWS is recorded as −1, never as its elapsed time —
+    // a fast failure must not masquerade as a fast query (a round-8
+    // sf10 series recorded 0.01s "wins" for heap-pressure casualties).
     val results = selected.map { case (name, fn) =>
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        try { exec(fn(spark, sfDir)) } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val ok = try { exec(fn(spark, sfDir)); true } catch { case _: Throwable => false }
+        ((System.nanoTime() - t0) / 1e9, ok)
       }
-      name -> times.min
+      val good = times.filter(_._2).map(_._1)
+      name -> (if (good.nonEmpty) good.min else -1.0)
     }
+    val errors = results.collect { case (n, v) if v < 0 => n }.toSeq.sorted
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.filter(_ >= 0).sum
     // 1/5/15-min system load averages at end of run: a load far above
     // the core count means the numbers were taken under co-tenancy
     val load = java.lang.management.ManagementFactory.getOperatingSystemMXBean
@@ -50,7 +55,8 @@ object Bench {
     val loadAvgs: String =
       try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ").take(3).mkString("[", ",", "]")
       catch { case _: Throwable => s"[$load]" }
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg":$loadAvgs,"cpus":$cpus}"""
+    val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","loadavg":$loadAvgs,"cpus":$cpus}"""
     // The full per-query line above runs ~4KB at 140+ queries; the driver
     // records only a 2000-char stdout TAIL, so printing it guarantees an
     // unparseable fragment in the round artifact (r01–r07 all carried
@@ -62,7 +68,7 @@ object Bench {
     catch { case _: Throwable => () }
     val top = results.toSeq.sortBy(-_._2).take(20)
       .map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"queries":$top,"sf":"$sfDir","loadavg":$loadAvgs,"cpus":$cpus,"queries_full":"BENCH_LAST.json"}""")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"queries":$top,"sf":"$sfDir","loadavg":$loadAvgs,"cpus":$cpus,"queries_full":"BENCH_LAST.json"}""")
     spark.stop()
   }
 }
