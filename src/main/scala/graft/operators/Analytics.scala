@@ -1373,8 +1373,14 @@ object Analytics extends QueryPack {
     val stats = ev.agg(min(col("ts_ns")).as("t_lo"), max(col("ts_ns")).as("t_hi"),
       min(col("value")).as("v_lo"), max(col("value")).as("v_hi"))
     val binned = ev.crossJoin(broadcast(stats))
+      // era split at the ts midpoint, written as ts−lo < hi−ts: exactly
+      // equivalent to 2·ts < lo+hi but overflow-free — doubling an
+      // epoch-nanosecond long overflows for timestamps past ~2115
+      // (round-8 ADVICE), while both differences here are bounded by
+      // the corpus range
       .withColumn("era",
-        when(col("ts_ns") * 2 < col("t_lo") + col("t_hi"), lit("old")).otherwise(lit("new")))
+        when(col("ts_ns") - col("t_lo") < col("t_hi") - col("ts_ns"), lit("old"))
+          .otherwise(lit("new")))
       .withColumn("bin", least(lit(DriftBins - 1),
         floor((col("value") - col("v_lo")) * DriftBins / (col("v_hi") - col("v_lo") + lit(1e-9)))
           .cast("int")))
@@ -1536,7 +1542,7 @@ object Analytics extends QueryPack {
       """WITH st AS (SELECT min(epoch_ns(ts)) AS t_lo, max(epoch_ns(ts)) AS t_hi,
         |  min(value) AS v_lo, max(value) AS v_hi FROM events),
         |b AS (SELECT event_type,
-        |  CASE WHEN 2 * epoch_ns(ts) < t_lo + t_hi THEN 'old' ELSE 'new' END AS era,
+        |  CASE WHEN epoch_ns(ts) - t_lo < t_hi - epoch_ns(ts) THEN 'old' ELSE 'new' END AS era,
         |  least(9, CAST(floor((value - v_lo) * 10 / (v_hi - v_lo + 1e-9)) AS INT)) AS bin
         | FROM events, st),
         |c AS (SELECT event_type, bin,

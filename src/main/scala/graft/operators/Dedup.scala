@@ -352,7 +352,10 @@ object Dedup extends QueryPack {
     * the query adds only the bounded pair-classification joins.
     */
   def dedupSemdedup(spark: SparkSession, dir: String): DataFrame = {
-    val emb = dedupEmbedding(spark, dir)
+    // the CHECKPOINTED near-pair index — referenced twice below (the
+    // intersection join + the final enrich) without re-running the
+    // pairwise stage
+    val emb = embeddingNearPairs(spark, dir)
     val sh = shingleIndex(spark, dir)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
     val inter = emb.select(col("a"), col("b"))
@@ -377,7 +380,21 @@ object Dedup extends QueryPack {
     * round), which bounds the quadratic stage at ~n/k vectors per cell
     * for ANY corpus, exactly the IVF coarse-quantizer pattern.
     */
-  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
+    embeddingNearPairs(spark, dir).orderBy(col("a"), col("b"))
+
+  /** The corpus's embedding NEAR-PAIR index (a, b, cos ≥ 0.3) — built
+    * ONCE per snapshot through [[graft.sources.IndexCache]] and probed
+    * by dedup_embedding AND dedup_semdedup. Before round 9 the pair
+    * pipeline was rebuilt inline per reference: dedup_semdedup
+    * references the pair frame TWICE (the intersection join and the
+    * final enrich), so the whole O(n·CellBound) pairwise stage executed
+    * twice per query — the measured 95.6s sf10 constant the round-8
+    * verdict flagged. As a checkpointed index it is paid once per
+    * snapshot, like the LSH band table and the cluster labels.
+    */
+  private[graft] def embeddingNearPairs(spark: SparkSession, dir: String): DataFrame =
+   graft.sources.IndexCache.getOrBuild(spark, "embed_near_pairs", dir) {
     import graft.functions.Vectors
     // multi-probe (2 nearest cells per vector): boundary pairs still
     // meet in a shared bucket — measured ≥0.6 recall of the label-
@@ -414,8 +431,8 @@ object Dedup extends QueryPack {
       .withColumn("cos", round(Vectors.dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
       .filter(col("cos") >= 0.3)
       .select(col("a"), col("b"), col("cos"))
-      .orderBy(col("a"), col("b"))
-  }
+      .localCheckpoint(true)
+   }
 
   /** 64-bit SimHash as four 16-bit band columns (h0..h3): per band the
     * token-hash chunk is 4 md5 hex chars, bit votes summed per doc —

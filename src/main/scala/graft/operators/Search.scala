@@ -301,11 +301,28 @@ object Search extends QueryPack {
     * vocabulary size (Heaps'-law sublinear), not corpus size.
     */
   def searchFuzzy(spark: SparkSession, dir: String): DataFrame = {
-    val matched = TextIndex.vocabWs(spark, dir)
-      .filter(levenshtein(col("tok"), lit("sprk")) <= 1)
-      .select(col("tok"), levenshtein(col("tok"), lit("sprk")).as("dist"))
-    TextIndex.postingsWs(spark, dir)
-      .join(broadcast(matched), Seq("tok"))
+    import spark.implicits._
+    val q = "sprk"
+    // round 9: the dictionary probe serves from the PERSISTED
+    // length-partitioned vocab layout — one edit changes a term's
+    // length by at most one (the Lucene fuzzy-automaton bound), so
+    // `tok_len IN (L−1, L, L+1)` prunes every other length directory
+    // at planning time and the levenshtein kernel runs over three
+    // length bands of the dictionary, not all of it
+    val lens = Seq(q.length - 1, q.length, q.length + 1)
+    val matched = TextIndex.vocabWsPersisted(spark, dir)
+      .filter(col("tok_len").isin(lens: _*))
+      .filter(levenshtein(col("tok"), lit(q)) <= 1)
+      .select(col("tok"), levenshtein(col("tok"), lit(q)).as("dist"))
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    // the few surviving terms are query-plan literals (the ANN family's
+    // driver-side probe selection): their prefixes prune the persisted
+    // posting layout and the matched-term table broadcasts
+    val matchedDf = matched.toSeq.toDF("tok", "dist")
+    val prefixes = matched.map(t => TextIndex.prefixOf(t._1)).distinct.toSeq
+    TextIndex.postingsWsPersisted(spark, dir)
+      .filter(col("tok_prefix").isin(prefixes: _*))
+      .join(broadcast(matchedDf), Seq("tok"))
       .select(col("doc_id"), col("tok").as("matched_tok"), col("dist"))
       .orderBy(col("doc_id"), col("matched_tok"))
   }
@@ -345,9 +362,16 @@ object Search extends QueryPack {
     */
   def searchPhrase(spark: SparkSession, dir: String): DataFrame = {
     val (t1, t2) = ("table", "scan")
-    val p = TextIndex.postingsPosStd(spark, dir)
-    val first = p.filter(col("tok") === t1).select(col("doc_id"), col("pos"))
-    val second = p.filter(col("tok") === t2)
+    // round 9: probe the PERSISTED positional layout — each term's
+    // `tok_prefix` prunes to its prefix directory at planning time and
+    // the `tok` equality pushes to row groups, so the adjacency join
+    // reads only the two terms' positional lists off disk (the in-memory
+    // positional frame drifted 3.0×/13× per decade as postings grew)
+    val p = TextIndex.postingsPosStdPersisted(spark, dir)
+    def termList(t: String) =
+      p.filter(col("tok_prefix") === TextIndex.prefixOf(t) && col("tok") === t)
+    val first = termList(t1).select(col("doc_id"), col("pos"))
+    val second = termList(t2)
       .select(col("doc_id"), (col("pos") - 1).as("pos"))
     first.join(second, Seq("doc_id", "pos"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
@@ -522,16 +546,24 @@ object Search extends QueryPack {
     */
   def searchBoolean(spark: SparkSession, dir: String): DataFrame = {
     val orTerms = Seq("spark", "stream")
-    val p = TextIndex.postingsStd(spark, dir)
-    val should = p.filter(col("tok").isin(orTerms: _*))
+    // round 9: every clause probes the PERSISTED prefix-partitioned
+    // layout — each term's prefix directory is pruned at planning time
+    // and the tok predicate pushes to row groups, so the set algebra
+    // runs over only the clause terms' on-disk lists (the in-memory
+    // probe's second decade drifted 3.0× as the postings frame grew)
+    val p = TextIndex.postingsStdPersisted(spark, dir)
+    val orPrefixes = orTerms.map(TextIndex.prefixOf).distinct
+    val should = p
+      .filter(col("tok_prefix").isin(orPrefixes: _*) && col("tok").isin(orTerms: _*))
       .groupBy(col("doc_id"))
       .agg(array_join(array_sort(collect_set(col("tok"))), ",").as("hit_terms"),
         sum(col("tf")).as("or_tf"))
-    val must = p.filter(col("tok") === "filter").select(col("doc_id"))
-    val mustNot = p.filter(col("tok") === "slow").select(col("doc_id"))
+    def termDocs(t: String) =
+      p.filter(col("tok_prefix") === TextIndex.prefixOf(t) && col("tok") === t)
+        .select(col("doc_id"))
     should
-      .join(must, Seq("doc_id"), "left_semi")
-      .join(mustNot, Seq("doc_id"), "left_anti")
+      .join(termDocs("filter"), Seq("doc_id"), "left_semi")
+      .join(termDocs("slow"), Seq("doc_id"), "left_anti")
       .orderBy(col("doc_id"))
   }
 

@@ -64,8 +64,14 @@ object Similarity extends QueryPack {
     * within-cell stage (dedup_embedding's candidate join) costs
     * O(n·CellBound) TOTAL no matter the corpus size — the fix for the
     * measured O(n^1.5) of the unbounded √n-cell design (19.3× cost for
-    * 10× data at sf1). 128 keeps the recall spec's ≥0.6 floor while
-    * bounding the quadratic stage.
+    * 10× data at sf1). 128 is the MEASURED recall/cost point: round 9
+    * tried the verdict's smaller-cap scale path (64) and the near-dup
+    * recall floor collapsed 0.60 → 0.37 (DedupSpec's label-formulation
+    * gate) — the extra split round severs genuine near-pairs faster
+    * than it saves pairwise work. The round-9 fix for the measured
+    * semdedup constant is instead the build-once near-pair index
+    * ([[graft.operators.Dedup.embeddingNearPairs]]): the O(n·C)
+    * pairwise stage was executing TWICE per semdedup query.
     */
   val CellBound = 128
 
@@ -173,51 +179,29 @@ object Similarity extends QueryPack {
     }
   }
 
-  /** IVF with a label-free coarse quantizer: cells come from
-    * [[kmeans]] (deterministic first-k seeds + one Lloyd round, k from
-    * corpus size) — no dependence on the synthetic `label` column,
-    * which does not exist at corpus scale. Vectors carry a single-probe
-    * assignment; the QUERY probes its 2 nearest cells (classic IVF
-    * nprobe), then exact-ranks only inside them.
-    */
-  def annIvf(spark: SparkSession, dir: String): DataFrame = {
-    val (cells, centroids) = cellIndex(spark, dir, probes = 1)
-    val q = queryVec(spark, dir)
-    // centroid-vs-query cosine over the k-row centroid frame (array
-    // types differ — double centroids vs float embeddings — so use the
-    // casting Column formulation, not the native kernel)
-    val probed = centroids.crossJoin(broadcast(q))
-      .select(col("cell"), Vectors.cosineExpr(col("centroid"), col("qv")).as("ccos"))
-      .orderBy(col("ccos").desc, col("cell")).limit(2).select(col("cell"))
-    cells.join(broadcast(probed), Seq("cell"))
-      .filter(col("vec_id") =!= QueryVecId)
-      .join(Tables.embeddings(spark, dir), Seq("vec_id"))
-      .crossJoin(broadcast(q))
-      .select(col("vec_id"), col("label"),
-        round(Vectors.cosine(col("embedding"), col("qv")), 4).as("cos"))
-      .orderBy(col("cos").desc, col("vec_id"))
-      .limit(10)
-  }
-
-  /** IVF probing over a WRITTEN cell-partitioned lake layout — the
-    * durable form of [[annIvf]]'s cached index, and the architecture
+  /** The WRITTEN cell-partitioned IVF lake layout — the CANONICAL probe
+    * storage for the whole ANN family (round 9), and the architecture
     * every disk-resident ANN service runs at 100 TB (FAISS/IVF on
     * object storage: vectors stored per inverted list, a query reads
-    * ONLY its probed lists): the cell assignments join their vectors
-    * and are written to parquet partitioned by `cell`, once per
-    * snapshot. A query ranks the k-row centroid table, picks its
-    * nprobe = 2 cells DRIVER-SIDE (a 2-long collect — probe selection
-    * is the client-side planning step of every real ANN service), and
-    * the `cell IN (…)` literal filter prunes every other cell
-    * directory at planning time. SimilaritySpec/KMeansSpec-style
-    * assertion lives in KMeansSpec: input_file_name() shows only the
-    * two probed cells' files are read, and the result is row-identical
-    * to the in-memory [[annIvf]] probe (shared oracle).
+    * ONLY its probed lists — the reference's own served-prebuilt-index
+    * model, TextIndexModel.cs:9-13). The cell assignments join their
+    * vectors and are written to parquet partitioned by `cell`, once per
+    * snapshot through [[graft.sources.IndexCache]]; every probing query
+    * filters `cell IN (…)` with literal probe ids, so every other cell
+    * directory is pruned at PLANNING time — the pruning is structural,
+    * not an optimizer favor. `probes = 2` materializes the multi-probe
+    * twin (one row per membership) that the k-NN join family reads.
+    *
+    * Before round 9 only ann_ivf_persisted probed this layout; the
+    * in-memory twins filtered the FULL cached assignment frame per
+    * query — measured 0.8×/9.5× per decade vs the pruned layout's
+    * 1.4×/2.1× (BENCH_sf10_r08) — a per-query corpus scan at 100 TB.
     */
-  def annIvfPersisted(spark: SparkSession, dir: String): DataFrame = {
-    val (cells, centroids) = cellIndex(spark, dir, probes = 1)
-    val persisted = graft.sources.IndexCache.getOrBuild(spark, "ivf_cells_disk", dir) {
-      val out = s"/tmp/graft_ivfindex/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/cells"
+  private[graft] def ivfLayout(spark: SparkSession, dir: String, probes: Int = 1): DataFrame = {
+    val suffix = if (probes == 1) "cells" else s"cells_p$probes"
+    graft.sources.IndexCache.getOrBuild(spark, s"ivf_cells_disk_p$probes", dir) {
+      val (cells, _) = cellIndex(spark, dir, probes)
+      val out = s"/tmp/graft_ivfindex/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/$suffix"
       val data = cells.join(Tables.embeddings(spark, dir), Seq("vec_id"))
         .select(col("cell"), col("vec_id"), col("label"), col("embedding"))
       data.repartition(col("cell"))
@@ -227,19 +211,55 @@ object Similarity extends QueryPack {
       // empty write, and the read must not re-scan to infer types
       spark.read.schema(data.schema).parquet(out)
     }
-    val q = queryVec(spark, dir)
-    val probedCells = centroids.crossJoin(broadcast(q))
+  }
+
+  /** Driver-side nprobe selection — the client-side planning step of
+    * every real ANN service: rank the k-row CACHED centroid table
+    * against the query vector, collect the nprobe nearest cell ids
+    * (an nprobe-long collect, never a corpus action). The returned
+    * literals feed `cell IN (…)` partition pruning on [[ivfLayout]].
+    */
+  private def probedCellIds(spark: SparkSession, dir: String, nprobe: Int): Seq[Int] = {
+    val (_, centroids) = cellIndex(spark, dir, probes = 1)
+    centroids.crossJoin(broadcast(queryVec(spark, dir)))
       .select(col("cell"), Vectors.cosineExpr(col("centroid"), col("qv")).as("ccos"))
-      .orderBy(col("ccos").desc, col("cell")).limit(2)
+      .orderBy(col("ccos").desc, col("cell")).limit(nprobe)
       .select(col("cell").cast("int")).collect().map(_.getInt(0)).toSeq
-    persisted.filter(col("cell").isin(probedCells: _*))
+  }
+
+  /** The shared IVF probe: prune [[ivfLayout]] to the `nprobe` cells
+    * picked by [[probedCellIds]], exact-rank inside them. Both ann_ivf
+    * and ann_ivf_persisted are this probe (one architecture, two keys —
+    * the in-memory assignment-frame scan the keys used to contrast was
+    * retired in round 9 as the measured scale-killer).
+    */
+  private def ivfProbe(spark: SparkSession, dir: String, nprobe: Int): DataFrame =
+    ivfLayout(spark, dir).filter(col("cell").isin(probedCellIds(spark, dir, nprobe): _*))
       .filter(col("vec_id") =!= QueryVecId)
-      .crossJoin(broadcast(q))
+      .crossJoin(broadcast(queryVec(spark, dir)))
       .select(col("vec_id"), col("label"),
         round(Vectors.cosine(col("embedding"), col("qv")), 4).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(10)
-  }
+
+  /** IVF with a label-free coarse quantizer: cells come from
+    * [[kmeans]] (deterministic first-k seeds + one Lloyd round, k from
+    * corpus size) — no dependence on the synthetic `label` column,
+    * which does not exist at corpus scale. The QUERY probes its 2
+    * nearest cells (classic IVF nprobe) via the partition-pruned
+    * [[ivfLayout]] and exact-ranks only inside them.
+    */
+  def annIvf(spark: SparkSession, dir: String): DataFrame =
+    ivfProbe(spark, dir, nprobe = 2)
+
+  /** The persisted-layout IVF probe key — since round 9 identical to
+    * [[annIvf]] (the pruned layout IS the canonical path); the key is
+    * kept so the layout's pruning contract stays independently gated
+    * (KMeansSpec: input_file_name() shows only the two probed cells'
+    * files are read; shared oracle with ann_ivf).
+    */
+  def annIvfPersisted(spark: SparkSession, dir: String): DataFrame =
+    ivfProbe(spark, dir, nprobe = 2)
 
   /** Brute-force top-k over int8-QUANTIZED codes — the 4× storage /
     * memory-bandwidth saver for 100 TB of embeddings (cosine is
@@ -360,12 +380,11 @@ object Similarity extends QueryPack {
     * table) and one map-side-combinable groupBy-sum.
     */
   def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
-    val (cells, centroids) = cellIndex(spark, dir, probes = 1)
-    val q = queryVec(spark, dir)
-    val probed = centroids.crossJoin(broadcast(q))
-      .select(col("cell"), Vectors.cosineExpr(col("centroid"), col("qv")).as("ccos"))
-      .orderBy(col("ccos").desc, col("cell")).limit(2).select(col("cell"))
-    val cand = cells.join(broadcast(probed), Seq("cell"))
+    // candidate ids from the PRUNED layout: a column-pruned read of the
+    // two probed cell directories' vec_id column only (4-byte codes do
+    // the ranking; the 256-byte vectors are never touched)
+    val cand = ivfLayout(spark, dir)
+      .filter(col("cell").isin(probedCellIds(spark, dir, nprobe = 2): _*))
       .filter(col("vec_id") =!= QueryVecId).select(col("vec_id"))
     val (cents, codes) = pqIndex(spark, dir)
     val qsub = pqSubvectors(
@@ -390,24 +409,19 @@ object Similarity extends QueryPack {
     * query probes 4 cells instead of [[annIvf]]'s 2 because the
     * predicate thins each probed cell's candidate population — the
     * recall/selectivity trade every filtered-ANN deployment tunes.
-    * Plan shape is unchanged: broadcast probed cell ids, scan-level
-    * label predicate, bounded exact rank.
+    * The layout carries `label`, so the predicate is a scan-level
+    * filter ON THE PRUNED CELL FILES — no join back to the corpus
+    * table at all (round 9: was cells ⋈ filtered embeddings).
     */
-  def annFiltered(spark: SparkSession, dir: String): DataFrame = {
-    val (cells, centroids) = cellIndex(spark, dir, probes = 1)
-    val q = queryVec(spark, dir)
-    val probed = centroids.crossJoin(broadcast(q))
-      .select(col("cell"), Vectors.cosineExpr(col("centroid"), col("qv")).as("ccos"))
-      .orderBy(col("ccos").desc, col("cell")).limit(4).select(col("cell"))
-    cells.join(broadcast(probed), Seq("cell"))
-      .filter(col("vec_id") =!= QueryVecId)
-      .join(Tables.embeddings(spark, dir).filter(col("label") === 1), Seq("vec_id"))
-      .crossJoin(broadcast(q))
+  def annFiltered(spark: SparkSession, dir: String): DataFrame =
+    ivfLayout(spark, dir)
+      .filter(col("cell").isin(probedCellIds(spark, dir, nprobe = 4): _*))
+      .filter(col("vec_id") =!= QueryVecId && col("label") === 1)
+      .crossJoin(broadcast(queryVec(spark, dir)))
       .select(col("vec_id"), col("label"),
         round(Vectors.cosine(col("embedding"), col("qv")), 4).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(10)
-  }
 
   /** Measured recall@10 of the IVF probe against the brute-force
     * baseline — the quality readout every approximate index ships
@@ -432,21 +446,31 @@ object Similarity extends QueryPack {
     * top-5 window partitions on query_id with cell-bounded partitions.
     */
   def annMultiQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val NumQ = 8
-    val (cells, centroids) = cellIndex(spark, dir, probes = 1)
+    val (_, centroids) = cellIndex(spark, dir, probes = 1)
     val queries = Tables.embeddings(spark, dir)
       .filter(col("vec_id") < NumQ)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val probed = centroids.crossJoin(broadcast(queries))
+    // batched probe selection: one Q×k centroid ranking, the 2Q
+    // (query, cell) pairs collected driver-side — the whole batch's
+    // planning step in one tiny action, then `cell IN (…)` prunes the
+    // layout to the UNION of all queries' inverted lists and the pair
+    // table (broadcast) routes each query to only ITS lists
+    val probePairs = centroids.crossJoin(broadcast(queries))
       .select(col("query_id"), col("cell"),
         Vectors.cosineExpr(col("centroid"), col("qv")).as("ccos"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("cell"))))
       .filter(col("rk") <= 2)
-      .select(col("query_id"), col("cell"))
-    cells.join(broadcast(probed), Seq("cell"))
+      .select(col("query_id"), col("cell").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val pairsDf = probePairs.toSeq.toDF("query_id", "cell")
+    val unionCells = probePairs.map(_._2).distinct.toSeq
+    ivfLayout(spark, dir)
+      .filter(col("cell").isin(unionCells: _*))
+      .join(broadcast(pairsDf), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
-      .join(Tables.embeddings(spark, dir), Seq("vec_id"))
       .join(broadcast(queries), Seq("query_id"))
       .select(col("query_id"), col("vec_id"), col("label"),
         round(Vectors.cosine(col("embedding"), col("qv")), 4).as("cos"))
@@ -467,15 +491,10 @@ object Similarity extends QueryPack {
     */
   def annRange(spark: SparkSession, dir: String): DataFrame = {
     val Radius = 0.25
-    val (cells, centroids) = cellIndex(spark, dir, probes = 1)
-    val q = queryVec(spark, dir)
-    val probed = centroids.crossJoin(broadcast(q))
-      .select(col("cell"), Vectors.cosineExpr(col("centroid"), col("qv")).as("ccos"))
-      .orderBy(col("ccos").desc, col("cell")).limit(4).select(col("cell"))
-    cells.join(broadcast(probed), Seq("cell"))
+    ivfLayout(spark, dir)
+      .filter(col("cell").isin(probedCellIds(spark, dir, nprobe = 4): _*))
       .filter(col("vec_id") =!= QueryVecId)
-      .join(Tables.embeddings(spark, dir), Seq("vec_id"))
-      .crossJoin(broadcast(q))
+      .crossJoin(broadcast(queryVec(spark, dir)))
       .select(col("vec_id"), col("label"),
         round(Vectors.cosine(col("embedding"), col("qv")), 4).as("cos"))
       .filter(col("cos") >= Radius)
@@ -525,19 +544,43 @@ object Similarity extends QueryPack {
     * full cross join.
     */
   def knnJoin(spark: SparkSession, dir: String): DataFrame = {
-    val (cells, _) = cellIndex(spark, dir, probes = 2)
-    val pc = cells.filter(col("vec_id") < 20).select(col("vec_id").as("q"), col("cell"))
-    val nc = cells.select(col("vec_id").as("n"), col("cell"))
-    val cand = pc.join(nc, Seq("cell")).filter(col("q") =!= col("n"))
-      .select(col("q"), col("n")).distinct()
-    // norms once per vector; pairwise does only the dot
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"), Vectors.norm(col("embedding")).as("nrm"))
-    val scored = cand
-      .join(e.select(col("vec_id").as("q"), col("embedding").as("qv"), col("nrm").as("qn")), Seq("q"))
-      .join(e.select(col("vec_id").as("n"), col("embedding").as("nv"), col("nrm").as("nn")), Seq("n"))
+    import spark.implicits._
+    val (_, cents) = cellIndex(spark, dir, probes = 2)
+    val probesDf = Tables.embeddings(spark, dir).filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q"), col("embedding").as("qv"))
+    // probe-side cell selection at QUERY time against the k-row cached
+    // centroid table (the ANN client's planning step — never a lookup
+    // into the n-row assignment frame): same kernel ([[centroidD2]])
+    // and tie-break (d² asc, cell asc) as [[flatAssign]], so the 2
+    // cells per probe equal the stored assignment's; collected
+    // driver-side as 2Q literal (q, cell) pairs.
+    val qPairs = cents.crossJoin(broadcast(probesDf))
+      .withColumn("d2", Vectors.sqDist(col("qv"), col("centroid")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q")).orderBy(col("d2"), col("cell"))))
+      .filter(col("rk") <= 2)
+      .select(col("q"), col("cell").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val pairsDf = qPairs.toSeq.toDF("q", "cell")
+    val probedCells = qPairs.map(_._2).distinct.toSeq
+    // neighbor candidates from the PRUNED multi-probe layout: only the
+    // probed cells' directories are read (≤2Q of k — at corpus scale k
+    // grows as √n, so this is the difference between a probe and a
+    // corpus scan); embeddings ride along in the layout, so no join
+    // back to the corpus table
+    val nbrs = ivfLayout(spark, dir, probes = 2)
+      .filter(col("cell").isin(probedCells: _*))
+      .select(col("cell"), col("vec_id").as("n"), col("embedding").as("nv"))
+    val qn = probesDf.withColumn("qn", Vectors.norm(col("qv")))
+    val scoredRows = broadcast(pairsDf).join(nbrs, Seq("cell"))
+      .filter(col("q") =!= col("n"))
+      .join(broadcast(qn), Seq("q"))
       .select(col("q"), col("n"),
-        round(Vectors.dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 4).as("cos"))
+        round(Vectors.dot(col("qv"), col("nv")) / (col("qn") * Vectors.norm(col("nv"))), 4).as("cos"))
+    // a pair can meet in up to 2 shared cells — max() collapses the
+    // duplicate identical scores (the old distinct-then-join, without
+    // the full-corpus embedding join it needed)
+    val scored = scoredRows.groupBy(col("q"), col("n")).agg(max(col("cos")).as("cos"))
     val w = Window.partitionBy(col("q")).orderBy(col("cos").desc, col("n"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
       .orderBy(col("q"), col("rk"))
@@ -835,10 +878,22 @@ object Similarity extends QueryPack {
     * keyset-page collects), becomes a d²-row frame, and three
     * normalized power steps + Rayleigh quotient + trace run on that —
     * free at any corpus size.
+    *
+    * NOTE (round-8 ADVICE): unlike every other query in the pack, this
+    * one executes driver-side actions during DataFrame CONSTRUCTION
+    * (the d-row mean collect and the partitions·d² Gram reduce) — a
+    * caller that merely builds the plan still pays the full two-pass
+    * Gram cost. Degenerate inputs return an EMPTY frame with the
+    * output schema instead of throwing / NaN: an empty embeddings
+    * table (no rows to decompose) and a zero-variance corpus (trace 0
+    * — the power step's norm would be 0/0).
     */
   def embedPca(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
+    def emptyResult: DataFrame =
+      Seq.empty[(Int, Double, Double, Double)]
+        .toDF("i", "loading", "eigval", "var_share")
     val vecs = emb
       .select(transform(col("embedding"), x => x.cast("double")).as("v")).as[Seq[Double]]
     // pass 1: per-dimension sums + row count in ONE aggregate
@@ -847,9 +902,14 @@ object Similarity extends QueryPack {
       .select(posexplode(transform(col("embedding"), x => x.cast("double"))).as(Seq("i", "x")))
       .groupBy(col("i")).agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
       .orderBy(col("i")).collect()
+    if (meanRows.isEmpty) return emptyResult
     val n = meanRows.head.getAs[Long]("n")
     val meanArr: Array[Double] = meanRows.map(_.getAs[Double]("sx") / n)
     val d = meanArr.length
+    // the DuckDB oracle hardcodes 64 dims (generate_series(1,64), v0 =
+    // 1/8) — fail LOUDLY at the source if the corpus width ever drifts,
+    // instead of letting the gate report an inscrutable hash mismatch
+    require(d == 64, s"embed_pca expects 64-dim embeddings (oracle is pinned to 64), got d=$d")
     val bcMean = spark.sparkContext.broadcast(meanArr)
     // pass 2: partition-local centered Gram accumulation (upper triangle)
     val partials = vecs.mapPartitions { it =>
@@ -873,6 +933,9 @@ object Similarity extends QueryPack {
       val r = new Array[Double](a.length)
       var k = 0; while (k < a.length) { r(k) = a(k) + b(k); k += 1 }; r
     }
+    // zero-variance corpus: every centered entry is 0, the power
+    // step's norm would be 0 and the loadings NaN — empty sentinel
+    if (!tot.exists(_ != 0.0)) return emptyResult
     val gram = (for (i <- 0 until d; j <- 0 until d)
       yield (i, j, (if (i <= j) tot(i * d + j) else tot(j * d + i)) / n.toDouble))
       .toDF("i", "j", "cv")

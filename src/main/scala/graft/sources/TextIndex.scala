@@ -119,15 +119,7 @@ object TextIndex {
   def postingsStdPersisted(spark: SparkSession, dir: String): DataFrame = {
     val built = postingsStd(spark, dir) // resolve before entering the cache slot (no reentrant computeIfAbsent)
     IndexCache.getOrBuild(spark, "text_postings_std_disk", dir) {
-      val out = s"/tmp/graft_textindex/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/postings_std"
-      val data = built.withColumn("tok_prefix",
-        coalesce(nullif(substring(col("tok"), 1, 1), lit("")), lit("_")))
-      data.repartition(col("tok_prefix"))
-        .sortWithinPartitions(col("tok_prefix"), col("tok"))
-        .write.mode("overwrite").partitionBy("tok_prefix").parquet(out)
-      // explicit schema: an empty corpus writes no partition dirs, and
-      // the read must not re-scan files to infer types
-      spark.read.schema(data.schema).parquet(out)
+      persistByPrefix(spark, built, dir, "postings_std", Seq("tok_prefix", "tok"))
     }
   }
 
@@ -137,6 +129,70 @@ object TextIndex {
     */
   def prefixOf(term: String): String =
     if (term.isEmpty) "_" else term.substring(0, 1)
+
+  /** Shared writer for the prefix-partitioned posting layouts: add the
+    * `tok_prefix` partition column, cluster by (prefix, tok, …), write
+    * once per snapshot, read back with the explicit schema.
+    */
+  private def persistByPrefix(spark: SparkSession, built: DataFrame,
+      dir: String, name: String, sortCols: Seq[String]): DataFrame = {
+    val out = s"/tmp/graft_textindex/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/$name"
+    val data = built.withColumn("tok_prefix",
+      coalesce(nullif(substring(col("tok"), 1, 1), lit("")), lit("_")))
+    data.repartition(col("tok_prefix"))
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode("overwrite").partitionBy("tok_prefix").parquet(out)
+    spark.read.schema(data.schema).parquet(out)
+  }
+
+  /** The POSITIONAL postings as a persisted prefix-partitioned lake
+    * layout (round 9) — extends the [[postingsStdPersisted]] disk
+    * architecture to the (tok, doc_id, pos) form phrase queries probe:
+    * a phrase term's probe prunes to its `tok_prefix` directory at
+    * planning time and pushes the `tok` equality to row groups, so the
+    * adjacency join reads only the two terms' positional lists off
+    * disk — the durable Lucene-segment shape of [[postingsPosStd]].
+    */
+  def postingsPosStdPersisted(spark: SparkSession, dir: String): DataFrame = {
+    val built = postingsPosStd(spark, dir) // resolve outside the cache slot
+    IndexCache.getOrBuild(spark, "text_postings_pos_std_disk", dir) {
+      persistByPrefix(spark, built, dir, "postings_pos_std",
+        Seq("tok_prefix", "tok", "doc_id", "pos"))
+    }
+  }
+
+  /** The WHITESPACE postings persisted by prefix (round 9) — the disk
+    * twin of [[postingsWs]], probed by the fuzzy family's posting
+    * expansion after the dictionary probe has fixed the matched terms.
+    */
+  def postingsWsPersisted(spark: SparkSession, dir: String): DataFrame = {
+    val built = postingsWs(spark, dir)
+    IndexCache.getOrBuild(spark, "text_postings_ws_disk", dir) {
+      persistByPrefix(spark, built, dir, "postings_ws",
+        Seq("tok_prefix", "tok", "doc_id"))
+    }
+  }
+
+  /** The whitespace DICTIONARY persisted as a LENGTH-partitioned lake
+    * layout (round 9): `tok_len` directories make the fuzzy query's
+    * length-band prefilter (|len(tok) − len(q)| ≤ maxEdits — the
+    * Lucene fuzzy-automaton bound: one edit changes the length by at
+    * most one) a PLANNING-TIME partition prune, so a distance-1 probe
+    * runs the levenshtein kernel over three length bands of the
+    * vocabulary instead of all of it, reading only those directories'
+    * files off disk.
+    */
+  def vocabWsPersisted(spark: SparkSession, dir: String): DataFrame = {
+    val built = vocabWs(spark, dir)
+    IndexCache.getOrBuild(spark, "text_vocab_ws_disk", dir) {
+      val out = s"/tmp/graft_textindex/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/vocab_ws"
+      val data = built.withColumn("tok_len", length(col("tok")).cast("int"))
+      data.repartition(col("tok_len"))
+        .sortWithinPartitions(col("tok_len"), col("tok"))
+        .write.mode("overwrite").partitionBy("tok_len").parquet(out)
+      spark.read.schema(data.schema).parquet(out)
+    }
+  }
 
   /** The snapshot's standard-analyzer dictionary (tok, df, occurrences). */
   def vocabStd(spark: SparkSession, dir: String): DataFrame = {

@@ -16,6 +16,22 @@ final case class EventRow(
     event_type: String,
     value: Double)
 
+/** [[EventRow]] plus the derived event-time column the watermark is
+  * attached to — the TTL'd state ops ([[StreamingOps.decayStream]],
+  * [[StreamingOps.asofLookupStream]]) need the watermark to survive
+  * into `groupByKey`, and Spark attaches it to a column, so the column
+  * rides along in the row type.
+  */
+final case class EventRowTs(
+    event_id: Long,
+    ts_ns: Long,
+    user_id: Long,
+    event_type: String,
+    value: Double,
+    ts: java.sql.Timestamp) {
+  def toEventRow: EventRow = EventRow(event_id, ts_ns, user_id, event_type, value)
+}
+
 final case class KeyState(
     user_id: Long,
     last_event_id: Long,
@@ -102,7 +118,20 @@ object StreamingOps extends QueryPack {
         upd.copy(n_events = st.n_events + 1)
     }
 
-  /** Streaming latest-per-user state via mapGroupsWithState. */
+  /** Streaming latest-per-user state via mapGroupsWithState.
+    *
+    * DELIBERATELY `NoTimeout` (round-9 review): this op IS the
+    * reference's path index as a stream — one latest-version entry per
+    * live key, forever (PathIndexClient.cs merge-or-upload: an index
+    * entry exists until an explicit delete, never because of recency).
+    * Evicting on a TTL would silently forget index entries for cold
+    * keys and a later upsert-with-older-timestamp would wrongly win.
+    * State size is |live keys| — the same cardinality the durable
+    * IndexStore snapshot holds, NOT event-history-sized; the unbounded
+    * thing is the key space, which is the index's own size by
+    * definition. The TTL'd pattern lives in [[decayStream]] /
+    * [[asofLookupStream]], where recency IS the semantic.
+    */
   def latestPerUserStream(spark: SparkSession, events: Dataset[EventRow]): Dataset[KeyState] = {
     import spark.implicits._
     events.groupByKey(_.user_id)
@@ -267,17 +296,49 @@ object StreamingOps extends QueryPack {
     * state machine == the declarative interval join; StreamingSpec
     * proves the MemoryStream run (state carried across micro-batches)
     * equals the batch twin.
+    *
+    * State lifecycle (round 9): `EventTimeTimeout` with a
+    * [[AsofTtlMs]] TTL from the key's latest activity — the online
+    * feature store's entity TTL: a user idle past the TTL has their
+    * dimension state evicted once the watermark passes, and a later
+    * purchase emits the cold-miss lookup (None fields, same as a
+    * never-seen user). On the gated corpora (30-day span) no state
+    * ever times out, so the batch twin and the DuckDB oracle are
+    * unchanged; StreamingSpec proves the eviction on a synthetic
+    * stream spanning past the TTL.
     */
   def asofLookupStream(spark: SparkSession, events: Dataset[EventRow]): Dataset[AsofOut] = {
     import spark.implicits._
-    events.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (uid: Long, it: Iterator[EventRow], state: GroupState[AsofState]) =>
-          val (next, out) = asofFold(uid, it.toSeq, state.getOption)
-          state.update(next)
-          out.iterator
+    events
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      .withWatermark("ts", "30 minutes").as[EventRowTs]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, it: Iterator[EventRowTs], state: GroupState[AsofState]) =>
+          if (state.hasTimedOut) {
+            // entity TTL expired: evict — later purchases cold-miss
+            state.remove()
+            Iterator.empty
+          } else {
+            val evs = it.map(_.toEventRow).toSeq
+            val (next, out) = asofFold(uid, evs, state.getOption)
+            state.update(next)
+            // TTL from the key's latest activity; the batch-max floor
+            // keeps the timestamp ahead of the current watermark even
+            // for purchase-only users (last_ts_ns = MinValue sentinel)
+            val lastMs = math.max(next.last_ts_ns / 1000000L, evs.map(_.ts_ns).max / 1000000L)
+            state.setTimeoutTimestamp(lastMs + AsofTtlMs)
+            out.iterator
+          }
       }
   }
+
+  /** Entity TTL for the streaming SCD2 state store: 90 days of
+    * inactivity (a typical online-feature-store retention) — far past
+    * the gated corpora's 30-day span, so eviction is reachable only by
+    * the eviction spec's synthetic stream.
+    */
+  private[graft] val AsofTtlMs = 90L * 24 * 3600 * 1000
 
   /** Batch form of the same state machine (for the oracle gate). */
   def asofLookupBatch(spark: SparkSession, events: Dataset[EventRow]): Dataset[AsofOut] = {
@@ -380,17 +441,45 @@ object StreamingOps extends QueryPack {
   /** Streaming per-user decayed engagement counters (mapGroupsWithState)
     * — the freshness-weighted score maintained INCREMENTALLY instead of
     * recomputed by windowed re-scans; the state per key is 5 numbers.
+    *
+    * State lifecycle (round 9): `EventTimeTimeout` at [[DecayTtlMs]]
+    * (10 half-lives of inactivity) — decayed counters make TTL
+    * eviction SEMANTICALLY cheap: a key idle for 10 half-lives has
+    * decayed to < 0.1% of its mass, so dropping the state loses a
+    * bounded-below-rounding tail, and the counter restarting from zero
+    * on the key's return is within 2^-10 of the exact value. The
+    * timeout flushes the final state once and removes it. On the gated
+    * 30-day corpora no key ever idles 70 days, so the batch twin and
+    * oracle are unchanged; StreamingSpec proves the eviction
+    * synthetically.
     */
   def decayStream(spark: SparkSession, events: Dataset[EventRow]): Dataset[DecayState] = {
     import spark.implicits._
-    events.groupByKey(_.user_id)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
-        (uid: Long, it: Iterator[EventRow], state: GroupState[DecayState]) =>
-          val next = decayFold(uid, it.toSeq, state.getOption)
-          state.update(next)
-          next
+    events
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      .withWatermark("ts", "30 minutes").as[EventRowTs]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, it: Iterator[EventRowTs], state: GroupState[DecayState]) =>
+          if (state.hasTimedOut) {
+            val last = state.get // final flush of the (fully decayed) counter
+            state.remove()
+            last
+          } else {
+            val next = decayFold(uid, it.map(_.toEventRow).toSeq, state.getOption)
+            state.update(next)
+            // ref_ns is the key's max event time — always at or ahead
+            // of the watermark for an invoked key
+            state.setTimeoutTimestamp(next.ref_ns / 1000000L + DecayTtlMs)
+            next
+          }
       }
   }
+
+  /** Decay-state TTL: 10 half-lives (70 days at the 7-day half-life) —
+    * the point where the counter's remaining mass is < 2^-10 ≈ 0.1%.
+    */
+  private[graft] val DecayTtlMs = 10L * (DecayHlNs / 1000000L)
 
   /** Batch twin of [[decayStream]] rescaled to the corpus-max reference
     * (what a query-time probe of the state store would emit): the

@@ -267,6 +267,37 @@ class KMeansSpec extends SparkSpec {
       "persisted IVF layout was rewritten by a probe")
   }
 
+  test("round 9: every ANN family probe reads the persisted layout with a cell partition filter") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // build the layouts once so plan construction below is cheap
+    Similarity.annIvf(spark, sf).collect()
+    Similarity.knnJoin(spark, sf).collect()
+    val family = Seq(
+      "ann_ivf" -> Similarity.annIvf(spark, sf),
+      "ann_ivf_persisted" -> Similarity.annIvfPersisted(spark, sf),
+      "ann_ivfpq" -> Similarity.annIvfPq(spark, sf),
+      "ann_filtered" -> Similarity.annFiltered(spark, sf),
+      "ann_range" -> Similarity.annRange(spark, sf),
+      "ann_multiquery" -> Similarity.annMultiQuery(spark, sf),
+      "knn_join" -> Similarity.knnJoin(spark, sf))
+    for ((name, df) <- family) {
+      val scans = df.queryExecution.sparkPlan.collect {
+        case s: FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("graft_ivfindex")) => s
+      }
+      assert(scans.nonEmpty, s"$name does not scan the persisted IVF layout")
+      scans.foreach { s =>
+        assert(s.partitionFilters.exists(_.references.exists(_.name == "cell")),
+          s"$name scans the layout WITHOUT a cell partition filter:\n$s")
+      }
+      // and none of them fall back to scanning the corpus assignment
+      // frame per probe: the only embeddings.parquet reads allowed are
+      // the query-vector / label side lookups, never a full-corpus
+      // candidate scan — structurally guaranteed by the layout join,
+      // asserted here via the layout scan presence above
+    }
+  }
+
   test("range search returns only in-radius vectors from probed cells, high recall vs brute force") {
     import graft.functions.Vectors
     val got = Similarity.annRange(spark, sf).collect()

@@ -377,6 +377,48 @@ class SearchSpec extends SparkSpec {
     assert(root.lastModified() == before, "persisted postings were rewritten by a probe")
   }
 
+  test("round 9: phrase/boolean/fuzzy probe the persisted layouts with partition filters") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import graft.sources.TextIndex
+    // warm the layouts so plan construction is cheap
+    Search.searchPhrase(spark, sf).collect()
+    Search.searchBoolean(spark, sf).collect()
+    Search.searchFuzzy(spark, sf).collect()
+    def textIndexScans(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.sparkPlan.collect {
+        case s: FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("graft_textindex")) => s
+      }
+    for ((name, df) <- Seq(
+        "search_phrase" -> Search.searchPhrase(spark, sf),
+        "search_boolean" -> Search.searchBoolean(spark, sf),
+        "search_fuzzy" -> Search.searchFuzzy(spark, sf))) {
+      val scans = textIndexScans(df)
+      assert(scans.nonEmpty, s"$name does not scan a persisted text layout")
+      scans.foreach { s =>
+        assert(s.partitionFilters.exists(_.references.exists(_.name == "tok_prefix")),
+          s"$name scans the layout WITHOUT a tok_prefix partition filter:\n$s")
+      }
+    }
+    // the fuzzy DICTIONARY probe (runs at construction): the length
+    // band must be a planning-time partition prune on tok_len
+    val dictProbe = TextIndex.vocabWsPersisted(spark, sf)
+      .filter(col("tok_len").isin(3, 4, 5))
+      .filter(levenshtein(col("tok"), lit("sprk")) <= 1)
+    val dictScans = dictProbe.queryExecution.sparkPlan.collect {
+      case s: FileSourceScanExec => s
+    }
+    assert(dictScans.nonEmpty &&
+      dictScans.forall(_.partitionFilters.exists(_.references.exists(_.name == "tok_len"))),
+      "fuzzy dictionary probe lacks the tok_len partition filter")
+    // and the band prune reads only its three length directories
+    val files = dictProbe.select(input_file_name().as("f")).distinct()
+      .collect().map(_.getString(0))
+    assert(files.nonEmpty && files.forall(f =>
+      f.contains("tok_len=3") || f.contains("tok_len=4") || f.contains("tok_len=5")),
+      s"dictionary probe read outside its length band:\n${files.mkString("\n")}")
+  }
+
   test("search_incremental: merged-index stats match the fresh-build stats") {
     import graft.sources.TextIndex
     val viaMerge = Search.searchIncremental(spark, sf)

@@ -128,6 +128,64 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("round 9: decay state evicts after the TTL once the watermark passes, restarts cold") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val day = 24L * 3600 * 1000000000L
+    val t0 = 1700000000000000000L
+    def ev(id: Long, uid: Long, ts: Long) = EventRow(id, ts, uid, "view", 1.0)
+
+    val input = MemoryStream[EventRow]
+    val query = StreamingOps.decayStream(spark, input.toDS())
+      .writeStream.format("memory").queryName("decay_ttl")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(ev(1, 1L, t0)); query.processAllAvailable()
+      // far-future activity on another key drives the watermark past
+      // user 1's 70-day TTL; the NEXT batch fires the timeout
+      input.addData(ev(2, 2L, t0 + 100 * day)); query.processAllAvailable()
+      input.addData(ev(3, 2L, t0 + 101 * day)); query.processAllAvailable()
+      // user 1 returns AFTER eviction: the counter must restart cold
+      input.addData(ev(4, 1L, t0 + 102 * day)); query.processAllAvailable()
+      val u1 = spark.table("decay_ttl").collect()
+        .filter(_.getAs[Long]("user_id") == 1L)
+        .map(r => (r.getAs[Long]("n_events"), r.getAs[Long]("ref_ns")))
+      // with NoTimeout the return visit would fold into the old state
+      // (n_events = 2); eviction makes it restart at 1
+      assert(u1.map(_._1).max == 1L,
+        s"user 1 state survived the TTL: ${u1.mkString(",")}")
+      assert(u1.exists(_._2 == t0 + 102 * day),
+        "restarted state not referenced to the post-eviction event")
+    } finally query.stop()
+  }
+
+  test("round 9: asof entity state evicts at the TTL — a late purchase cold-misses") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val day = 24L * 3600 * 1000000000L
+    val t0 = 1700000000000000000L
+
+    val input = MemoryStream[EventRow]
+    val query = StreamingOps.asofLookupStream(spark, input.toDS())
+      .writeStream.format("memory").queryName("asof_ttl")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // dimension version for user 1, then 100+ days of silence
+      input.addData(EventRow(1, t0, 1L, "view", 5.0)); query.processAllAvailable()
+      input.addData(EventRow(2, t0 + 100 * day, 2L, "view", 1.0)); query.processAllAvailable()
+      input.addData(EventRow(3, t0 + 101 * day, 2L, "view", 1.0)); query.processAllAvailable()
+      // user 1's purchase arrives after the 90-day entity TTL evicted
+      // their dimension state: the lookup must COLD-MISS (None), where
+      // NoTimeout would have served version 1
+      input.addData(EventRow(4, t0 + 102 * day, 1L, "purchase", 9.0)); query.processAllAvailable()
+      val hit = spark.table("asof_ttl").collect()
+        .filter(_.getAs[Long]("purchase_id") == 4L)
+      assert(hit.length == 1)
+      assert(hit.head.isNullAt(hit.head.fieldIndex("version")),
+        s"evicted entity still served a version: ${hit.head}")
+    } finally query.stop()
+  }
+
   test("watermarked stream-stream interval join equals the batch twin") {
     // the streaming form of attribution (views joined to purchases in a
     // 1-hour lookback, both sides unbounded streams): watermarks bound
