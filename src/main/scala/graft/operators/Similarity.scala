@@ -888,79 +888,163 @@ object Similarity extends QueryPack {
     * table (no rows to decompose) and a zero-variance corpus (trace 0
     * — the power step's norm would be 0/0).
     */
+  /** The centered covariance (Gram/n) frame (i, j, cv) for the
+    * snapshot's embeddings, built by the two-pass partition-accumulated
+    * pattern described at [[embedPca]] and shared with
+    * [[embedPcaTopK]]. Returns None for the degenerate corpora (empty
+    * table, zero variance) the callers surface as an empty result.
+    * Cached per snapshot ([[graft.sources.IndexCache]]) so the two
+    * spectral queries pay the corpus passes once.
+    */
+  private def gramFrame(spark: SparkSession, dir: String): Option[(DataFrame, Int)] =
+    graft.sources.IndexCache.getOrBuild(spark, "pca_gram", dir) {
+      import spark.implicits._
+      val emb = Tables.embeddings(spark, dir)
+      val vecs = emb
+        .select(transform(col("embedding"), x => x.cast("double")).as("v")).as[Seq[Double]]
+      // pass 1: per-dimension sums + row count in ONE aggregate
+      // (d rows collected — constant-size)
+      val meanRows = emb
+        .select(posexplode(transform(col("embedding"), x => x.cast("double"))).as(Seq("i", "x")))
+        .groupBy(col("i")).agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .orderBy(col("i")).collect()
+      if (meanRows.isEmpty) None
+      else {
+        val n = meanRows.head.getAs[Long]("n")
+        val meanArr: Array[Double] = meanRows.map(_.getAs[Double]("sx") / n)
+        val d = meanArr.length
+        // the DuckDB oracles hardcode 64 dims (generate_series(1,64),
+        // v0 = 1/8) — fail LOUDLY at the source if the corpus width
+        // ever drifts, instead of an inscrutable gate hash mismatch
+        require(d == 64, s"embed_pca expects 64-dim embeddings (oracle is pinned to 64), got d=$d")
+        val bcMean = spark.sparkContext.broadcast(meanArr)
+        // pass 2: partition-local centered Gram accumulation (upper triangle)
+        val partials = vecs.mapPartitions { it =>
+          val m = bcMean.value
+          val dd = m.length
+          val acc = new Array[Double](dd * dd)
+          val c = new Array[Double](dd)
+          it.foreach { v =>
+            var i = 0
+            while (i < dd) { c(i) = v(i) - m(i); i += 1 }
+            i = 0
+            while (i < dd) {
+              val ci = c(i); var j = i
+              while (j < dd) { acc(i * dd + j) += ci * c(j); j += 1 }
+              i += 1
+            }
+          }
+          Iterator.single(acc)
+        }
+        val tot = partials.reduce { (a, b) =>
+          val r = new Array[Double](a.length)
+          var k = 0; while (k < a.length) { r(k) = a(k) + b(k); k += 1 }; r
+        }
+        // zero-variance corpus: every centered entry is 0, the power
+        // step's norm would be 0 and the loadings NaN — empty sentinel
+        if (!tot.exists(_ != 0.0)) None
+        else Some((
+          (for (i <- 0 until d; j <- 0 until d)
+            yield (i, j, (if (i <= j) tot(i * d + j) else tot(j * d + i)) / n.toDouble))
+            .toDF("i", "j", "cv").localCheckpoint(true), d))
+      }
+    }
+
+  /** One normalized power step v ← G·v / ‖G·v‖ on the d²-row gram. */
+  private def powerStep(gram: DataFrame, v: DataFrame): DataFrame = {
+    val mv = gram.join(broadcast(v), "j")
+      .groupBy(col("i")).agg(sum(col("cv") * col("vj")).as("mvi"))
+    val nrm = mv.agg(sqrt(sum(col("mvi") * col("mvi"))).as("nrm"))
+    mv.crossJoin(broadcast(nrm)).select(col("i").as("j"), (col("mvi") / col("nrm")).as("vj"))
+  }
+
+  private def emptyPca(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Int, Double, Double, Double)]
+      .toDF("i", "loading", "eigval", "var_share")
+  }
+
   def embedPca(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val emb = Tables.embeddings(spark, dir)
-    def emptyResult: DataFrame =
-      Seq.empty[(Int, Double, Double, Double)]
-        .toDF("i", "loading", "eigval", "var_share")
-    val vecs = emb
-      .select(transform(col("embedding"), x => x.cast("double")).as("v")).as[Seq[Double]]
-    // pass 1: per-dimension sums + row count in ONE aggregate
-    // (d rows collected — constant-size)
-    val meanRows = emb
-      .select(posexplode(transform(col("embedding"), x => x.cast("double"))).as(Seq("i", "x")))
-      .groupBy(col("i")).agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
-      .orderBy(col("i")).collect()
-    if (meanRows.isEmpty) return emptyResult
-    val n = meanRows.head.getAs[Long]("n")
-    val meanArr: Array[Double] = meanRows.map(_.getAs[Double]("sx") / n)
-    val d = meanArr.length
-    // the DuckDB oracle hardcodes 64 dims (generate_series(1,64), v0 =
-    // 1/8) — fail LOUDLY at the source if the corpus width ever drifts,
-    // instead of letting the gate report an inscrutable hash mismatch
-    require(d == 64, s"embed_pca expects 64-dim embeddings (oracle is pinned to 64), got d=$d")
-    val bcMean = spark.sparkContext.broadcast(meanArr)
-    // pass 2: partition-local centered Gram accumulation (upper triangle)
-    val partials = vecs.mapPartitions { it =>
-      val m = bcMean.value
-      val dd = m.length
-      val acc = new Array[Double](dd * dd)
-      val c = new Array[Double](dd)
-      it.foreach { v =>
-        var i = 0
-        while (i < dd) { c(i) = v(i) - m(i); i += 1 }
-        i = 0
-        while (i < dd) {
-          val ci = c(i); var j = i
-          while (j < dd) { acc(i * dd + j) += ci * c(j); j += 1 }
-          i += 1
+    gramFrame(spark, dir) match {
+      case None => emptyPca(spark)
+      case Some((gram, d)) =>
+        val v0 = (0 until d).map(j => (j, 1.0 / math.sqrt(d.toDouble))).toDF("j", "vj")
+        val v3 = powerStep(gram, powerStep(gram, powerStep(gram, v0)))
+        val mv4 = gram.join(broadcast(v3), "j")
+          .groupBy(col("i")).agg(sum(col("cv") * col("vj")).as("mvi"))
+        val lam = v3.join(mv4, col("j") === col("i"))
+          .agg(sum(col("vj") * col("mvi")).as("l"))
+        val tr = gram.filter(col("i") === col("j")).agg(sum(col("cv")).as("t"))
+        v3.crossJoin(broadcast(lam)).crossJoin(broadcast(tr))
+          .select(col("j").as("i"), round(col("vj") + lit(1e-9), 4).as("loading"),
+            round(col("l") + lit(1e-9), 4).as("eigval"),
+            round(col("l") / col("t") + lit(1e-9), 4).as("var_share"))
+          .orderBy(col("i"))
+    }
+  }
+
+  private[graft] val PcaK = 3
+
+  /** Top-[[PcaK]] principal components by DEFLATED power iteration on
+    * the shared partition-accumulated gram ([[gramFrame]]) — the
+    * rank-k spectral audit an embedding pipeline actually wants
+    * (rank-1 says "there is a dominant direction"; rank-k says how
+    * concentrated the representation is). Component c runs the same
+    * three normalized power steps as [[embedPca]] from the uniform
+    * start vector, takes its Rayleigh eigenvalue, then DEFLATES:
+    * G ← G − λ_c·v_c·v_cᵀ (Hotelling deflation), so the next
+    * iteration converges toward the next eigenvector. Everything past
+    * the corpus passes runs on d²-row frames — free at any corpus
+    * size; the oracle unrolls the identical iterations statically
+    * ([[pcaTopkSql]]).
+    */
+  def embedPcaTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    gramFrame(spark, dir) match {
+      case None =>
+        Seq.empty[(Int, Int, Double, Double, Double)]
+          .toDF("comp", "i", "loading", "eigval", "var_share")
+      case Some((gram0, d)) =>
+        val v0 = (0 until d).map(j => (j, 1.0 / math.sqrt(d.toDouble))).toDF("j", "vj")
+        val tr = gram0.filter(col("i") === col("j")).agg(sum(col("cv")).as("t"))
+        var gram = gram0
+        val comps = (1 to PcaK).map { c =>
+          // eager checkpoints on the d- and d²-row frames: without them
+          // each deflated gram EMBEDS the previous component's whole
+          // power-step tree, so the final union's logical plan grows
+          // multiplicatively per component and Catalyst analysis blows
+          // up (observed: minutes at k=3) — the frames are kilobytes,
+          // the checkpoint is free
+          val v3 = powerStep(gram, powerStep(gram, powerStep(gram, v0)))
+            .localCheckpoint(true)
+          val mv4 = gram.join(broadcast(v3), "j")
+            .groupBy(col("i")).agg(sum(col("cv") * col("vj")).as("mvi"))
+          val lam = v3.join(mv4, col("j") === col("i"))
+            .agg(sum(col("vj") * col("mvi")).as("l"))
+            .localCheckpoint(true)
+          val out = v3.crossJoin(broadcast(lam)).crossJoin(broadcast(tr))
+            .select(lit(c).as("comp"), col("j").as("i"),
+              round(col("vj") + lit(1e-9), 4).as("loading"),
+              round(col("l") + lit(1e-9), 4).as("eigval"),
+              round(col("l") / col("t") + lit(1e-9), 4).as("var_share"))
+          // Hotelling deflation on the d²-row frame
+          gram = gram
+            .join(broadcast(v3.select(col("j").as("i"), col("vj").as("vi_"))), Seq("i"))
+            .join(broadcast(v3.select(col("j"), col("vj").as("vj_"))), Seq("j"))
+            .crossJoin(broadcast(lam))
+            .select(col("i"), col("j"),
+              (col("cv") - col("l") * col("vi_") * col("vj_")).as("cv"))
+            .localCheckpoint(true)
+          out
         }
-      }
-      Iterator.single(acc)
+        comps.reduce(_.unionByName(_)).orderBy(col("comp"), col("i"))
     }
-    val tot = partials.reduce { (a, b) =>
-      val r = new Array[Double](a.length)
-      var k = 0; while (k < a.length) { r(k) = a(k) + b(k); k += 1 }; r
-    }
-    // zero-variance corpus: every centered entry is 0, the power
-    // step's norm would be 0 and the loadings NaN — empty sentinel
-    if (!tot.exists(_ != 0.0)) return emptyResult
-    val gram = (for (i <- 0 until d; j <- 0 until d)
-      yield (i, j, (if (i <= j) tot(i * d + j) else tot(j * d + i)) / n.toDouble))
-      .toDF("i", "j", "cv")
-    val v0 = (0 until d).map(j => (j, 1.0 / math.sqrt(d.toDouble))).toDF("j", "vj")
-    def step(v: DataFrame): DataFrame = {
-      val mv = gram.join(broadcast(v), "j")
-        .groupBy(col("i")).agg(sum(col("cv") * col("vj")).as("mvi"))
-      val nrm = mv.agg(sqrt(sum(col("mvi") * col("mvi"))).as("nrm"))
-      mv.crossJoin(broadcast(nrm)).select(col("i").as("j"), (col("mvi") / col("nrm")).as("vj"))
-    }
-    val v3 = step(step(step(v0)))
-    val mv4 = gram.join(broadcast(v3), "j")
-      .groupBy(col("i")).agg(sum(col("cv") * col("vj")).as("mvi"))
-    val lam = v3.join(mv4, col("j") === col("i"))
-      .agg(sum(col("vj") * col("mvi")).as("l"))
-    val tr = gram.filter(col("i") === col("j")).agg(sum(col("cv")).as("t"))
-    v3.crossJoin(broadcast(lam)).crossJoin(broadcast(tr))
-      .select(col("j").as("i"), round(col("vj") + lit(1e-9), 4).as("loading"),
-        round(col("l") + lit(1e-9), 4).as("eigval"),
-        round(col("l") / col("t") + lit(1e-9), 4).as("var_share"))
-      .orderBy(col("i"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_pca" -> (embedPca _),
+    "embed_pca_topk" -> (embedPcaTopK _),
     "ann_bruteforce_topk" -> (annBruteForce _),
     "ann_int8_topk" -> (annInt8 _),
     "ann_pq" -> (annPq _),
@@ -1057,7 +1141,52 @@ object Similarity extends QueryPack {
        |bcells AS (SELECT vec_id, cell FROM c$rounds)""".stripMargin
   }
 
+  /** DuckDB twin of [[embedPcaTopK]]: the embed_pca oracle's gram CTE,
+    * then per component the SAME three unrolled power steps + Rayleigh
+    * eigenvalue + a Hotelling deflation CTE feeding the next component
+    * — generated with a loop exactly like the Scala side runs it.
+    */
+  private[graft] def pcaTopkSql: String = {
+    // every CTE MATERIALIZED: DuckDB inlines CTEs by default, and the
+    // deflation chain references each stage several times — inlined,
+    // the expansion is multiplicative per component (the same plan
+    // blowup the Scala side prevents with localCheckpoint)
+    val comps = (1 to PcaK).map { c =>
+      val steps = (1 to 3).map { s =>
+        val prev = if (s == 1) "v0" else s"v${c}_${s - 1}"
+        s"""mv${c}_$s AS MATERIALIZED (SELECT g.i, sum(cv * vj) AS mvi FROM g$c g JOIN $prev v ON g.j = v.j GROUP BY 1),
+           |n${c}_$s AS MATERIALIZED (SELECT sqrt(sum(mvi * mvi)) AS nrm FROM mv${c}_$s),
+           |v${c}_$s AS MATERIALIZED (SELECT i AS j, mvi / nrm AS vj FROM mv${c}_$s, n${c}_$s)""".stripMargin
+      }.mkString(",\n")
+      s"""$steps,
+         |mv${c}_4 AS MATERIALIZED (SELECT g.i, sum(cv * vj) AS mvi FROM g$c g JOIN v${c}_3 v ON g.j = v.j GROUP BY 1),
+         |lam$c AS MATERIALIZED (SELECT sum(vj * mvi) AS l FROM v${c}_3 v JOIN mv${c}_4 m ON v.j = m.i),
+         |g${c + 1} AS MATERIALIZED (
+         | SELECT g.i, g.j, g.cv - (SELECT l FROM lam$c) * a.vj * b.vj AS cv
+         | FROM g$c g JOIN v${c}_3 a ON a.j = g.i JOIN v${c}_3 b ON b.j = g.j)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to PcaK).map(c =>
+      s"SELECT $c AS comp, v.j, v.vj, (SELECT l FROM lam$c) AS l FROM v${c}_3 v")
+      .mkString("\n UNION ALL ")
+    s"""WITH dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+       |e AS (SELECT vec_id, d.i AS i, CAST(embedding[d.i] AS DOUBLE) AS x
+       |      FROM embeddings, dims d),
+       |m AS (SELECT i, sum(x) / count(*) AS mi FROM e GROUP BY 1),
+       |c AS (SELECT vec_id, e.i, x - mi AS xi FROM e JOIN m USING (i)),
+       |nn AS (SELECT count(*) AS n FROM embeddings),
+       |g1 AS MATERIALIZED (SELECT a.i AS i, b.i AS j, sum(a.xi * b.xi) / (SELECT n FROM nn) AS cv
+       |      FROM c a JOIN c b USING (vec_id) GROUP BY 1, 2),
+       |v0 AS (SELECT i AS j, 1.0 / 8.0 AS vj FROM dims),
+       |$comps,
+       |tr AS (SELECT sum(cv) AS t FROM g1 WHERE i = j),
+       |allc AS ($union)
+       |SELECT comp, CAST(j - 1 AS INT) AS i, round(vj + 1e-9, 4) AS loading,
+       | round(l + 1e-9, 4) AS eigval, round(l / t + 1e-9, 4) AS var_share
+       |FROM allc, tr ORDER BY comp, i""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "embed_pca_topk" -> pcaTopkSql,
     // dims hardcoded 64 (the corpus width; the Spark side derives it)
     "embed_pca" ->
       """WITH dims AS (SELECT unnest(generate_series(1, 64)) AS i),

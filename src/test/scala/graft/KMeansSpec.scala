@@ -357,4 +357,32 @@ class KMeansSpec extends SparkSpec {
     assert(eig.head > 0.0)
     assert(share.head > 1.0 / 64 && share.head <= 1.0 + 1e-9, s"share ${share.head}")
   }
+
+  test("embed_pca_topk: k unit components, near-orthogonal, non-increasing positive eigenvalues") {
+    val rows = Similarity.embedPcaTopK(spark, sf).collect()
+    assert(rows.length == Similarity.PcaK * 64, s"got ${rows.length} rows")
+    val byComp = rows.groupBy(_.getAs[Int]("comp")).map { case (c, rs) =>
+      c -> rs.sortBy(_.getAs[Int]("i")).map(_.getAs[Double]("loading"))
+    }
+    // each component normalized before rounding
+    byComp.foreach { case (c, v) =>
+      val n2 = v.map(x => x * x).sum
+      assert(math.abs(n2 - 1.0) < 1e-2, s"component $c ||v||^2 = $n2")
+    }
+    // deflation makes successive components near-orthogonal (3 power
+    // steps are not full convergence, so allow a loose bound)
+    for (a <- 1 to Similarity.PcaK; b <- a + 1 to Similarity.PcaK) {
+      val dot = byComp(a).zip(byComp(b)).map { case (x, y) => x * y }.sum
+      assert(math.abs(dot) < 0.2, s"components $a,$b not orthogonal: dot = $dot")
+    }
+    // eigenvalues positive and non-increasing (within rounding noise),
+    // component 1 == the rank-1 query's eigenvalue
+    val eig = (1 to Similarity.PcaK).map(c =>
+      rows.filter(_.getAs[Int]("comp") == c).head.getAs[Double]("eigval"))
+    assert(eig.forall(_ > 0.0), s"non-positive eigenvalue: $eig")
+    eig.sliding(2).foreach { case Seq(hi, lo) =>
+      assert(hi >= lo - 1e-3, s"eigenvalues increased: $eig") }
+    val rank1 = Similarity.embedPca(spark, sf).collect().head.getAs[Double]("eigval")
+    assert(math.abs(eig.head - rank1) < 1e-9, s"comp 1 eigval ${eig.head} != rank-1 $rank1")
+  }
 }
