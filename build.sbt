@@ -29,5 +29,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: a round-9 sf10 bench series at the old 8g default lost
+  // localCheckpoint blocks to heap pressure and recorded 14 spurious
+  // query failures (all green at 32g). The single-JVM local[32] runtime
+  // is both driver and executor, so it needs executor-grade heap.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

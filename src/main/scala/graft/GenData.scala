@@ -15,15 +15,33 @@ import org.apache.spark.sql.functions._
   * dedup/ANN index builds see a realistically grown corpus rather
   * than 10 exact copies. No RNG anywhere — same inputs, same bytes.
   *
-  * Usage: runMain graft.GenData <srcDir> <outDir> [factor=10]
+  * Usage: runMain graft.GenData <srcDir> <outDir> [factor=10] [vocab=const]
   * Never writes into /root/testdata (driver data is read-only).
+  *
+  * Vocab modes for the documents table:
+  *  - `const` (default): text copies through with a single ` r<rep>`
+  *    replica tag — the word vocabulary stays the source's ~31 words at
+  *    every factor (measured 31 at driver sf0.01/sf0.1, 40 at the
+  *    replicated sf1/sf10). The scan/shuffle cost of the token family
+  *    (text_tokens, sample_token_budget, bpe_train_step) under this
+  *    mode is therefore pure corpus-token work, zero vocabulary growth.
+  *  - `heaps`: additionally appends three deterministic rare tokens per
+  *    doc (`h<md5(doc_id±salt) mod pool>`) from a pool sized
+  *    ceil(8·√totalDocs), so the DISTINCT-word vocabulary grows as a
+  *    true Heaps curve (V ∝ N^0.5, β = 0.5 — the published shape of
+  *    real web corpora) while the corpus is otherwise identical. This
+  *    is the stress shape for every "tokenize-the-vocab, never the
+  *    corpus" claim: the per-distinct-word BPE fold must track √N,
+  *    not N.
   */
 object GenData {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: GenData <srcDir> <outDir> [factor]")
+    require(args.length >= 2, "usage: GenData <srcDir> <outDir> [factor] [vocab=const|heaps]")
     val src = args(0)
     val out = args(1)
     val factor = if (args.length >= 3) args(2).toInt else 10
+    val vocabMode = if (args.length >= 4) args(3) else "const"
+    require(Set("const", "heaps")(vocabMode), s"unknown vocab mode $vocabMode")
     require(!out.startsWith("/root/testdata"), "driver testdata is read-only")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
@@ -65,11 +83,25 @@ object GenData {
     scaled("events")(_
       .withColumn("event_id", shifted("event_id", mEv))
       .withColumn("user_id", shifted("user_id", mUser)))
+    // heaps mode: three md5-derived rare tokens per doc from a
+    // ceil(8·√totalDocs) pool — expected distinct ≈ the pool (draws ≫
+    // pool), so vocabulary measures √10 ≈ 3.2× per decade by
+    // construction. doc_id is already replica-shifted, so every
+    // replica draws fresh pool members deterministically.
+    val nDocs = Tables.load(spark, src, "documents").count() * factor
+    val pool = math.ceil(8.0 * math.sqrt(nDocs.toDouble)).toLong
+    def rare(salt: String): Column = concat(lit(" h"),
+      pmod(conv(substring(md5(concat(col("doc_id").cast("string"), lit(salt))), 1, 8), 16, 10)
+        .cast("long"), lit(pool)))
     scaled("documents")(_
       .withColumn("doc_id", shifted("doc_id", mDoc))
       .withColumn("text",
         when(col("rep") === 0, col("text"))
           .otherwise(concat(col("text"), lit(" r"), col("rep"))))
+      .withColumn("text",
+        if (vocabMode == "heaps")
+          concat(col("text"), rare("a"), rare("b"), rare("c"))
+        else col("text"))
       .withColumn("n_chars", length(col("text")).cast("long")))
     scaled("embeddings")(_
       .withColumn("vec_id", shifted("vec_id", mVec))

@@ -352,26 +352,49 @@ object Dedup extends QueryPack {
     * the query adds only the bounded pair-classification joins.
     */
   def dedupSemdedup(spark: SparkSession, dir: String): DataFrame = {
-    // the CHECKPOINTED near-pair index — referenced twice below (the
-    // intersection join + the final enrich) without re-running the
-    // pairwise stage
+    // the CHECKPOINTED near-pair index — probed, never rebuilt
     val emb = embeddingNearPairs(spark, dir)
-    val sh = shingleIndex(spark, dir)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
-    val inter = emb.select(col("a"), col("b"))
-      .join(sh.select(col("doc_id").as("a"), col("sh")), Seq("a"))
-      .join(sh.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    // Pair classification by per-doc shingle SETS, not by exploding
+    // (pair × shingle) rows: the explode shape joined |pairs|·|doc
+    // shingles| rows against the 27M-row shingle index and re-grouped
+    // them — measured 332M intermediate rows / 64s steady-state at
+    // sf10's 6.2M near pairs. Each doc's shingles instead collapse
+    // once per snapshot into a sorted array of 64-bit xxhashes
+    // ([[shingleSetIndex]], ~450 B/doc), the two set lookups are
+    // ordinary per-key joins, and |A∩B| is a codegen'd
+    // array_intersect over ≤~60-element arrays — per-pair work is
+    // O(|sets|), nothing is exploded, nothing re-aggregates.
+    // (64-bit hashing inside one pair's comparison: collision odds
+    // ~|pairs|·53²/2^64 ≈ 1e-9 — and the DuckDB oracle intersects the
+    // raw strings, so a collision would fail the gate loudly, not
+    // silently.)
+    val shs = shingleSetIndex(spark, dir)
     emb
-      .join(inter, Seq("a", "b"), "left").na.fill(0L, Seq("inter"))
-      .join(sizes.select(col("doc_id").as("a"), col("c").as("ca")), Seq("a"))
-      .join(sizes.select(col("doc_id").as("b"), col("c").as("cb")), Seq("b"))
+      .join(shs.select(col("doc_id").as("a"), col("shs").as("sa")), Seq("a"))
+      .join(shs.select(col("doc_id").as("b"), col("shs").as("sb")), Seq("b"))
+      .select(col("a"), col("b"), col("cos"),
+        size(array_intersect(col("sa"), col("sb"))).cast("long").as("inter"),
+        size(col("sa")).cast("long").as("ca"), size(col("sb")).cast("long").as("cb"))
       .select(col("a"), col("b"), col("cos"),
         round(col("inter") / (col("ca") + col("cb") - col("inter")) + 1e-9, 4).as("jaccard"))
       .withColumn("kind",
         when(col("jaccard") >= 0.3, "lexical").otherwise("semantic"))
       .orderBy(col("a"), col("b"))
   }
+
+  /** Per-doc shingle SET index: each doc's distinct word-3-grams as one
+    * array of 64-bit xxhash64 values — the compact (≈450 B/doc)
+    * membership structure pair-classification probes ([[dedupSemdedup]])
+    * instead of re-joining the exploded shingle index per pair. Built
+    * once per snapshot from [[shingleIndex]].
+    */
+  private[graft] def shingleSetIndex(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.IndexCache.getOrBuild(spark, "shingle_sets", dir) {
+      shingleIndex(spark, dir)
+        .groupBy(col("doc_id"))
+        .agg(collect_set(xxhash64(col("sh"))).as("shs"))
+        .localCheckpoint(true)
+    }
 
   /** Embedding near-dup: cosine ≥ τ pairs, bucketed by k-means cells so
     * the pairwise step stays inside coarse clusters. At corpus scale no
@@ -422,7 +445,11 @@ object Dedup extends QueryPack {
       .filter(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
     // norms once per vector (O(n·d)), pairwise does only the dot
-    // (O(pairs·d)) — same math as cosine(), 3× less arithmetic
+    // (O(pairs·d)) — same math as cosine(), 3× less arithmetic.
+    // (A fused shape that carries both vectors through the cell
+    // self-join was tried in round 9 and measured ~1.8× SLOWER at
+    // sf10: the skinny pair distinct + two vector joins against the
+    // n-row frame beat shuffling 2×256 B of payload per candidate.)
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"), Vectors.norm(col("embedding")).as("nrm"))
     cand
