@@ -34,7 +34,23 @@ object IndexCache {
 
   def getOrBuild[T <: AnyRef](spark: SparkSession, kind: String, dir: String)(build: => T): T = {
     val key = s"${spark.sparkContext.applicationId}|$kind|$dir"
-    cache.computeIfAbsent(key, _ => build).asInstanceOf[T]
+    // NOT computeIfAbsent: cached builders NEST (the embedding
+    // near-pair index builds on the bounded cell index, which builds
+    // on the k-means base; shingle sets build on the shingle index),
+    // and ConcurrentHashMap.computeIfAbsent is non-reentrant — a
+    // nested getOrBuild whose key lands in the SAME hash bin throws
+    // IllegalStateException("Recursive update"), which key strings
+    // and table size make nondeterministic (observed as sporadic
+    // single-query bench failures at new snapshot dirs). Build
+    // outside any map lock; on the single-threaded driver the benign
+    // lost-race duplicate build cannot happen.
+    val hit = cache.get(key)
+    if (hit != null) hit.asInstanceOf[T]
+    else {
+      val v = build
+      val prev = cache.putIfAbsent(key, v)
+      (if (prev != null) prev else v).asInstanceOf[T]
+    }
   }
 
   /** Drop every cached index (all snapshots, all kinds). */
