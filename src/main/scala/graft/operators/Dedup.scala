@@ -260,23 +260,30 @@ object Dedup extends QueryPack {
   /** Word-3-gram Jaccard for every LSH candidate pair (the verify step
     * after banding): |A∩B| / |A∪B| over distinct shingles.
     */
-  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = candidatePairs(spark, dir)
-    // the distinct shingle set feeds three consumers (two intersection
-    // joins + the per-doc sizes); materialized once per snapshot
-    val sh = shingleIndex(spark, dir)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
-    val inter = pairs
-      .join(sh.select(col("doc_id").as("a"), col("sh")), Seq("a"))
-      .join(sh.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
-    pairs
-      .join(inter, Seq("a", "b"), "left").na.fill(0L, Seq("inter"))
-      .join(sizes.select(col("doc_id").as("a"), col("c").as("ca")), Seq("a"))
-      .join(sizes.select(col("doc_id").as("b"), col("c").as("cb")), Seq("b"))
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    shingleOverlap(spark, dir, candidatePairs(spark, dir))
       .select(col("a"), col("b"),
         round(col("inter") / (col("ca") + col("cb") - col("inter")) + 1e-9, 4).as("jaccard"))
       .orderBy(col("a"), col("b"))
+
+  /** Shared pair-overlap kernel: attach each side's shingle SET from
+    * [[shingleSetIndex]] and compute |A∩B| with a codegen'd
+    * array_intersect — identical semantics to joining the exploded
+    * shingle index per pair and re-grouping, at O(|sets|) per pair
+    * with nothing exploded (the shape that measured 332M intermediate
+    * rows on dedup_semdedup's sf10 pairs before round 9). Preserves
+    * every other pair column; pairs whose doc has zero shingles drop,
+    * exactly as the former INNER sizes join dropped them.
+    */
+  private def shingleOverlap(spark: SparkSession, dir: String, pairs: DataFrame): DataFrame = {
+    val shs = shingleSetIndex(spark, dir)
+    pairs
+      .join(shs.select(col("doc_id").as("a"), col("shs").as("sa")), Seq("a"))
+      .join(shs.select(col("doc_id").as("b"), col("shs").as("sb")), Seq("b"))
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("ca", size(col("sa")).cast("long"))
+      .withColumn("cb", size(col("sb")).cast("long"))
+      .drop("sa", "sb")
   }
 
   /** MinHash sketch-accuracy readout: for every LSH candidate pair,
@@ -319,17 +326,7 @@ object Dedup extends QueryPack {
     * LSH banding already bounds.
     */
   def dedupContainment(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = candidatePairs(spark, dir)
-    val sh = shingleIndex(spark, dir)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
-    val inter = pairs
-      .join(sh.select(col("doc_id").as("a"), col("sh")), Seq("a"))
-      .join(sh.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
-    pairs
-      .join(inter, Seq("a", "b"), "left").na.fill(0L, Seq("inter"))
-      .join(sizes.select(col("doc_id").as("a"), col("c").as("ca")), Seq("a"))
-      .join(sizes.select(col("doc_id").as("b"), col("c").as("cb")), Seq("b"))
+    shingleOverlap(spark, dir, candidatePairs(spark, dir))
       .select(col("a"), col("b"),
         round(col("inter") / least(col("ca"), col("cb")) + 1e-9, 4).as("containment"),
         round(col("inter") / (col("ca") + col("cb") - col("inter")) + 1e-9, 4).as("jaccard"))
@@ -368,13 +365,7 @@ object Dedup extends QueryPack {
     // ~|pairs|·53²/2^64 ≈ 1e-9 — and the DuckDB oracle intersects the
     // raw strings, so a collision would fail the gate loudly, not
     // silently.)
-    val shs = shingleSetIndex(spark, dir)
-    emb
-      .join(shs.select(col("doc_id").as("a"), col("shs").as("sa")), Seq("a"))
-      .join(shs.select(col("doc_id").as("b"), col("shs").as("sb")), Seq("b"))
-      .select(col("a"), col("b"), col("cos"),
-        size(array_intersect(col("sa"), col("sb"))).cast("long").as("inter"),
-        size(col("sa")).cast("long").as("ca"), size(col("sb")).cast("long").as("cb"))
+    shingleOverlap(spark, dir, emb)
       .select(col("a"), col("b"), col("cos"),
         round(col("inter") / (col("ca") + col("cb") - col("inter")) + 1e-9, 4).as("jaccard"))
       .withColumn("kind",
