@@ -87,9 +87,10 @@ object GenData {
     // ceil(8·√totalDocs) pool — expected distinct ≈ the pool (draws ≫
     // pool), so vocabulary measures √10 ≈ 3.2× per decade by
     // construction. doc_id is already replica-shifted, so every
-    // replica draws fresh pool members deterministically.
-    val nDocs = Tables.load(spark, src, "documents").count() * factor
-    val pool = math.ceil(8.0 * math.sqrt(nDocs.toDouble)).toLong
+    // replica draws fresh pool members deterministically. Lazy: the
+    // sizing count() is a full documents pass, paid only in heaps mode.
+    lazy val nDocs = Tables.load(spark, src, "documents").count() * factor
+    lazy val pool = math.ceil(8.0 * math.sqrt(nDocs.toDouble)).toLong
     def rare(salt: String): Column = concat(lit(" h"),
       pmod(conv(substring(md5(concat(col("doc_id").cast("string"), lit(salt))), 1, 8), 16, 10)
         .cast("long"), lit(pool)))

@@ -30,26 +30,34 @@ import org.apache.spark.sql.SparkSession
   * SparkContexts (checkpointed blocks die with their executors).
   */
 object IndexCache {
-  private val cache = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+  /** Per-key build cell: the monitor same-key builds serialize on. */
+  private final class Holder { @volatile var value: AnyRef = null }
+
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, Holder]()
 
   def getOrBuild[T <: AnyRef](spark: SparkSession, kind: String, dir: String)(build: => T): T = {
     val key = s"${spark.sparkContext.applicationId}|$kind|$dir"
-    // NOT computeIfAbsent: cached builders NEST (the embedding
-    // near-pair index builds on the bounded cell index, which builds
-    // on the k-means base; shingle sets build on the shingle index),
-    // and ConcurrentHashMap.computeIfAbsent is non-reentrant — a
-    // nested getOrBuild whose key lands in the SAME hash bin throws
-    // IllegalStateException("Recursive update"), which key strings
-    // and table size make nondeterministic (observed as sporadic
-    // single-query bench failures at new snapshot dirs). Build
-    // outside any map lock; on the single-threaded driver the benign
-    // lost-race duplicate build cannot happen.
-    val hit = cache.get(key)
+    // Builders NEST (the embedding near-pair index builds on the
+    // bounded cell index, which builds on the k-means base; shingle
+    // sets build on the shingle index), and
+    // ConcurrentHashMap.computeIfAbsent is non-reentrant — running
+    // `build` inside it throws IllegalStateException("Recursive
+    // update") whenever a nested key lands in the same hash bin
+    // (nondeterministic by key strings/table size; observed as
+    // sporadic single-query bench failures at new snapshot dirs). So
+    // the map only ever computes a trivial Holder, and `build` runs
+    // under the HOLDER's monitor instead: same-key builds are
+    // serialized (two threads racing a builder that writes a shared
+    // /tmp layout path with mode=overwrite — ivfLayout, persistByPrefix
+    // — would otherwise race on the directory), while nested builds
+    // take different holders' monitors in build-nesting order (acyclic
+    // by construction), so reentrancy stays deadlock-free.
+    val h = cache.computeIfAbsent(key, _ => new Holder)
+    val hit = h.value
     if (hit != null) hit.asInstanceOf[T]
-    else {
-      val v = build
-      val prev = cache.putIfAbsent(key, v)
-      (if (prev != null) prev else v).asInstanceOf[T]
+    else h.synchronized {
+      if (h.value == null) h.value = build
+      h.value.asInstanceOf[T]
     }
   }
 

@@ -306,12 +306,24 @@ object StreamingOps extends QueryPack {
     * ever times out, so the batch twin and the DuckDB oracle are
     * unchanged; StreamingSpec proves the eviction on a synthetic
     * stream spanning past the TTL.
+    *
+    * LATE-DROP semantics (round 10, second divergence from the batch
+    * twin beyond TTL eviction): attaching the [[StateLatenessBound]]
+    * watermark means FlatMapGroupsWithStateExec FILTERS input rows
+    * more than that bound behind the watermark BEFORE the fold — a
+    * dimension event arriving later than the bound never updates the
+    * entity state, where the NoTimeout form (and the batch twin)
+    * would fold arbitrarily out-of-order events. This is the standard
+    * streaming contract (bounded disorder in exchange for bounded
+    * state); events within the bound still fold exactly.
+    * StreamingSpec proves the drop on a pre-TTL but
+    * beyond-the-bound-late event.
     */
   def asofLookupStream(spark: SparkSession, events: Dataset[EventRow]): Dataset[AsofOut] = {
     import spark.implicits._
     events
       .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
-      .withWatermark("ts", "30 minutes").as[EventRowTs]
+      .withWatermark("ts", StateLatenessBound).as[EventRowTs]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (uid: Long, it: Iterator[EventRowTs], state: GroupState[AsofState]) =>
@@ -339,6 +351,17 @@ object StreamingOps extends QueryPack {
     * the eviction spec's synthetic stream.
     */
   private[graft] val AsofTtlMs = 90L * 24 * 3600 * 1000
+
+  /** The allowed input DISORDER for the TTL'd state ops
+    * ([[asofLookupStream]], [[decayStream]]): events arriving more
+    * than this far behind the watermark are DROPPED before the
+    * stateful fold (EventTimeTimeout requires a watermark, and the
+    * watermark filters late input). Sized to the corpora's session
+    * gap; a deployment ingesting from a source with larger replay
+    * skew must widen it — the trade is linear state-store residency
+    * per window key.
+    */
+  private[graft] val StateLatenessBound = "30 minutes"
 
   /** Batch form of the same state machine (for the oracle gate). */
   def asofLookupBatch(spark: SparkSession, events: Dataset[EventRow]): Dataset[AsofOut] = {
@@ -452,17 +475,28 @@ object StreamingOps extends QueryPack {
     * 30-day corpora no key ever idles 70 days, so the batch twin and
     * oracle are unchanged; StreamingSpec proves the eviction
     * synthetically.
+    *
+    * LATE-DROP semantics (round 10): the [[StateLatenessBound]]
+    * watermark drops input rows more than the bound behind the
+    * watermark BEFORE the fold (see [[asofLookupStream]] — the same
+    * second divergence from the batch twin beyond TTL eviction);
+    * spec-proven on a pre-TTL but beyond-the-bound-late event.
     */
   def decayStream(spark: SparkSession, events: Dataset[EventRow]): Dataset[DecayState] = {
     import spark.implicits._
     events
       .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
-      .withWatermark("ts", "30 minutes").as[EventRowTs]
+      .withWatermark("ts", StateLatenessBound).as[EventRowTs]
       .groupByKey(_.user_id)
       .mapGroupsWithState(GroupStateTimeout.EventTimeTimeout()) {
         (uid: Long, it: Iterator[EventRowTs], state: GroupState[DecayState]) =>
           if (state.hasTimedOut) {
-            val last = state.get // final flush of the (fully decayed) counter
+            // eviction: re-emit the key's LAST stored state verbatim (a
+            // duplicate of the row already emitted at its last update —
+            // NOT rescaled to the eviction watermark; consumers rescale
+            // via ref_ns, and upsert sinks keyed by user_id absorb the
+            // duplicate), then drop the state
+            val last = state.get
             state.remove()
             last
           } else {

@@ -186,6 +186,40 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("round 10: a pre-TTL event beyond the lateness bound is dropped before the fold") {
+    // the SECOND divergence from the batch twin (beyond TTL eviction):
+    // under EventTimeTimeout the StateLatenessBound watermark filters
+    // input rows more than the bound behind the watermark BEFORE the
+    // stateful fold — the batch twin would have folded them
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val hour = 3600L * 1000000000L
+    val t0 = 1700000000000000000L
+    def ev(id: Long, uid: Long, ts: Long) = EventRow(id, ts, uid, "view", 1.0)
+
+    val input = MemoryStream[EventRow]
+    val query = StreamingOps.decayStream(spark, input.toDS())
+      .writeStream.format("memory").queryName("decay_late")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(ev(1, 1L, t0)); query.processAllAvailable()
+      // another key advances the watermark to t0 + 1.5h (max − bound)
+      input.addData(ev(2, 2L, t0 + 2 * hour)); query.processAllAvailable()
+      // user 1's straggler at t0 + 0.5h is 1h behind that watermark —
+      // far inside the 70-day TTL, but beyond the lateness bound: the
+      // fold must never see it
+      input.addData(ev(3, 1L, t0 + hour / 2)); query.processAllAvailable()
+      // an in-bound event still folds into the carried state
+      input.addData(ev(4, 1L, t0 + 3 * hour)); query.processAllAvailable()
+      val u1n = spark.table("decay_late").collect()
+        .filter(_.getAs[Long]("user_id") == 1L).map(_.getAs[Long]("n_events"))
+      // the batch twin counts 3 events for user 1; the stream dropped
+      // the beyond-bound straggler, so state carries exactly 2
+      assert(u1n.max == 2L,
+        s"beyond-bound late event reached the fold: ${u1n.mkString(",")}")
+    } finally query.stop()
+  }
+
   test("watermarked stream-stream interval join equals the batch twin") {
     // the streaming form of attribution (views joined to purchases in a
     // 1-hour lookback, both sides unbounded streams): watermarks bound
