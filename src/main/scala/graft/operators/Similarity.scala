@@ -896,7 +896,8 @@ object Similarity extends QueryPack {
     * Cached per snapshot ([[graft.sources.IndexCache]]) so the two
     * spectral queries pay the corpus passes once.
     */
-  private def gramFrame(spark: SparkSession, dir: String): Option[(DataFrame, Int)] =
+  private def gramFrame(spark: SparkSession, dir: String)
+      : Option[(DataFrame, Int, Array[Double])] =
     graft.sources.IndexCache.getOrBuild(spark, "pca_gram", dir) {
       import spark.implicits._
       val emb = Tables.embeddings(spark, dir)
@@ -946,7 +947,7 @@ object Similarity extends QueryPack {
         else Some((
           (for (i <- 0 until d; j <- 0 until d)
             yield (i, j, (if (i <= j) tot(i * d + j) else tot(j * d + i)) / n.toDouble))
-            .toDF("i", "j", "cv").localCheckpoint(true), d))
+            .toDF("i", "j", "cv").localCheckpoint(true), d, meanArr))
       }
     }
 
@@ -968,7 +969,7 @@ object Similarity extends QueryPack {
     import spark.implicits._
     gramFrame(spark, dir) match {
       case None => emptyPca(spark)
-      case Some((gram, d)) =>
+      case Some((gram, d, _)) =>
         val v0 = (0 until d).map(j => (j, 1.0 / math.sqrt(d.toDouble))).toDF("j", "vj")
         val v3 = powerStep(gram, powerStep(gram, powerStep(gram, v0)))
         val mv4 = gram.join(broadcast(v3), "j")
@@ -1005,7 +1006,7 @@ object Similarity extends QueryPack {
       case None =>
         Seq.empty[(Int, Int, Double, Double, Double)]
           .toDF("comp", "i", "loading", "eigval", "var_share")
-      case Some((gram0, d)) =>
+      case Some((gram0, d, _)) =>
         val v0 = (0 until d).map(j => (j, 1.0 / math.sqrt(d.toDouble))).toDF("j", "vj")
         val tr = gram0.filter(col("i") === col("j")).agg(sum(col("cv")).as("t"))
         var gram = gram0
@@ -1042,9 +1043,66 @@ object Similarity extends QueryPack {
     }
   }
 
+  /** "All-but-the-top" embedding post-processing (Mu & Viswanath, ICLR
+    * 2018): subtract the corpus mean, then remove each vector's
+    * projection on the top principal component — the standard
+    * correction for the common-direction artifact that makes raw
+    * embedding cosines under-discriminative (every pair looks similar
+    * because every vector shares the dominant component). The query
+    * re-runs the standard top-10 retrieval (query = vec 0) in the
+    * CORRECTED space, with the raw cosine alongside — the before/after
+    * readout of the correction.
+    *
+    * Scale shape: mean and v1 come off the shared per-snapshot cached
+    * Gram ([[gramFrame]] — the same two corpus passes embed_pca pays,
+    * amortized), collected as d-length literals; the per-vector
+    * transform is then a PURE codegen'd Column expression in the scan
+    * stage — x' = (x−μ) − ((x−μ)·v1)·v1 — so the corrected retrieval
+    * is one corpus pass with a broadcast-free plan (the d-length
+    * constants fold into codegen), exactly like ann_bruteforce plus
+    * a handful of FLOPs per row. Like embed_pca, building the plan
+    * executes the Gram passes driver-side (documented there).
+    */
+  def embedAbtt(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    gramFrame(spark, dir) match {
+      case None =>
+        Seq.empty[(Long, Int, Double, Double)]
+          .toDF("vec_id", "label", "cos_raw", "cos_abtt")
+      case Some((gram, d, meanArr)) =>
+        val v0 = (0 until d).map(j => (j, 1.0 / math.sqrt(d.toDouble))).toDF("j", "vj")
+        val v1 = powerStep(gram, powerStep(gram, powerStep(gram, v0)))
+          .orderBy(col("j")).collect().map(_.getAs[Double]("vj"))
+        val qRaw = Tables.embeddings(spark, dir).filter(col("vec_id") === QueryVecId)
+          .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+        // transform the query driver-side (d doubles, same formula)
+        val qc = qRaw.indices.map(i => qRaw(i) - meanArr(i)).toArray
+        val qp = qc.indices.map(i => qc(i) * v1(i)).sum
+        val qAbtt = qc.indices.map(i => qc(i) - qp * v1(i)).toSeq
+        val mLit = typedlit(meanArr.toSeq)
+        val vLit = typedlit(v1.toSeq)
+        val xd = transform(col("embedding"), x => x.cast("double"))
+        val e = Tables.embeddings(spark, dir).filter(col("vec_id") =!= QueryVecId)
+          .withColumn("xc", zip_with(xd, mLit, (x, m) => x - m))
+          .withColumn("p",
+            aggregate(zip_with(col("xc"), vLit, (a, b) => a * b), lit(0.0), (acc, x) => acc + x))
+          .withColumn("xp", zip_with(col("xc"), vLit, (x, v) => x - col("p") * v))
+        def cosOrNull(a: org.apache.spark.sql.Column, b: Seq[Double]) = {
+          val den = Vectors.normExpr(a) * math.sqrt(b.map(x => x * x).sum)
+          when(den === 0.0, lit(null)).otherwise(Vectors.dotExpr(a, typedlit(b)) / den)
+        }
+        e.select(col("vec_id"), col("label"),
+          round(cosOrNull(xd, qRaw.toSeq) + lit(1e-9), 4).as("cos_raw"),
+          round(cosOrNull(col("xp"), qAbtt) + lit(1e-9), 4).as("cos_abtt"))
+          .orderBy(col("cos_abtt").desc, col("vec_id"))
+          .limit(10)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_pca" -> (embedPca _),
     "embed_pca_topk" -> (embedPcaTopK _),
+    "embed_abtt" -> (embedAbtt _),
     "ann_bruteforce_topk" -> (annBruteForce _),
     "ann_int8_topk" -> (annInt8 _),
     "ann_pq" -> (annPq _),
@@ -1213,6 +1271,52 @@ object Similarity extends QueryPack {
         |SELECT CAST(v3.j - 1 AS INT) AS i, round(vj + 1e-9, 4) AS loading,
         | round(l + 1e-9, 4) AS eigval, round(l / t + 1e-9, 4) AS var_share
         |FROM v3, lam, tr ORDER BY i""".stripMargin,
+    // same CTE prefix as embed_pca (means, gram, three power steps →
+    // v3 = the top component), then the ABTT transform of query and
+    // corpus and the corrected cosine retrieval
+    "embed_abtt" ->
+      """WITH dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+        |e AS (SELECT vec_id, d.i AS i, CAST(embedding[d.i] AS DOUBLE) AS x
+        |      FROM embeddings, dims d),
+        |m AS (SELECT i, sum(x) / count(*) AS mi FROM e GROUP BY 1),
+        |c AS (SELECT vec_id, e.i, x - mi AS xi FROM e JOIN m USING (i)),
+        |nn AS (SELECT count(*) AS n FROM embeddings),
+        |g AS MATERIALIZED (SELECT a.i AS i, b.i AS j, sum(a.xi * b.xi) / (SELECT n FROM nn) AS cv
+        |      FROM c a JOIN c b USING (vec_id) GROUP BY 1, 2),
+        |v0 AS (SELECT i AS j, 1.0 / 8.0 AS vj FROM dims),
+        |mv1 AS (SELECT g.i, sum(cv * vj) AS mvi FROM g JOIN v0 ON g.j = v0.j GROUP BY 1),
+        |n1 AS (SELECT sqrt(sum(mvi * mvi)) AS nrm FROM mv1),
+        |v1 AS (SELECT i AS j, mvi / nrm AS vj FROM mv1, n1),
+        |mv2 AS (SELECT g.i, sum(cv * vj) AS mvi FROM g JOIN v1 ON g.j = v1.j GROUP BY 1),
+        |n2 AS (SELECT sqrt(sum(mvi * mvi)) AS nrm FROM mv2),
+        |v2 AS (SELECT i AS j, mvi / nrm AS vj FROM mv2, n2),
+        |mv3 AS (SELECT g.i, sum(cv * vj) AS mvi FROM g JOIN v2 ON g.j = v2.j GROUP BY 1),
+        |n3 AS (SELECT sqrt(sum(mvi * mvi)) AS nrm FROM mv3),
+        |v3 AS MATERIALIZED (SELECT i AS j, mvi / nrm AS vj FROM mv3, n3),
+        |qr AS (SELECT i, x FROM e WHERE vec_id = 0),
+        |qc AS (SELECT q.i, q.x - m.mi AS xi FROM qr q JOIN m USING (i)),
+        |qp AS (SELECT sum(qc.xi * v3.vj) AS p FROM qc JOIN v3 ON v3.j = qc.i),
+        |qa AS (SELECT qc.i, qc.xi - (SELECT p FROM qp) * v3.vj AS xi
+        |       FROM qc JOIN v3 ON v3.j = qc.i),
+        |qn AS (SELECT sqrt(sum(x * x)) AS nr FROM qr),
+        |qan AS (SELECT sqrt(sum(xi * xi)) AS na FROM qa),
+        |xpp AS (SELECT c.vec_id, sum(c.xi * v3.vj) AS p
+        |        FROM c JOIN v3 ON v3.j = c.i WHERE c.vec_id <> 0 GROUP BY 1),
+        |xp AS (SELECT c.vec_id, c.i, c.xi - p.p * v3.vj AS xi
+        |       FROM c JOIN xpp p ON p.vec_id = c.vec_id JOIN v3 ON v3.j = c.i
+        |       WHERE c.vec_id <> 0),
+        |craw AS (SELECT e.vec_id,
+        |  sum(e.x * q.x) / (sqrt(sum(e.x * e.x)) * (SELECT nr FROM qn)) AS cr
+        |  FROM e JOIN qr q USING (i) WHERE e.vec_id <> 0 GROUP BY 1),
+        |cab AS (SELECT x.vec_id,
+        |  sum(x.xi * q.xi) / (sqrt(sum(x.xi * x.xi)) * (SELECT na FROM qan)) AS ca
+        |  FROM xp x JOIN qa q USING (i) GROUP BY 1)
+        |SELECT c1.vec_id, l.label,
+        | round(cr + 1e-9, 4) AS cos_raw,
+        | round(ca + 1e-9, 4) AS cos_abtt
+        |FROM craw c1 JOIN cab c2 USING (vec_id)
+        | JOIN (SELECT vec_id, label FROM embeddings) l USING (vec_id)
+        |ORDER BY cos_abtt DESC, c1.vec_id LIMIT 10""".stripMargin,
     "ann_pq" ->
       s"""WITH sub AS (
          | SELECT vec_id, m.m AS m,

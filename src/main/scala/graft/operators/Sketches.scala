@@ -243,9 +243,96 @@ object Sketches extends QueryPack {
       .limit(20)
   }
 
+  private[graft] val KmvK = 256
+  // 48-bit hash domain (12 md5 hex chars): every hash is exactly
+  // representable in BOTH a BIGINT and an IEEE double, so the estimate
+  // arithmetic is bit-identical across engines
+  private[graft] val KmvDomain = 281474976710656.0 // 2^48
+
+  /** KMV / theta-sketch audience overlap (Beyer et al., SIGMOD 2007):
+    * the distinct-count sketch that supports set INTERSECTION — the one
+    * set operation HLL registers cannot serve (HLL unions by register
+    * max; intersection via inclusion-exclusion explodes the error).
+    * Per event type, the sketch is the k=256 SMALLEST distinct 48-bit
+    * md5 hashes of user_id; for a pair (A, B):
+    *
+    *   L      = the k smallest of sketch(A) ∪ sketch(B)   (= KMV of A∪B)
+    *   D̂_∪    = (k−1) / frac(kth(L))            (the KMV estimator)
+    *   ρ̂      = |L ∩ A ∩ B| / |L|               (overlap fraction in L)
+    *   D̂_∩    = ρ̂ · D̂_∪                          (the ratio estimator)
+    *
+    * Degenerate small-range case (sketch holds the whole set) falls
+    * back to exact counts through the same formulas. Scale shape: one
+    * distinct shuffle on the skew-free (type, hash) composite key, then
+    * the bounded-heap [[graft.expressions.TopKIds]] aggregate ships ≤ k
+    * rows per type into the final shuffle — the sketch build is one
+    * corpus pass at any size, and everything pairwise runs on
+    * |types| k-row arrays (kilobytes). The exact-overlap readout (the
+    * accuracy column) is the only corpus-sized stage: a self-join of
+    * the distinct (type, user) frame with ≤ C(|types|, 2) fanout per
+    * user — diagnostic only, dropped in production probes.
+    */
+  def eventsKmvOverlap(spark: SparkSession, dir: String): DataFrame =
+    kmvOverlapFrom(Tables.events(spark, dir).select(col("event_type"), col("user_id")))
+
+  /** The KMV kernel over any (event_type, user_id) frame — split out so
+    * the spec can drive the ESTIMATOR path with a synthetic corpus
+    * whose per-type cardinality exceeds k (the shipped sf0.01 corpus
+    * has 150 users, so every sketch there is complete and the small-
+    * range exact fallback is what the oracle gates).
+    */
+  private[graft] def kmvOverlapFrom(e: DataFrame): DataFrame = {
+    val dh = e
+      .withColumn("h",
+        conv(substring(md5(col("user_id").cast("string").cast("binary")), 1, 12), 16, 10)
+          .cast("long"))
+      .select(col("event_type"), col("h")).distinct()
+    // TopKIds keeps the k LARGEST ord: negate, so sortedIds comes back
+    // as the k smallest hashes in ASCENDING order (kth = last element)
+    val sk = dh.groupBy(col("event_type"))
+      .agg(graft.functions.Vectors.topKIds(negate(col("h").cast("double")), col("h"), KmvK)
+        .as("sketch"))
+    def kthFrac(arr: org.apache.spark.sql.Column) =
+      element_at(arr, size(arr)).cast("double") / lit(KmvDomain)
+    def estOf(arr: org.apache.spark.sql.Column) =
+      when(size(arr) < KmvK, size(arr).cast("double"))
+        .otherwise(lit((KmvK - 1).toDouble) / kthFrac(arr))
+    val paired = sk.select(col("event_type").as("type_a"), col("sketch").as("sa"))
+      .crossJoin(broadcast(sk.select(col("event_type").as("type_b"), col("sketch").as("sb"))))
+      .filter(col("type_a") < col("type_b"))
+    val merged = array_sort(array_union(col("sa"), col("sb")))
+    val lCap = slice(merged, 1, KmvK)
+    val estU = when(size(merged) < KmvK, size(merged).cast("double"))
+      .otherwise(lit((KmvK - 1).toDouble) / kthFrac(lCap))
+    val kcap = size(array_intersect(lCap, array_intersect(col("sa"), col("sb"))))
+    val estI = kcap.cast("double") / size(lCap).cast("double") * estU
+    val du = e.distinct()
+    val exact = du.as("x")
+      .join(du.as("y"),
+        col("x.user_id") === col("y.user_id") && col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("type_a"), col("y.event_type").as("type_b"))
+      .agg(count(lit(1)).as("exact_overlap"))
+    paired
+      .withColumn("est_a", estOf(col("sa")))
+      .withColumn("est_b", estOf(col("sb")))
+      .withColumn("est_union", estU)
+      .withColumn("est_overlap", estI)
+      .join(exact, Seq("type_a", "type_b"), "left")
+      .select(col("type_a"), col("type_b"),
+        round(lit(1e-9) + col("est_a"), 2).as("est_a"),
+        round(lit(1e-9) + col("est_b"), 2).as("est_b"),
+        round(lit(1e-9) + col("est_union"), 2).as("est_union"),
+        round(lit(1e-9) + col("est_overlap"), 2).as("est_overlap"),
+        coalesce(col("exact_overlap"), lit(0L)).as("exact_overlap"),
+        round(lit(1e-9) + abs(col("est_overlap") - coalesce(col("exact_overlap"), lit(0L))) /
+          greatest(coalesce(col("exact_overlap"), lit(0L)), lit(1L)), 4).as("rel_err"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_hll" -> (eventsHll _),
     "events_hll_rolling" -> (eventsHllRolling _),
+    "events_kmv_overlap" -> (eventsKmvOverlap _),
     "events_quantile_sketch" -> (eventsQuantileSketch _),
     "events_cms" -> (eventsCms _))
 
@@ -318,6 +405,69 @@ object Sketches extends QueryPack {
          | round(1e-9 + abs(est - exact_users) / exact_users, 4) AS rel_err
          |FROM e1 JOIN ex USING (t)
          |ORDER BY day""".stripMargin,
+    "events_kmv_overlap" ->
+      s"""WITH dh AS (
+         | SELECT DISTINCT event_type,
+         |  ('0x'||substring(md5(user_id::VARCHAR),1,12))::BIGINT AS h
+         | FROM events),
+         |r AS (
+         | SELECT event_type, h,
+         |  row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+         | FROM dh),
+         |sk AS (SELECT event_type, h FROM r WHERE rn <= $KmvK),
+         |stat AS (SELECT event_type, count(*) AS sz, max(h) AS kth FROM sk GROUP BY 1),
+         |est1 AS (
+         | SELECT event_type,
+         |  CASE WHEN sz < $KmvK THEN sz::DOUBLE
+         |   ELSE ${KmvK - 1}.0 / (kth::DOUBLE / 281474976710656.0) END AS est
+         | FROM stat),
+         |pairs AS (
+         | SELECT a.event_type AS type_a, b.event_type AS type_b
+         | FROM stat a JOIN stat b ON a.event_type < b.event_type),
+         |m AS (
+         | SELECT p.type_a, p.type_b, s.h
+         | FROM pairs p JOIN sk s ON s.event_type IN (p.type_a, p.type_b)
+         | GROUP BY 1, 2, 3),
+         |mr AS (
+         | SELECT type_a, type_b, h,
+         |  row_number() OVER (PARTITION BY type_a, type_b ORDER BY h) AS rn,
+         |  count(*) OVER (PARTITION BY type_a, type_b) AS msz
+         | FROM m),
+         |lcap AS (SELECT type_a, type_b, h, msz FROM mr WHERE rn <= $KmvK),
+         |lagg AS (
+         | SELECT type_a, type_b, count(*) AS lsz, max(h) AS kth, max(msz) AS msz
+         | FROM lcap GROUP BY 1, 2),
+         |icap AS (
+         | SELECT l.type_a, l.type_b, count(*) AS kcap
+         | FROM lcap l
+         | JOIN sk sa ON sa.event_type = l.type_a AND sa.h = l.h
+         | JOIN sk sb ON sb.event_type = l.type_b AND sb.h = l.h
+         | GROUP BY 1, 2),
+         |eu AS (
+         | SELECT g.type_a, g.type_b, g.lsz,
+         |  CASE WHEN g.msz < $KmvK THEN g.msz::DOUBLE
+         |   ELSE ${KmvK - 1}.0 / (g.kth::DOUBLE / 281474976710656.0) END AS est_union,
+         |  coalesce(i.kcap, 0) AS kcap
+         | FROM lagg g LEFT JOIN icap i ON i.type_a = g.type_a AND i.type_b = g.type_b),
+         |exact AS (
+         | SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS exact_overlap
+         | FROM (SELECT DISTINCT event_type, user_id FROM events) a
+         | JOIN (SELECT DISTINCT event_type, user_id FROM events) b
+         |  ON a.user_id = b.user_id AND a.event_type < b.event_type
+         | GROUP BY 1, 2)
+         |SELECT u.type_a, u.type_b,
+         | round(1e-9 + ea.est, 2) AS est_a,
+         | round(1e-9 + eb.est, 2) AS est_b,
+         | round(1e-9 + u.est_union, 2) AS est_union,
+         | round(1e-9 + (u.kcap::DOUBLE / u.lsz * u.est_union), 2) AS est_overlap,
+         | coalesce(x.exact_overlap, 0) AS exact_overlap,
+         | round(1e-9 + abs(u.kcap::DOUBLE / u.lsz * u.est_union - coalesce(x.exact_overlap, 0))
+         |   / greatest(coalesce(x.exact_overlap, 0), 1), 4) AS rel_err
+         |FROM eu u
+         |JOIN est1 ea ON ea.event_type = u.type_a
+         |JOIN est1 eb ON eb.event_type = u.type_b
+         |LEFT JOIN exact x ON x.type_a = u.type_a AND x.type_b = u.type_b
+         |ORDER BY u.type_a, u.type_b""".stripMargin,
     "events_quantile_sketch" ->
       """WITH stats AS (
         | SELECT event_type, min(value) AS mn, max(value) AS mx, count(*) AS n

@@ -960,7 +960,36 @@ object TextAnalysis extends QueryPack {
       .limit(10)
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al., LREC 2020): per
+    * language, documents split into head / middle / tail at the p33 and
+    * p67 of that language's LM-score distribution — the standard
+    * quality triage of web-corpus pipelines (head = fluent text kept
+    * outright, middle = kept or re-filtered, tail = usually dropped).
+    * Score = [[unigramLogprob]]'s mean −ln p (the KenLM stand-in);
+    * cutoffs come from the mergeable 1024-bin quantile sketch
+    * ([[Sketches.binnedQuantiles]]), so at 100 TB the per-language
+    * thresholds are one constant-space combinable pass — never a
+    * per-language sort of a growing stratum — and bucketing is a
+    * broadcast of the ≤|langs|-row threshold table back onto the
+    * scored frame.
+    */
+  def textCcnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val scored = unigramLogprob(spark, dir)
+      .select(col("doc_id"), col("mean_neg_logprob").as("ppl_score"))
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val cuts = Sketches.binnedQuantiles(
+      scored.select(col("lang"), col("ppl_score").as("value")), "lang", "value", Seq(33, 67))
+    scored
+      .join(broadcast(cuts.select(col("lang"), col("p33_est"), col("p67_est"))), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("ppl_score"),
+        when(col("ppl_score") <= col("p33_est"), lit("head"))
+          .when(col("ppl_score") <= col("p67_est"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_ccnet_buckets" -> (textCcnetBuckets _),
     "bpe_train_step" -> (bpeTrainStep _),
     "text_quality_model" -> (qualityModel _),
     "pack_sequences" -> (packSequences _),
@@ -1159,6 +1188,27 @@ object TextAnalysis extends QueryPack {
          |FROM base JOIN bq USING (col_name)
          |ORDER BY col_name""".stripMargin
     },
+    // unigramLogprob's score CTEs + the shared 1024-bin sketch fragment
+    // (binnedQuantilesSql over u(lang, value)) + the bucket CASE
+    "text_ccnet_buckets" ->
+      s"""WITH toks AS (
+         | SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |dt AS (SELECT doc_id, tok, count(*) AS k FROM toks GROUP BY doc_id, tok),
+         |freq AS (SELECT tok, CAST(sum(k) AS BIGINT) AS c FROM dt GROUP BY tok),
+         |total AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM freq),
+         |score AS (
+         | SELECT doc_id, round(1e-9 + sum(k * -ln(c / n)) / sum(k), 4) AS ppl_score
+         | FROM dt JOIN freq USING (tok), total GROUP BY doc_id),
+         |u AS (
+         | SELECT d.lang AS lang, s.ppl_score AS value
+         | FROM score s JOIN documents d USING (doc_id)),
+         |${Sketches.binnedQuantilesSql("lang", Seq(33, 67))}
+         |SELECT s.doc_id, d.lang, s.ppl_score,
+         | CASE WHEN s.ppl_score <= q.p33_est THEN 'head'
+         |      WHEN s.ppl_score <= q.p67_est THEN 'middle'
+         |      ELSE 'tail' END AS bucket
+         |FROM score s JOIN documents d USING (doc_id) JOIN bq q ON q.lang = d.lang
+         |ORDER BY s.doc_id""".stripMargin,
     "text_unigram_logprob" ->
       """WITH toks AS (
         | SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),

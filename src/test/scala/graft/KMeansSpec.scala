@@ -385,4 +385,47 @@ class KMeansSpec extends SparkSpec {
     val rank1 = Similarity.embedPca(spark, sf).collect().head.getAs[Double]("eigval")
     assert(math.abs(eig.head - rank1) < 1e-9, s"comp 1 eigval ${eig.head} != rank-1 $rank1")
   }
+
+  test("embed_abtt: corrected retrieval matches an independent local ABTT computation") {
+    import org.apache.spark.sql.functions.col
+    // local reference: same mean/Gram/power-iteration/transform math on
+    // the collected corpus — an execution strategy independent of the
+    // distributed Gram accumulation and the codegen'd column transform
+    val all = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    val d = all.head._2.length
+    val n = all.length
+    val mean = Array.tabulate(d)(i => all.map(_._2(i)).sum / n)
+    val centered = all.map { case (id, v) => id -> v.indices.map(i => v(i) - mean(i)).toArray }
+    val g = Array.ofDim[Double](d, d)
+    centered.foreach { case (_, c) =>
+      for (i <- 0 until d; j <- 0 until d) g(i)(j) += c(i) * c(j) / n }
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    for (_ <- 1 to 3) {
+      val mv = Array.tabulate(d)(i => (0 until d).map(j => g(i)(j) * v(j)).sum)
+      val nrm = math.sqrt(mv.map(x => x * x).sum)
+      v = mv.map(_ / nrm)
+    }
+    def abtt(c: Array[Double]): Array[Double] = {
+      val p = c.indices.map(i => c(i) * v(i)).sum
+      c.indices.map(i => c(i) - p * v(i)).toArray
+    }
+    val q = abtt(centered.find(_._1 == 0L).get._2)
+    val qn = math.sqrt(q.map(x => x * x).sum)
+    def round4(x: Double) = math.rint((x + 1e-9) * 1e4) / 1e4
+    val localTop = centered.filter(_._1 != 0L).map { case (id, c) =>
+      val x = abtt(c)
+      val xn = math.sqrt(x.map(t => t * t).sum)
+      id -> round4(x.indices.map(i => x(i) * q(i)).sum / (xn * qn))
+    }.sortBy { case (id, cos) => (-cos, id) }.take(10)
+
+    val got = Similarity.embedAbtt(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos_abtt")))
+    assert(got.map(_._1).sameElements(localTop.map(_._1)),
+      s"ids ${got.map(_._1).toSeq} != local ${localTop.map(_._1).toSeq}")
+    got.zip(localTop).foreach { case ((_, a), (_, b)) =>
+      assert(math.abs(a - b) < 1e-3, s"cosine $a != local $b") }
+  }
 }

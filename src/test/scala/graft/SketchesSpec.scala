@@ -31,6 +31,29 @@ class SketchesSpec extends SparkSpec {
     assert(ests.sameElements(ests.sortBy(-(_: Long))))
   }
 
+  test("KMV overlap: small-range fallback is exact; estimator path lands in the error band") {
+    // shipped corpus: every type has < k distinct users, so the sketch
+    // IS the set and every estimate must equal the exact overlap
+    Sketches.eventsKmvOverlap(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Double]("est_overlap") == r.getAs[Long]("exact_overlap").toDouble,
+        s"complete sketch not exact: $r")
+    }
+    // synthetic corpus with per-type cardinality ≫ k exercises the real
+    // theta/ratio estimator: types A and B have 8000 users each sharing
+    // exactly 4000 (A: 0-7999, B: 4000-11999)
+    import spark.implicits._
+    val e = spark.range(0, 8000).select(lit("A").as("event_type"), col("id").as("user_id"))
+      .union(spark.range(4000, 12000).select(lit("B").as("event_type"), col("id").as("user_id")))
+    val row = Sketches.kmvOverlapFrom(e).collect().head
+    // KMV with k=256: SE ≈ 1/√k ≈ 6.3% on the union, the ratio
+    // estimator adds binomial noise on ρ̂ — allow a generous 25%
+    assert(math.abs(row.getAs[Double]("est_union") - 12000.0) / 12000.0 < 0.25,
+      s"union estimate off: $row")
+    assert(math.abs(row.getAs[Double]("est_overlap") - 4000.0) / 4000.0 < 0.25,
+      s"overlap estimate off: $row")
+    assert(row.getAs[Long]("exact_overlap") == 4000L)
+  }
+
   test("streaming HLL register maintenance converges to the batch registers") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext

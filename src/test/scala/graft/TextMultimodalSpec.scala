@@ -430,4 +430,27 @@ class TextMultimodalSpec extends SparkSpec {
       assert(r.getAs[Long]("n_tokens") >= r.getAs[Long]("n_docs"))
     }
   }
+
+  test("ccnet buckets: every doc bucketed, tercile-ish shares, monotone mean perplexity") {
+    val rows = TextAnalysis.textCcnetBuckets(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    val byLang = rows.groupBy(_.getAs[String]("lang"))
+    byLang.foreach { case (lang, rs) =>
+      val byBucket = rs.groupBy(_.getAs[String]("bucket"))
+        .view.mapValues(_.map(_.getAs[Double]("ppl_score"))).toMap
+      assert(byBucket.keySet.subsetOf(Set("head", "middle", "tail")), s"$lang: ${byBucket.keySet}")
+      // the sketch's 1024-bin thresholds land each share near a third
+      // (loose band: small strata + binning granularity)
+      byBucket.foreach { case (b, scores) =>
+        val share = scores.length.toDouble / rs.length
+        assert(share > 0.1 && share < 0.6, s"$lang/$b share $share")
+      }
+      // ordering property: every head score ≤ every tail score, and the
+      // bucket means are monotone
+      def mean(xs: Array[Double]) = xs.sum / xs.length
+      assert(byBucket("head").max <= byBucket("tail").min + 1e-9, s"$lang head/tail overlap")
+      assert(mean(byBucket("head")) <= mean(byBucket("middle")) &&
+        mean(byBucket("middle")) <= mean(byBucket("tail")), s"$lang means not monotone")
+    }
+  }
 }
