@@ -1055,13 +1055,17 @@ object Similarity extends QueryPack {
     *
     * Scale shape: mean and v1 come off the shared per-snapshot cached
     * Gram ([[gramFrame]] — the same two corpus passes embed_pca pays,
-    * amortized), collected as d-length literals; the per-vector
-    * transform is then a PURE codegen'd Column expression in the scan
-    * stage — x' = (x−μ) − ((x−μ)·v1)·v1 — so the corrected retrieval
-    * is one corpus pass with a broadcast-free plan (the d-length
-    * constants fold into codegen), exactly like ann_bruteforce plus
-    * a handful of FLOPs per row. Like embed_pca, building the plan
-    * executes the Gram passes driver-side (documented there).
+    * amortized), collected as d-length literals; the corrected cosine
+    * then never MATERIALIZES x' — because v1 is unit,
+    *   x'·q' = (x−μ)·q' and ‖x'‖² = ‖x−μ‖² − p² with p = (x−μ)·v1,
+    * so the whole per-vector cost is FOUR fused native dot kernels
+    * against fixed vectors (x·x, x·v1, x·q_c, x·μ) plus scalar
+    * arithmetic — all inside whole-stage codegen, one corpus scan,
+    * broadcast-free (the round-10 rewrite of the first-cut
+    * zip_with/aggregate form, whose interpreted per-element lambdas
+    * measured 72.6s at sf10; the algebraic form is ann_bruteforce plus
+    * three dots). Like embed_pca, building the plan executes the Gram
+    * passes driver-side (documented there).
     */
   def embedAbtt(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -1074,26 +1078,31 @@ object Similarity extends QueryPack {
         val v1 = powerStep(gram, powerStep(gram, powerStep(gram, v0)))
           .orderBy(col("j")).collect().map(_.getAs[Double]("vj"))
         val qRaw = Tables.embeddings(spark, dir).filter(col("vec_id") === QueryVecId)
-          .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
-        // transform the query driver-side (d doubles, same formula)
-        val qc = qRaw.indices.map(i => qRaw(i) - meanArr(i)).toArray
-        val qp = qc.indices.map(i => qc(i) * v1(i)).sum
-        val qAbtt = qc.indices.map(i => qc(i) - qp * v1(i)).toSeq
-        val mLit = typedlit(meanArr.toSeq)
-        val vLit = typedlit(v1.toSeq)
-        val xd = transform(col("embedding"), x => x.cast("double"))
+          .select(col("embedding")).head().getSeq[Float](0)
+        // query-side constants, driver-side (d doubles each)
+        val qc = qRaw.indices.map(i => qRaw(i).toDouble - meanArr(i)).toArray
+        val pq = qc.indices.map(i => qc(i) * v1(i)).sum
+        val qa = qc.indices.map(i => qc(i) - pq * v1(i))
+        val nqa = math.sqrt(qa.map(x => x * x).sum)
+        val c1 = meanArr.indices.map(i => meanArr(i) * v1(i)).sum // μ·v1
+        val c2 = meanArr.indices.map(i => meanArr(i) * qc(i)).sum // μ·q_c
+        val nmu2 = meanArr.map(x => x * x).sum                    // ‖μ‖²
         val e = Tables.embeddings(spark, dir).filter(col("vec_id") =!= QueryVecId)
-          .withColumn("xc", zip_with(xd, mLit, (x, m) => x - m))
-          .withColumn("p",
-            aggregate(zip_with(col("xc"), vLit, (a, b) => a * b), lit(0.0), (acc, x) => acc + x))
-          .withColumn("xp", zip_with(col("xc"), vLit, (x, v) => x - col("p") * v))
-        def cosOrNull(a: org.apache.spark.sql.Column, b: Seq[Double]) = {
-          val den = Vectors.normExpr(a) * math.sqrt(b.map(x => x * x).sum)
-          when(den === 0.0, lit(null)).otherwise(Vectors.dotExpr(a, typedlit(b)) / den)
-        }
+          .withColumn("dxx", Vectors.dot(col("embedding"), col("embedding")))
+          .withColumn("p", Vectors.dot(col("embedding"), typedlit(v1.toSeq)) - lit(c1))
+          .withColumn("xcqc", Vectors.dot(col("embedding"), typedlit(qc.toSeq)) - lit(c2))
+          .withColumn("dxm", Vectors.dot(col("embedding"), typedlit(meanArr.toSeq)))
+        // ‖x'‖² = ‖x−μ‖² − p²; fp can drive an exactly-v1-parallel
+        // vector a hair negative — clamp, and a zero norm is NULL (no
+        // direction), matching the cosine kernels' contract
+        val nxp2 = greatest(col("dxx") - lit(2.0) * col("dxm") + lit(nmu2) -
+          col("p") * col("p"), lit(0.0))
+        val den = sqrt(nxp2) * lit(nqa)
+        val cosAbtt = when(den === 0.0, lit(null))
+          .otherwise((col("xcqc") - col("p") * lit(pq)) / den)
         e.select(col("vec_id"), col("label"),
-          round(cosOrNull(xd, qRaw.toSeq) + lit(1e-9), 4).as("cos_raw"),
-          round(cosOrNull(col("xp"), qAbtt) + lit(1e-9), 4).as("cos_abtt"))
+          round(Vectors.cosine(col("embedding"), typedlit(qRaw)) + lit(1e-9), 4).as("cos_raw"),
+          round(cosAbtt + lit(1e-9), 4).as("cos_abtt"))
           .orderBy(col("cos_abtt").desc, col("vec_id"))
           .limit(10)
     }
@@ -1300,23 +1309,35 @@ object Similarity extends QueryPack {
         |       FROM qc JOIN v3 ON v3.j = qc.i),
         |qn AS (SELECT sqrt(sum(x * x)) AS nr FROM qr),
         |qan AS (SELECT sqrt(sum(xi * xi)) AS na FROM qa),
-        |xpp AS (SELECT c.vec_id, sum(c.xi * v3.vj) AS p
-        |        FROM c JOIN v3 ON v3.j = c.i WHERE c.vec_id <> 0 GROUP BY 1),
-        |xp AS (SELECT c.vec_id, c.i, c.xi - p.p * v3.vj AS xi
-        |       FROM c JOIN xpp p ON p.vec_id = c.vec_id JOIN v3 ON v3.j = c.i
-        |       WHERE c.vec_id <> 0),
-        |craw AS (SELECT e.vec_id,
-        |  sum(e.x * q.x) / (sqrt(sum(e.x * e.x)) * (SELECT nr FROM qn)) AS cr
-        |  FROM e JOIN qr q USING (i) WHERE e.vec_id <> 0 GROUP BY 1),
-        |cab AS (SELECT x.vec_id,
-        |  sum(x.xi * q.xi) / (sqrt(sum(x.xi * x.xi)) * (SELECT na FROM qan)) AS ca
-        |  FROM xp x JOIN qa q USING (i) GROUP BY 1)
-        |SELECT c1.vec_id, l.label,
+        |cons AS (SELECT
+        |  (SELECT sum(m.mi * v3.vj) FROM m JOIN v3 ON v3.j = m.i) AS c1,
+        |  (SELECT sum(m.mi * q.xi) FROM m JOIN qc q ON q.i = m.i) AS c2,
+        |  (SELECT sum(mi * mi) FROM m) AS nmu2,
+        |  (SELECT p FROM qp) AS pq,
+        |  (SELECT na FROM qan) AS nqa),
+        |dots AS (
+        | SELECT e.vec_id,
+        |  sum(e.x * e.x) AS dxx,
+        |  sum(e.x * v.vj) AS dxv,
+        |  sum(e.x * q.xi) AS dxq,
+        |  sum(e.x * m.mi) AS dxm,
+        |  sum(e.x * r.x) AS dxr
+        | FROM e JOIN v3 v ON v.j = e.i JOIN qc q ON q.i = e.i
+        |  JOIN m ON m.i = e.i JOIN qr r ON r.i = e.i
+        | WHERE e.vec_id <> 0 GROUP BY 1),
+        |cosd AS (
+        | SELECT d.vec_id,
+        |  d.dxr / (sqrt(d.dxx) * (SELECT nr FROM qn)) AS cr,
+        |  ((d.dxq - n.c2) - (d.dxv - n.c1) * n.pq)
+        |   / (sqrt(greatest(d.dxx - 2.0 * d.dxm + n.nmu2
+        |        - (d.dxv - n.c1) * (d.dxv - n.c1), 0.0)) * n.nqa) AS ca
+        | FROM dots d, cons n)
+        |SELECT c0.vec_id, l.label,
         | round(cr + 1e-9, 4) AS cos_raw,
         | round(ca + 1e-9, 4) AS cos_abtt
-        |FROM craw c1 JOIN cab c2 USING (vec_id)
+        |FROM cosd c0
         | JOIN (SELECT vec_id, label FROM embeddings) l USING (vec_id)
-        |ORDER BY cos_abtt DESC, c1.vec_id LIMIT 10""".stripMargin,
+        |ORDER BY cos_abtt DESC, c0.vec_id LIMIT 10""".stripMargin,
     "ann_pq" ->
       s"""WITH sub AS (
          | SELECT vec_id, m.m AS m,
