@@ -326,8 +326,9 @@ object Multimodal extends QueryPack {
   /** Canonical 44-byte-header mono 16-bit PCM WAV encoding of
     * [[wavSamples]] — a REAL RIFF/WAVE container the JDK codec parses.
     */
-  private def wavBytes(docId: Long): Array[Byte] = {
-    val s = wavSamples(docId)
+  private def wavBytes(docId: Long): Array[Byte] = pcmWavBytes(wavSamples(docId))
+
+  private def pcmWavBytes(s: Array[Short]): Array[Byte] = {
     val dataLen = s.length * 2
     val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -405,7 +406,77 @@ object Multimodal extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  private val VadFrame = 8      // samples per frame
+  private val VadThresh = 500L  // per-sample mean-|s| activity bound (≈ the ±1001 median)
+
+  /** Speech-shaped deterministic waveform for the VAD assets:
+    * n = doc_id%120+40 samples, s(i) = ((doc_id·31 + i²·13 + i·7) mod
+    * 2003) − 1001. The quadratic term makes frame energies vary FAST
+    * within a clip (measured 1-8 active segments per clip at frame=8,
+    * threshold 500), where [[wavSamples]]' slow ±7/sample ramp makes
+    * activity all-or-nothing per clip — a degenerate VAD input. Every
+    * sample stays analytically reproducible by the oracle.
+    */
+  private def vadSamples(docId: Long): Array[Short] = {
+    val n = (docId % 120 + 40).toInt
+    Array.tabulate(n)(i =>
+      (((docId * 31 + i.toLong * i * 13 + i * 7) % 2003) - 1001).toShort)
+  }
+
+  /** Energy-threshold voice-activity detection over the REALLY decoded
+    * PCM stream — the speech-pipeline preprocessing that bounds
+    * downstream ASR/alignment cost (only active segments get
+    * transcribed): [[VadFrame]]-sample frames, a frame is ACTIVE when
+    * its summed |s| exceeds [[VadThresh]] per sample (integer-exact —
+    * no floating point anywhere), segments = maximal runs of active
+    * frames, active_us = the retained audio budget. Same proof pattern
+    * as [[mmWavFeatures]]: the oracle derives every frame energy
+    * analytically from the waveform formula and NEVER decodes, so a
+    * hash match proves the JDK-decoded sample stream fed the detector.
+    * mapPartitions batch shape (one codec context per partition),
+    * CPU-bound linear — the decode-stage cost class.
+    */
+  def mmAudioVad(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val payload = pcmWavBytes(vadSamples(id))
+        decodeWav(payload) match {
+          case Some((rate, s)) =>
+            val nf = (s.length + VadFrame - 1) / VadFrame
+            var nActive = 0L; var nSeg = 0L; var firstActive = -1L
+            var activeSamples = 0L; var prevActive = false
+            var f = 0
+            while (f < nf) {
+              val start = f * VadFrame
+              val end = math.min(start + VadFrame, s.length)
+              var e = 0L; var i = start
+              while (i < end) { e += math.abs(s(i).toLong); i += 1 }
+              val flen = (end - start).toLong
+              val active = e > VadThresh * flen
+              if (active) {
+                nActive += 1
+                activeSamples += flen
+                if (firstActive < 0) firstActive = f.toLong
+                if (!prevActive) nSeg += 1
+              }
+              prevActive = active
+              f += 1
+            }
+            (id, nf.toLong, nActive, nSeg, firstActive,
+              activeSamples * 1000000L / rate, true)
+          case None => (id, 0L, 0L, 0L, -1L, 0L, false)
+        }
+      })
+      .toDF("doc_id", "n_frames", "n_active", "n_segments", "first_active",
+        "active_us", "decoded")
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_audio_vad" -> (mmAudioVad _),
     "mm_wav_features" -> (mmWavFeatures _),
     "mm_decode" -> (mmDecode _),
     "mm_framesample" -> (mmFrameSample _),
@@ -418,6 +489,33 @@ object Multimodal extends QueryPack {
     // deterministic waveform s(i) = (doc_id*31 + i*7) % 2003 - 1001
     // over n = doc_id%50+10 samples at 8 kHz — a hash match proves the
     // WAV encode → JDK-codec decode round-trip reproduced every sample
+    // analytic VAD twin: frame energies from the waveform formula
+    // (never decoded), 8-sample frames, active iff sum|s| > 500·flen
+    "mm_audio_vad" ->
+      """WITH a AS (
+        | SELECT doc_id, doc_id % 120 + 40 AS n
+        | FROM documents WHERE doc_id % 3 = 1),
+        |s AS (
+        | SELECT doc_id, n, i.i AS i,
+        |  abs((doc_id * 31 + i.i * i.i * 13 + i.i * 7) % 2003 - 1001) AS av
+        | FROM a, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS i) i),
+        |f AS (
+        | SELECT doc_id, i // 8 AS f, count(*) AS flen, sum(av) AS e
+        | FROM s GROUP BY 1, 2),
+        |act AS (
+        | SELECT doc_id, f, flen,
+        |  CASE WHEN e > 500 * flen THEN 1 ELSE 0 END AS a,
+        |  lag(CASE WHEN e > 500 * flen THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY doc_id ORDER BY f) AS pa
+        | FROM f)
+        |SELECT doc_id,
+        | CAST(count(*) AS BIGINT) AS n_frames,
+        | CAST(sum(a) AS BIGINT) AS n_active,
+        | CAST(sum(CASE WHEN a = 1 AND coalesce(pa, 0) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_segments,
+        | CAST(coalesce(min(CASE WHEN a = 1 THEN f END), -1) AS BIGINT) AS first_active,
+        | CAST(sum(CASE WHEN a = 1 THEN flen ELSE 0 END) * 125 AS BIGINT) AS active_us,
+        | true AS decoded
+        |FROM act GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "mm_wav_features" ->
       """WITH a AS (
         | SELECT doc_id, doc_id % 50 + 10 AS n

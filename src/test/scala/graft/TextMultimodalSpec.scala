@@ -431,6 +431,31 @@ class TextMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("audio VAD: decoded-stream detector matches the analytic recompute, real segments") {
+    val rows = Multimodal.mmAudioVad(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("decoded")), "some payload failed the codec round-trip")
+    // local analytic recompute from the waveform formula (never decodes)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val n = (id % 120 + 40).toInt
+      val s = Array.tabulate(n)(i => (((id * 31 + i.toLong * i * 13 + i * 7) % 2003) - 1001).toInt)
+      val frames = s.grouped(8).toArray
+      val act = frames.map(f => f.map(math.abs).sum.toLong > 500L * f.length)
+      assert(r.getAs[Long]("n_frames") == frames.length, s"doc $id frame count")
+      assert(r.getAs[Long]("n_active") == act.count(identity), s"doc $id active count")
+      val nseg = act.indices.count(j => act(j) && (j == 0 || !act(j - 1)))
+      assert(r.getAs[Long]("n_segments") == nseg, s"doc $id segments")
+      assert(r.getAs[Long]("active_us") ==
+        frames.indices.filter(act).map(frames(_).length.toLong).sum * 125, s"doc $id active_us")
+    }
+    // the detector genuinely segments (the slow-ramp waveform was
+    // all-or-nothing per clip — this guards the speech-shaped input)
+    assert(rows.exists(_.getAs[Long]("n_segments") >= 2), "no multi-segment clip")
+    assert(rows.exists(r => r.getAs[Long]("n_active") < r.getAs[Long]("n_frames")),
+      "no inactive frame anywhere")
+  }
+
   test("ccnet buckets: every doc bucketed, tercile-ish shares, monotone mean perplexity") {
     val rows = TextAnalysis.textCcnetBuckets(spark, sf).collect()
     assert(rows.length == Tables.documents(spark, sf).count())
