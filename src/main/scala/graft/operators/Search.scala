@@ -586,7 +586,62 @@ object Search extends QueryPack {
     "search_ismatch_terms" -> (searchIsMatchTerms _),
     "search_score" -> (searchScore _),
     "search_score_bm25" -> (searchScoreBm25 _),
+    "search_multiquery" -> (searchMultiquery _),
     "search_hybrid_rrf" -> (searchHybridRrf _))
+
+  /** The 8 fixed query term-sets of the batched retrieval (vocabulary
+    * words of the synthetic corpus, so every query matches).
+    */
+  private[graft] val MultiQueries: Seq[(Int, Seq[String])] = Seq(
+    1 -> Seq("spark", "data"),
+    2 -> Seq("stream", "join"),
+    3 -> Seq("fast", "query"),
+    4 -> Seq("window", "table"),
+    5 -> Seq("hash", "group"),
+    6 -> Seq("sort", "merge"),
+    7 -> Seq("batch", "row"),
+    8 -> Seq("key", "value"))
+
+  /** BATCHED lexical retrieval — the BM25 twin of ann_multiquery (the
+    * offline RAG-linking join on the lexical leg): [[MultiQueries]]'s
+    * 8 queries each rank their top-5 docs in ONE plan. The (qid, term)
+    * pair table joins the cached dictionary for per-term df/idf (a
+    * ≤16-row broadcast after the probe), then routes each query to
+    * only ITS terms' posting lists — candidate cost is
+    * O(Σ|postings(all queries' terms)|) regardless of corpus size and
+    * regardless of batch size overlap (shared terms' postings are read
+    * once per appearance in the broadcast, never per corpus scan) —
+    * and the per-query top-5 is a qid-partitioned window over the
+    * cell-bounded candidates, exactly ann_multiquery's shape.
+    * Scoring is [[searchScoreBm25]]'s formula per posting row (a
+    * missing term's contribution is identically 0, so summing present
+    * rows equals the dense two-column form).
+    */
+  def searchMultiquery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val qterms = MultiQueries.flatMap { case (q, ts) => ts.map(t => (q, t)) }.toDF("qid", "tok")
+    val dfq = qterms
+      .join(TextIndex.vocabStd(spark, dir).select(col("tok"), col("df")), Seq("tok"), "left")
+      .na.fill(0L, Seq("df"))
+      .crossJoin(TextIndex.statsStd(spark, dir))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .select(col("qid"), col("tok"), col("idf"), col("avgdl"))
+    val cands = TextIndex.postingsStd(spark, dir)
+      .join(broadcast(dfq), Seq("tok"))
+      .join(TextIndex.docLensStd(spark, dir), Seq("doc_id"))
+    val tf = col("tf").cast("double")
+    val lenNorm = lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))
+    val scored = cands
+      .withColumn("c", col("idf") * tf * lit(Bm25K1 + 1.0) / (tf + lenNorm))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(round(lit(1e-9) + sum(col("c")), 4).as("bm25"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("bm25").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("doc_id"), col("bm25"))
+      .orderBy(col("qid"), col("rank"))
+  }
 
   /** One field's BM25 sub-expression over the `a`/`stats` CTE columns
     * of the multifield oracle (f = "t" or "b").
@@ -600,7 +655,35 @@ object Search extends QueryPack {
   private lazy val mfScoreSql: String =
     s"round(1e-9 + $MfWTitle * ${mfFieldSql("t")} + $MfWBody * ${mfFieldSql("b")}, 4)"
 
+  private lazy val multiqueryValuesSql: String =
+    MultiQueries.flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }.mkString(", ")
+
   val oracles: Map[String, String] = Map(
+    "search_multiquery" ->
+      s"""WITH q(qid, tok) AS (SELECT * FROM (VALUES $multiqueryValuesSql)),
+         |a AS (
+         | SELECT doc_id,
+         |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+         | FROM documents),
+         |dl AS (SELECT doc_id, len(toks)::DOUBLE AS dl FROM a),
+         |stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+         |t AS (SELECT doc_id, unnest(toks) AS tok FROM a),
+         |tf AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM t GROUP BY 1, 2),
+         |dft AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+         |scored AS (
+         | SELECT q.qid, f.doc_id,
+         |  round(1e-9 + sum(
+         |   ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * f.tf * ${Bm25K1 + 1.0} /
+         |    (f.tf + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * l.dl / s.avgdl))), 4) AS bm25
+         | FROM q JOIN tf f USING (tok) JOIN dft d USING (tok)
+         |  JOIN dl l ON l.doc_id = f.doc_id, stats s
+         | GROUP BY 1, 2),
+         |r AS (
+         | SELECT qid, doc_id, bm25,
+         |  row_number() OVER (PARTITION BY qid ORDER BY bm25 DESC, doc_id) AS rnk
+         | FROM scored)
+         |SELECT qid, rnk AS rank, doc_id, bm25
+         |FROM r WHERE rnk <= 5 ORDER BY qid, rank""".stripMargin,
     "search_boolean" ->
       """WITH a AS (
         | SELECT doc_id,

@@ -281,6 +281,7 @@ class SearchSpec extends SparkSpec {
       Search.searchScoreBm25(spark, sf),
       Search.searchScore(spark, sf),
       Search.searchSuggest(spark, sf),
+      Search.searchMultiquery(spark, sf),
       Search.searchFuzzy(spark, sf)
     ).foreach { df =>
       val plan = df.queryExecution.executedPlan.toString
@@ -294,6 +295,24 @@ class SearchSpec extends SparkSpec {
         .filter(_.contains("documents.parquet")).mkString("\n")
       assert(!scans.contains("text"), s"documents scan still reads text:\n$scans")
     }
+  }
+
+  test("batched retrieval: 5 ranked hits per query, query 1 == the single-query BM25 probe") {
+    val rows = Search.searchMultiquery(spark, sf).collect()
+    val byQ = rows.groupBy(_.getAs[Int]("qid"))
+    assert(byQ.size == 8, s"queries matched: ${byQ.keySet}")
+    byQ.foreach { case (q, rs) =>
+      assert(rs.length == 5, s"query $q returned ${rs.length}")
+      val scores = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("bm25"))
+      assert(scores.sameElements(scores.sortBy(-(_: Double))), s"query $q not rank-ordered")
+    }
+    // query 1 is "spark data" — identical scoring to searchScoreBm25, so
+    // the batch's top-5 must equal the single-query probe's
+    val single = Search.searchScoreBm25(spark, sf).collect().take(5)
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("bm25"))).toSeq
+    val batched = byQ(1).sortBy(_.getAs[Long]("rank"))
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("bm25"))).toSeq
+    assert(batched == single, s"batched=$batched single=$single")
   }
 
   test("boolean query: set algebra on postings — MUST honored, MUST_NOT excluded, no corpus scan") {
