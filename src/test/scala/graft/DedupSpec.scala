@@ -269,4 +269,36 @@ class DedupSpec extends SparkSpec {
       .map(_.getAs[Long]("vec_id")).toSet
     assert(pq.count(r => bf.contains(r.getAs[Long]("vec_id"))) >= 1)
   }
+
+  test("round 10: persisted band lookup prunes to the probed prefix dirs, equals the in-memory join") {
+    import org.apache.spark.sql.functions._
+    val bands = Dedup.bandIndex(spark, sf)
+    val qdoc = bands.groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("mn"))
+      .filter(col("n") > 1).agg(min(col("mn"))).head().getLong(0)
+    val qsigs = bands.filter(col("doc_id") === qdoc)
+      .select(col("band"), col("sig")).collect()
+    val prefixes = qsigs.map(_.getAs[String]("sig").substring(0, 1)).toSet
+    val cond = qsigs.map(r =>
+      col("band") === r.getAs[Int]("band") && col("sig") === r.getAs[String]("sig"))
+      .reduce(_ || _)
+    // in-memory twin of the same lookup
+    val mem = bands.filter(cond).filter(col("doc_id") =!= qdoc)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val got = Dedup.dedupLookupPersisted(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_shared_bands"))).toMap
+    assert(mem.nonEmpty && got == mem, s"persisted=$got in-memory=$mem")
+    // file pruning: every file the probe reads lives under a probed
+    // sig_prefix directory, and the full layout has more prefix dirs
+    val probed = Dedup.bandLayout(spark, sf)
+      .filter(col("sig_prefix").isin(prefixes.toSeq: _*)).filter(cond)
+    val files = probed.select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(files.nonEmpty)
+    assert(files.forall(f => prefixes.exists(p => f.contains(s"sig_prefix=$p"))),
+      s"probe read outside its prefixes:\n${files.mkString("\n")}")
+    val allPrefixes = Dedup.bandLayout(spark, sf).select(col("sig_prefix")).distinct().count()
+    assert(prefixes.size < allPrefixes,
+      s"no pruning: probe covers ${prefixes.size} of $allPrefixes prefix dirs")
+  }
 }
