@@ -34,6 +34,14 @@ object Vectors {
   def topKIds(ord: Column, id: Column, k: Int): Column =
     toCol(graft.expressions.TopKIds(ex(ord), ex(id), k).toAggregateExpression())
 
+  /** Misra–Gries heavy-hitter candidate aggregate
+    * (graft.expressions.MisraGries): ≤ k candidate terms guaranteed to
+    * include every item with frequency > n/k, partial-aggregated
+    * map-side (≤ k pairs per map task enter the shuffle).
+    */
+  def misraGries(term: Column, k: Int): Column =
+    toCol(graft.expressions.MisraGries(ex(term), k).toAggregateExpression())
+
   // ---- int8 quantization (4× storage/bandwidth cut for 100 TB of
   // embeddings; cosine error stays small because it's scale-invariant
   // and only the per-element rounding survives) ----

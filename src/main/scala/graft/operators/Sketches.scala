@@ -329,10 +329,106 @@ object Sketches extends QueryPack {
       .orderBy(col("type_a"), col("type_b"))
   }
 
+  /** KMV/theta-sketch a-not-b (set DIFFERENCE) — completes the sketch
+    * set algebra next to [[eventsKmvOverlap]]'s union/intersection: for
+    * an ordered pair (A, B), D̂_{A∖B} estimated entirely from the two
+    * k-row sketches. θ = min(θ_A, θ_B) where θ_S = frac(kth(S)) (1.0
+    * for a complete sketch): below θ BOTH sets' membership is fully
+    * known, so the retained set R = {h ∈ sketch(A) : frac(h) < θ,
+    * h ∉ sketch(B)} is an exact uniform sample of A∖B at rate θ and
+    * D̂ = |R| / θ (Dasgupta et al., "Theta Sketch Framework", 2016).
+    * Small-range degenerate case (both sketches complete, θ = 1) falls
+    * back to exact through the same formula. Same scale shape as the
+    * overlap probe: one skew-free distinct shuffle builds the sketches,
+    * everything pairwise runs on k-row arrays; the exact readout column
+    * is the only corpus-sized stage, diagnostic only.
+    */
+  def eventsKmvDiff(spark: SparkSession, dir: String): DataFrame =
+    kmvDiffFrom(Tables.events(spark, dir).select(col("event_type"), col("user_id")))
+
+  /** The a-not-b kernel over any (event_type, user_id) frame — split
+    * out (like [[kmvOverlapFrom]]) so the spec can drive the estimator
+    * path on a synthetic corpus whose per-type cardinality exceeds k.
+    */
+  private[graft] def kmvDiffFrom(e: DataFrame): DataFrame = {
+    val dh = e
+      .withColumn("h",
+        conv(substring(md5(col("user_id").cast("string").cast("binary")), 1, 12), 16, 10)
+          .cast("long"))
+      .select(col("event_type"), col("h")).distinct()
+    val sk = dh.groupBy(col("event_type"))
+      .agg(graft.functions.Vectors.topKIds(negate(col("h").cast("double")), col("h"), KmvK)
+        .as("sketch"))
+    def thetaOf(arr: org.apache.spark.sql.Column) =
+      when(size(arr) < KmvK, lit(1.0))
+        .otherwise(element_at(arr, size(arr)).cast("double") / lit(KmvDomain))
+    val paired = sk.select(col("event_type").as("type_a"), col("sketch").as("sa"))
+      .crossJoin(broadcast(sk.select(col("event_type").as("type_b"), col("sketch").as("sb"))))
+      .filter(col("type_a") =!= col("type_b"))
+      .withColumn("theta", least(thetaOf(col("sa")), thetaOf(col("sb"))))
+    val below = filter(col("sa"),
+      h => h.cast("double") / lit(KmvDomain) < col("theta"))
+    val estD = size(array_except(below, col("sb"))).cast("double") / col("theta")
+    val du = e.distinct()
+    val nPer = du.groupBy(col("event_type").as("type_a")).agg(count(lit(1)).as("n_a"))
+    val ov = du.as("x")
+      .join(du.as("y"),
+        col("x.user_id") === col("y.user_id") && col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("ta"), col("y.event_type").as("tb"))
+      .agg(count(lit(1)).as("ov"))
+    paired
+      .join(nPer, Seq("type_a"))
+      .join(ov,
+        least(col("type_a"), col("type_b")) === col("ta") &&
+          greatest(col("type_a"), col("type_b")) === col("tb"), "left")
+      .withColumn("exact_diff", col("n_a") - coalesce(col("ov"), lit(0L)))
+      .select(col("type_a"), col("type_b"),
+        round(lit(1e-9) + estD, 2).as("est_diff"),
+        col("exact_diff"),
+        round(lit(1e-9) + abs(estD - col("exact_diff")) /
+          greatest(col("exact_diff"), lit(1L)), 4).as("rel_err"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  private[graft] val HhK = 64
+
+  /** EXACT corpus heavy hitters in two bounded passes (the pattern that
+    * replaces a full-vocabulary groupBy at 100 TB): pass 1 runs the
+    * mergeable Misra–Gries aggregate ([[graft.expressions.MisraGries]],
+    * ≤ [[HhK]] counters per map task, ≤ HhK candidate terms out — every
+    * term with frequency > n/k is guaranteed present); pass 2 counts
+    * ONLY the broadcast candidates exactly (map-side combine over ≤ k
+    * keys) and keeps count·k > n. The output is exactly `GROUP BY term
+    * HAVING count·k > n` — deterministic regardless of MG arrival/merge
+    * order, because the MG summary is a certified superset of the
+    * emitted set — but neither pass ever shuffles the distinct-term
+    * space. On the shipped const-vocab corpora |vocab| < k so the
+    * summary is lossless (the oracle gates that regime); SketchesSpec
+    * drives the lossy decrement/merge path on a synthetic Zipf corpus
+    * with |vocab| ≫ k.
+    */
+  def textHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val sk = toks.agg(
+      graft.functions.Vectors.misraGries(col("term"), HhK).as("cands"),
+      count(lit(1)).as("n_tokens"))
+    toks.crossJoin(broadcast(sk))
+      .filter(array_contains(col("cands"), col("term")))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("cnt"), max(col("n_tokens")).as("n_tokens"))
+      .filter(col("cnt") * HhK > col("n_tokens"))
+      .select(col("term"), col("cnt"))
+      .orderBy(col("cnt").desc, col("term"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_hll" -> (eventsHll _),
     "events_hll_rolling" -> (eventsHllRolling _),
     "events_kmv_overlap" -> (eventsKmvOverlap _),
+    "events_kmv_diff" -> (eventsKmvDiff _),
+    "text_heavy_hitters" -> (textHeavyHitters _),
     "events_quantile_sketch" -> (eventsQuantileSketch _),
     "events_cms" -> (eventsCms _))
 
@@ -468,6 +564,61 @@ object Sketches extends QueryPack {
          |JOIN est1 eb ON eb.event_type = u.type_b
          |LEFT JOIN exact x ON x.type_a = u.type_a AND x.type_b = u.type_b
          |ORDER BY u.type_a, u.type_b""".stripMargin,
+    "events_kmv_diff" ->
+      s"""WITH dh AS (
+         | SELECT DISTINCT event_type,
+         |  ('0x'||substring(md5(user_id::VARCHAR),1,12))::BIGINT AS h
+         | FROM events),
+         |r AS (
+         | SELECT event_type, h,
+         |  row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+         | FROM dh),
+         |sk AS (SELECT event_type, h FROM r WHERE rn <= $KmvK),
+         |stat AS (SELECT event_type, count(*) AS sz, max(h) AS kth FROM sk GROUP BY 1),
+         |th AS (
+         | SELECT event_type,
+         |  CASE WHEN sz < $KmvK THEN 1.0 ELSE kth::DOUBLE / 281474976710656.0 END AS theta
+         | FROM stat),
+         |pairs AS (
+         | SELECT a.event_type AS type_a, b.event_type AS type_b,
+         |  least(a.theta, b.theta) AS theta
+         | FROM th a JOIN th b ON a.event_type <> b.event_type),
+         |ret AS (
+         | SELECT p.type_a, p.type_b, count(*) AS retained
+         | FROM pairs p
+         | JOIN sk sa ON sa.event_type = p.type_a
+         |  AND sa.h::DOUBLE / 281474976710656.0 < p.theta
+         | LEFT JOIN sk sb ON sb.event_type = p.type_b AND sb.h = sa.h
+         | WHERE sb.h IS NULL
+         | GROUP BY 1, 2),
+         |du AS (SELECT DISTINCT event_type, user_id FROM events),
+         |na AS (SELECT event_type AS type_a, count(*) AS n_a FROM du GROUP BY 1),
+         |ov AS (
+         | SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS ov
+         | FROM du a JOIN du b ON a.user_id = b.user_id AND a.event_type < b.event_type
+         | GROUP BY 1, 2)
+         |SELECT p.type_a, p.type_b,
+         | round(1e-9 + coalesce(r.retained, 0)::DOUBLE / p.theta, 2) AS est_diff,
+         | n.n_a - coalesce(o.ov, 0) AS exact_diff,
+         | round(1e-9 + abs(coalesce(r.retained, 0)::DOUBLE / p.theta
+         |    - (n.n_a - coalesce(o.ov, 0)))
+         |   / greatest(n.n_a - coalesce(o.ov, 0), 1), 4) AS rel_err
+         |FROM pairs p
+         |JOIN na n ON n.type_a = p.type_a
+         |LEFT JOIN ret r ON r.type_a = p.type_a AND r.type_b = p.type_b
+         |LEFT JOIN ov o ON o.ta = least(p.type_a, p.type_b)
+         | AND o.tb = greatest(p.type_a, p.type_b)
+         |ORDER BY p.type_a, p.type_b""".stripMargin,
+    "text_heavy_hitters" ->
+      s"""WITH t AS (
+         | SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+         |tt AS (SELECT term FROM t WHERE len(term) > 0),
+         |n AS (SELECT count(*) AS n_tokens FROM tt)
+         |SELECT term, count(*) AS cnt
+         |FROM tt
+         |GROUP BY term
+         |HAVING count(*) * $HhK > (SELECT n_tokens FROM n)
+         |ORDER BY cnt DESC, term""".stripMargin,
     "events_quantile_sketch" ->
       """WITH stats AS (
         | SELECT event_type, min(value) AS mn, max(value) AS mx, count(*) AS n

@@ -537,7 +537,51 @@ object StreamingOps extends QueryPack {
         round(col("attr_value") + 1e-9, 2).as("attr_value"))
       .orderBy(col("purchase_id"))
 
+  /** Stream–stream interval join (the last Structured Streaming join
+    * shape the surface lacked): each purchase joins ALL of the same
+    * user's views inside the trailing 1-hour attribution window —
+    * conversions↔impressions fan-out, where [[asofLookupStream]] keeps
+    * only the latest. Both sides carry watermarks and the join
+    * condition bounds event time on both (v_ts ∈ [p_ts − 1h, p_ts]),
+    * which is exactly what lets StreamingSymmetricHashJoinExec evict
+    * buffered rows: a view older than watermark − 1h − lateness can
+    * never match a future purchase, so per-key state is the window, not
+    * the stream. The SAME function serves the batch twin — the analyzer
+    * removes watermark nodes over batch relations
+    * (EliminateEventTimeWatermark), so the two paths cannot diverge;
+    * StreamingSpec proves the MemoryStream run completes to the batch
+    * frame and that buffered state stays bounded.
+    */
+  def intervalJoinStream(purchases: Dataset[EventRow], views: Dataset[EventRow]): DataFrame = {
+    val p = purchases.toDF()
+      .withColumn("p_ts", timestamp_micros(expr("ts_ns div 1000")))
+      .withWatermark("p_ts", StateLatenessBound)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts_ns").as("p_ns"), col("p_ts"))
+    val v = views.toDF()
+      .withColumn("v_ts", timestamp_micros(expr("ts_ns div 1000")))
+      .withWatermark("v_ts", StateLatenessBound)
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts_ns").as("v_ns"), col("v_ts"))
+    p.join(v,
+      col("user_id") === col("v_user") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("v_ts") <= col("p_ts"))
+      .select(col("purchase_id"), col("view_id"), col("user_id"),
+        expr("(p_ns - v_ns) div 1000000000").as("gap_s"))
+  }
+
+  /** Batch twin of [[intervalJoinStream]] — same plan, batch inputs. */
+  def streamIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = eventRows(spark, dir)
+    intervalJoinStream(
+      e.filter(_.event_type == "purchase"),
+      e.filter(_.event_type == "view"))
+      .orderBy(col("purchase_id"), col("view_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_interval_join" -> (streamIntervalJoin _),
     "stream_asof" -> (streamAsof _),
     "stream_decay" -> (streamDecay _),
     "stream_upsert" -> (streamUpsert _),
@@ -551,6 +595,19 @@ object StreamingOps extends QueryPack {
     // independent execution strategies (state-machine fold vs window
     // forward-fill) gated against one declarative interval-join truth
     "stream_asof" -> graft.operators.Analytics.oracles("scd2_asof_lookup"),
+    "stream_interval_join" ->
+      """WITH p AS (
+        | SELECT event_id AS purchase_id, user_id, epoch_ns(ts) AS p_ns
+        | FROM events WHERE event_type = 'purchase'),
+        |v AS (
+        | SELECT event_id AS view_id, user_id, epoch_ns(ts) AS v_ns
+        | FROM events WHERE event_type = 'view')
+        |SELECT p.purchase_id, v.view_id, p.user_id,
+        | (p.p_ns - v.v_ns) // 1000000000 AS gap_s
+        |FROM p JOIN v ON p.user_id = v.user_id
+        | AND v.v_ns >= p.p_ns - 3600000000000
+        | AND v.v_ns <= p.p_ns
+        |ORDER BY p.purchase_id, v.view_id""".stripMargin,
     "stream_decay" ->
       """WITH ref AS (SELECT max(epoch_ns(ts)) AS ref_ns FROM events)
         |SELECT user_id, count(*) AS n_events,

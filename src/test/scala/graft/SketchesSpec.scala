@@ -84,6 +84,96 @@ class SketchesSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("KMV a-not-b: complete-sketch fallback exact; estimator path lands in the error band") {
+    // shipped corpus: every sketch is complete (θ = 1), so the retained
+    // set IS A∖B and the estimate must equal the exact difference
+    Sketches.eventsKmvDiff(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Double]("est_diff") == r.getAs[Long]("exact_diff").toDouble,
+        s"complete sketch not exact: $r")
+    }
+    // synthetic corpus with per-type cardinality ≫ k drives the real
+    // θ = min(θ_A, θ_B) estimator; |A∖B| = |B∖A| = 4000 by construction
+    val e = spark.range(0, 8000).select(lit("A").as("event_type"), col("id").as("user_id"))
+      .union(spark.range(4000, 12000).select(lit("B").as("event_type"), col("id").as("user_id")))
+    val rows = Sketches.kmvDiffFrom(e).collect()
+    assert(rows.length == 2) // the pair frame is ordered: A∖B and B∖A
+    rows.foreach { r =>
+      assert(r.getAs[Long]("exact_diff") == 4000L)
+      assert(math.abs(r.getAs[Double]("est_diff") - 4000.0) / 4000.0 < 0.25,
+        s"diff estimate off: $r")
+    }
+  }
+
+  test("Misra–Gries: lossy summary certifies the heavy superset; two-pass query is exact") {
+    import spark.implicits._
+    import graft.functions.Vectors.misraGries
+    val k = 64
+    // Zipf corpus: term i appears 40000/i times — 1000 distinct ≫ k, so
+    // the decrement and merge-reduction paths both actually run
+    val freqs = (1 to 1000).map(i => (f"t$i%04d", 40000 / i))
+    val corpus = freqs.flatMap { case (t, f) => Seq.fill(f)(t) }
+    val n = corpus.length.toLong
+    val toks = corpus.toDF("term").repartition(8)
+    val cands = toks.agg(misraGries(col("term"), k).as("cands"))
+      .collect().head.getSeq[String](0).toSet
+    assert(cands.size <= k, s"summary overflowed: ${cands.size}")
+    val trueHeavy = freqs.filter { case (_, f) => f.toLong * k > n }.map(_._1).toSet
+    assert(trueHeavy.nonEmpty && trueHeavy.size < k)
+    assert(trueHeavy.subsetOf(cands),
+      s"MG guarantee violated: missing ${trueHeavy -- cands}")
+    // the two-pass readout (candidate filter → exact count → threshold)
+    // equals the full GROUP BY ... HAVING regardless of summary contents
+    val sk2 = toks.agg(misraGries(col("term"), k).as("cands"),
+      count(lit(1)).as("n_tokens"))
+    val got = toks.crossJoin(broadcast(sk2))
+      .filter(array_contains(col("cands"), col("term")))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("cnt"), max(col("n_tokens")).as("nt"))
+      .filter(col("cnt") * k > col("nt"))
+      .select(col("term"), col("cnt")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val want = freqs.filter { case (_, f) => f.toLong * k > n }
+      .map { case (t, f) => (t, f.toLong) }.toSet
+    assert(got == want)
+  }
+
+  test("Misra–Gries maintains its certified superset under a streaming aggregation") {
+    // the custom TypedImperativeAggregate's serialize/merge must also
+    // hold as STREAMING STATE: the partial MG buffer is what the state
+    // store persists between micro-batches (mirrors the streaming-HLL
+    // register test — continuous heavy-hitter monitoring)
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.functions.Vectors.misraGries
+
+    val k = 64
+    val freqs = (1 to 500).map(i => (f"s$i%04d", 20000 / i))
+    val corpus = freqs.flatMap { case (t, f) => Seq.fill(f)(t) }
+    val n = corpus.length.toLong
+    val input = MemoryStream[String]
+    val query = input.toDS().toDF("term")
+      .agg(misraGries(col("term"), k).as("cands"), count(lit(1)).as("n_seen"))
+      .writeStream.format("memory").queryName("mg_stream")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      val (b1, b2) = corpus.splitAt(corpus.length / 2)
+      input.addData(b1); query.processAllAvailable()
+      input.addData(b2); query.processAllAvailable()
+      // update mode emits one revision per batch; the complete one has
+      // n_seen == full corpus size
+      val fin = spark.table("mg_stream").collect()
+        .maxBy(_.getAs[Long]("n_seen"))
+      assert(fin.getAs[Long]("n_seen") == n)
+      val cands = fin.getSeq[String](fin.fieldIndex("cands")).toSet
+      assert(cands.size <= k)
+      val trueHeavy = freqs.filter { case (_, f) => f.toLong * k > n }.map(_._1).toSet
+      assert(trueHeavy.nonEmpty && trueHeavy.subsetOf(cands),
+        s"cross-batch MG state lost heavies: ${trueHeavy -- cands}")
+    } finally query.stop()
+  }
+
   test("binned quantile sketch brackets the rank-ceil(qn) order statistic") {
     val est = operators.Sketches.eventsQuantileSketch(spark, sf).collect()
       .map(r => r.getAs[String]("event_type") ->

@@ -234,36 +234,28 @@ class StreamingSpec extends SparkSpec {
       .filter(col("event_type").isin("purchase", "view"))
       .selectExpr("event_id", "ts_ns", "user_id", "event_type", "value")
       .as[EventRow].collect().sortBy(e => (e.ts_ns, e.event_id))
-
-    def purchases(df: org.apache.spark.sql.DataFrame) = df
-      .filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
-        timestamp_micros(expr("ts_ns div 1000")).as("p_ts"))
-    def views(df: org.apache.spark.sql.DataFrame) = df
-      .filter(col("event_type") === "view")
-      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
-        timestamp_micros(expr("ts_ns div 1000")).as("v_ts"))
-    val cond = expr("p_user = v_user AND v_ts >= p_ts - interval 1 hour AND v_ts <= p_ts")
+    val pRows = rows.filter(_.event_type == "purchase")
+    val vRows = rows.filter(_.event_type == "view")
 
     val pIn = MemoryStream[EventRow]
     val vIn = MemoryStream[EventRow]
-    val joined = purchases(pIn.toDF()).withWatermark("p_ts", "2 hours")
-      .join(views(vIn.toDF()).withWatermark("v_ts", "2 hours"), cond)
-      .select(col("purchase_id"), col("view_id"))
-    val query = joined.writeStream.format("memory").queryName("ssj")
+    // the registered op itself, driven as a true two-stream query
+    val query = StreamingOps.intervalJoinStream(pIn.toDS(), vIn.toDS())
+      .writeStream.format("memory").queryName("ssj")
       .outputMode(OutputMode.Append()).start()
     try {
       // two micro-batches per side, split mid-stream: pairs spanning the
       // batch boundary must come from buffered join state
-      val (b1, b2) = rows.splitAt(rows.length / 2)
-      pIn.addData(b1.toSeq); vIn.addData(b1.toSeq); query.processAllAvailable()
-      pIn.addData(b2.toSeq); vIn.addData(b2.toSeq); query.processAllAvailable()
+      val (pb1, pb2) = pRows.splitAt(pRows.length / 2)
+      val (vb1, vb2) = vRows.splitAt(vRows.length / 2)
+      pIn.addData(pb1.toSeq); vIn.addData(vb1.toSeq); query.processAllAvailable()
+      pIn.addData(pb2.toSeq); vIn.addData(vb2.toSeq); query.processAllAvailable()
       val streamed = spark.table("ssj").collect()
         .map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("view_id"))).toSet
 
-      val all = spark.createDataset(rows.toSeq).toDF()
-      val batch = purchases(all).join(views(all), cond)
-        .select(col("purchase_id"), col("view_id")).collect()
+      val batch = StreamingOps.intervalJoinStream(
+        spark.createDataset(pRows.toSeq), spark.createDataset(vRows.toSeq))
+        .collect()
         .map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("view_id"))).toSet
 
       assert(streamed == batch, s"stream ${streamed.size} pairs, batch ${batch.size}")
@@ -443,6 +435,58 @@ class StreamingSpec extends SparkSpec {
         .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events")))
         .groupBy(_._1).view.mapValues(vs => (vs.length, vs.map(_._2).sum)).toMap
       assert(streamed == batch)
+    } finally query.stop()
+  }
+
+  test("stream-stream interval join completes to the batch twin and evicts watermark-expired state") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val hour = 3600L * 1000000000L
+    val t0 = 1700000000000000000L
+    def p(id: Long, uid: Long, ns: Long) = EventRow(id, ns, uid, "purchase", 1.0)
+    def v(id: Long, uid: Long, ns: Long) = EventRow(id, ns, uid, "view", 0.0)
+
+    // purchases at t0+45m and t0+3h; views at t0, t0+30m, t0+2h (user 1)
+    // plus a user-2 view at t0+40m that must NOT match user 1's purchase
+    val p1 = Seq(p(101, 1L, t0 + 45 * 60 * 1000000000L))
+    val v1 = Seq(v(201, 1L, t0), v(202, 1L, t0 + 30 * 60 * 1000000000L), v(301, 2L, t0 + 40 * 60 * 1000000000L))
+    val p2 = Seq(p(102, 1L, t0 + 3 * hour))
+    val v2 = Seq(v(203, 1L, t0 + 2 * hour))
+    // far-future sentinels (different users — no join rows) push the
+    // watermark far past everything above so its state must evict
+    val p3 = Seq(p(199, 8L, t0 + 1000 * hour))
+    val v3 = Seq(v(299, 9L, t0 + 1000 * hour))
+
+    val pIn = MemoryStream[EventRow]
+    val vIn = MemoryStream[EventRow]
+    val query = StreamingOps.intervalJoinStream(pIn.toDS(), vIn.toDS())
+      .writeStream.format("memory").queryName("sij")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      pIn.addData(p1); vIn.addData(v1); query.processAllAvailable()
+      pIn.addData(p2); vIn.addData(v2); query.processAllAvailable()
+      pIn.addData(p3); vIn.addData(v3); query.processAllAvailable()
+      // one more empty pass so the advanced watermark's eviction runs
+      query.processAllAvailable()
+
+      val streamed = spark.table("sij").collect()
+        .map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("view_id"), r.getAs[Long]("gap_s")))
+        .toSet
+      val batch = StreamingOps.intervalJoinStream(
+        spark.createDataset(p1 ++ p2 ++ p3),
+        spark.createDataset(v1 ++ v2 ++ v3)).collect()
+        .map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("view_id"), r.getAs[Long]("gap_s")))
+        .toSet
+      // purchase 101 fans out to views 201 (45m back) and 202 (15m back);
+      // purchase 102 reaches only view 203 — the batch twin agrees
+      assert(batch == Set((101L, 201L, 2700L), (101L, 202L, 900L), (102L, 203L, 3600L)))
+      assert(streamed == batch)
+
+      // state eviction: after the sentinel batch the join buffers must
+      // have dropped the early rows — strictly fewer than everything fed
+      val stateRows = query.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows < (p1 ++ p2 ++ p3 ++ v1 ++ v2 ++ v3).size,
+        s"no eviction: $stateRows rows buffered")
     } finally query.stop()
   }
 
