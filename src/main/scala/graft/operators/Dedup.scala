@@ -666,6 +666,30 @@ object Dedup extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** Soft deduplication (SoftDedup, He et al., ACL 2024): instead of
+    * DROPPING near-duplicates, every doc keeps sampling weight
+    * 1/|cluster| so each near-dup cluster contributes exactly one
+    * doc-equivalent of probability mass to the training mixture — the
+    * reweighting alternative to [[dedupKeepBest]] that preserves the
+    * (often highest-quality) duplicated content without over-sampling
+    * it. `eff_tokens` = n_tokens/|cluster| is the doc's effective
+    * contribution to the token budget (what [[TextAnalysis]]'s
+    * sample_token_budget would draw under the soft weights). Reuses the
+    * per-snapshot cached cluster labels (one fixpoint per snapshot), so
+    * the op itself is a join + one window pass — nothing rescans
+    * shingles.
+    */
+  def dedupSoftWeights(spark: SparkSession, dir: String): DataFrame = {
+    val ntok = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+    dedupClusters(spark, dir)
+      .join(ntok, Seq("doc_id"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        round(lit(1e-9) + lit(1.0) / col("cluster_size"), 4).as("weight"),
+        round(lit(1e-9) + col("n_tok").cast("double") / col("cluster_size"), 4).as("eff_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   private val SubGram = 8  // words per gram (the Lee et al. match unit, sandbox-scaled)
   private val SubDfCap = 8 // stop-gram cap: grams in more docs than this are boilerplate
 
@@ -824,6 +848,7 @@ object Dedup extends QueryPack {
     "dedup_substring_spans" -> (dedupSubstringSpans _),
     "dedup_substring" -> (dedupSubstring _),
     "dedup_clusters" -> (dedupClusters _),
+    "dedup_soft_weights" -> (dedupSoftWeights _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_exact" -> (dedupExact _),
     "dedup_bloom" -> (dedupBloom _),
@@ -939,6 +964,24 @@ object Dedup extends QueryPack {
          |clusters AS (SELECT doc AS doc_id, min(r) AS cluster_id FROM reach GROUP BY doc)
          |SELECT doc_id, cluster_id, count(*) OVER (PARTITION BY cluster_id) AS cluster_size
          |FROM clusters ORDER BY doc_id""".stripMargin,
+    "dedup_soft_weights" ->
+      s"""WITH RECURSIVE pairs AS ($pairsSql),
+         |edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+         |reach(doc, r) AS (
+         | SELECT doc_id, doc_id FROM documents
+         | UNION
+         | SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.doc),
+         |clusters AS (SELECT doc AS doc_id, min(r) AS cluster_id FROM reach GROUP BY doc),
+         |cs AS (
+         | SELECT doc_id, cluster_id,
+         |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+         | FROM clusters),
+         |nt AS (SELECT doc_id, len(string_split(text,' '))::BIGINT AS n_tok FROM documents)
+         |SELECT c.doc_id, c.cluster_id, c.cluster_size,
+         | round(1e-9 + 1.0 / c.cluster_size, 4) AS weight,
+         | round(1e-9 + nt.n_tok::DOUBLE / c.cluster_size, 4) AS eff_tokens
+         |FROM cs c JOIN nt USING (doc_id)
+         |ORDER BY c.doc_id""".stripMargin,
     "dedup_keep_best" ->
       s"""WITH RECURSIVE pairs AS ($pairsSql),
          |edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),

@@ -109,9 +109,45 @@ object TemporalJoins extends QueryPack {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  private val DecayHlNs = 900000000000L // 15-min credit half-life
+
+  /** Multi-touch attribution with time-decay credit — the
+    * industry-standard generalization of [[purchaseAttribution]]'s
+    * last-touch: EVERY view in the purchase's 1-hour lookback earns raw
+    * weight 0.5^(gap/15min), normalized so each purchase distributes
+    * exactly 1.0 of conversion credit across its touches (most-recent
+    * touch gets the most; `touch_pos` 1 = most recent). Scale shape:
+    * a same-user equi-join (no theta cross product — the time bound is
+    * a post-join residual on an already user-bucketed pair stream),
+    * then ONE purchase-keyed window pass for the normalizing sum; both
+    * shuffles key on high-cardinality ids, no skew, nothing
+    * corpus-squared. The streaming form is [[graft.streaming
+    * .StreamingOps.intervalJoinStream]] + per-purchase re-normalization
+    * at read time.
+    */
+  def attributionCredits(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts_ns").as("p_ns"))
+    val v = e.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts_ns").as("v_ns"))
+    val byP = Window.partitionBy(col("purchase_id"))
+    p.join(v, col("user_id") === col("v_user") &&
+        col("v_ns") >= col("p_ns") - lit(HourNs) && col("v_ns") <= col("p_ns"))
+      .withColumn("gap_ns", col("p_ns") - col("v_ns"))
+      .withColumn("wr", pow(lit(0.5), col("gap_ns").cast("double") / lit(DecayHlNs.toDouble)))
+      .withColumn("touch_pos", row_number().over(byP.orderBy(col("gap_ns"), col("view_id"))))
+      .withColumn("credit", round(lit(1e-9) + col("wr") / sum(col("wr")).over(byP), 4))
+      .select(col("purchase_id"), col("view_id"), col("user_id"), col("touch_pos"),
+        expr("gap_ns div 1000000000").as("gap_s"), col("credit"))
+      .orderBy(col("purchase_id"), col("view_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_asof_join" -> (purchaseAttribution _),
-    "events_interval_join" -> (sessionOverlapPurchases _))
+    "events_interval_join" -> (sessionOverlapPurchases _),
+    "events_attribution" -> (attributionCredits _))
 
   val oracles: Map[String, String] = Map(
     "events_asof_join" ->
@@ -158,5 +194,22 @@ object TemporalJoins extends QueryPack {
         | GROUP BY s.user_id, s.session_id)
         |SELECT s.user_id, s.session_id, CAST(coalesce(c.n, 0) AS BIGINT) AS n_other_purchases
         |FROM sess s LEFT JOIN c USING (user_id, session_id)
-        |ORDER BY user_id, session_id""".stripMargin)
+        |ORDER BY user_id, session_id""".stripMargin,
+    "events_attribution" ->
+      """WITH p AS (
+        | SELECT event_id AS purchase_id, user_id, epoch_ns(ts) AS p_ns
+        | FROM events WHERE event_type = 'purchase'),
+        |v AS (
+        | SELECT event_id AS view_id, user_id, epoch_ns(ts) AS v_ns
+        | FROM events WHERE event_type = 'view'),
+        |j AS (
+        | SELECT p.purchase_id, v.view_id, p.user_id, p.p_ns - v.v_ns AS gap_ns
+        | FROM p JOIN v ON p.user_id = v.user_id
+        |  AND v.v_ns >= p.p_ns - 3600000000000 AND v.v_ns <= p.p_ns),
+        |w AS (SELECT *, power(0.5, gap_ns::DOUBLE / 900000000000.0) AS wr FROM j)
+        |SELECT purchase_id, view_id, user_id,
+        | row_number() OVER (PARTITION BY purchase_id ORDER BY gap_ns, view_id) AS touch_pos,
+        | gap_ns // 1000000000 AS gap_s,
+        | round(1e-9 + wr / sum(wr) OVER (PARTITION BY purchase_id), 4) AS credit
+        |FROM w ORDER BY purchase_id, view_id""".stripMargin)
 }

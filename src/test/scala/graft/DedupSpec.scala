@@ -301,4 +301,24 @@ class DedupSpec extends SparkSpec {
     assert(prefixes.size < allPrefixes,
       s"no pruning: probe covers ${prefixes.size} of $allPrefixes prefix dirs")
   }
+
+  test("soft-dedup weights give every cluster exactly one doc-equivalent of mass") {
+    val rows = operators.Dedup.dedupSoftWeights(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.length == nDocs) // nothing dropped — that's the point
+    rows.groupBy(_.getAs[Long]("cluster_id")).foreach { case (cid, ds) =>
+      assert(ds.length == ds.head.getAs[Long]("cluster_size").toInt)
+      val mass = ds.map(_.getAs[Double]("weight")).sum
+      assert(math.abs(mass - 1.0) <= ds.length * 5e-5 + 1e-9, s"cluster $cid mass $mass")
+    }
+    // singletons keep full weight; duplicates are downweighted, never zeroed
+    rows.foreach { r =>
+      val w = r.getAs[Double]("weight")
+      if (r.getAs[Long]("cluster_size") == 1L) assert(math.abs(w - 1.0) < 1e-9)
+      else assert(w > 0.0 && w < 1.0)
+    }
+    // at least one real near-dup cluster exists in the shipped corpus
+    assert(rows.exists(_.getAs[Long]("cluster_size") > 1L))
+  }
 }

@@ -69,4 +69,26 @@ class TemporalJoinsSpec extends SparkSpec {
       assert(r.getAs[Long]("n_other_purchases") == expected(k), s"session $k")
     }
   }
+
+  test("time-decay attribution distributes exactly 1.0 of credit per purchase, most-recent touch first") {
+    val rows = graft.operators.TemporalJoins.attributionCredits(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byPurchase = rows.groupBy(_.getAs[Long]("purchase_id"))
+    byPurchase.foreach { case (pid, ts) =>
+      val total = ts.map(_.getAs[Double]("credit")).sum
+      // per-touch rounding to 4dp bounds the sum drift by touches*5e-5
+      assert(math.abs(total - 1.0) <= ts.length * 5e-5 + 1e-9, s"purchase $pid credit sum $total")
+      val byPos = ts.sortBy(_.getAs[Int]("touch_pos"))
+      assert(byPos.head.getAs[Int]("touch_pos") == 1)
+      // touch_pos orders by recency, and the decay makes credit non-increasing in it
+      val credits = byPos.map(_.getAs[Double]("credit"))
+      credits.sliding(2).foreach {
+        case Array(a, b) => assert(a >= b - 1e-9, s"purchase $pid credit not decaying: $a < $b")
+        case _ =>
+      }
+      val gaps = byPos.map(_.getAs[Long]("gap_s"))
+      assert(gaps.forall(g => g >= 0 && g <= 3600))
+      assert(gaps.sameElements(gaps.sorted))
+    }
+  }
 }
