@@ -1456,7 +1456,68 @@ object Analytics extends QueryPack {
       .orderBy(col("cohort_month"), col("month_offset"))
   }
 
+  /** Skew-salted dimension join as a first-class operator
+    * (graft.functions.SkewJoin): events join a per-type weight dim on
+    * `event_type` — 5 values over the whole corpus, the worst
+    * low-cardinality skew shape: a plain shuffle join puts ALL rows of
+    * a type on one reducer, so at 100 TB five tasks do everything.
+    * saltedJoin spreads each type over 16 salt buckets (the dim side
+    * replicates ×16 — still tiny) and the result is provably equal to
+    * the unsalted join (this oracle; SkewJoinSpec asserts the
+    * spreading). At THIS data size Catalyst rightly broadcasts the
+    * replicated dim — zero shuffle, salting inert; the salted shape is
+    * insurance for the dim-too-big-to-broadcast regime, and composes
+    * with the aggregation below (whose map-side partials are the agg
+    * half of the skew fix).
+    */
+  def joinSkewSalted(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val dim = ev.select(col("event_type")).distinct()
+      .withColumn("weight", length(col("event_type")).cast("double"))
+    graft.functions.SkewJoin.saltedJoin(ev, dim, "event_type", "event_id", 16)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(lit(1e-9) + sum(col("value") * col("weight")), 2).as("wsum"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Record linkage over the part catalog: near-duplicate product
+    * names by TOKEN BLOCKING + Jaro–Winkler verification — the
+    * classic two-stage ER pipeline (block to kill the n² candidate
+    * space, score only within blocks). Blocking key = any shared
+    * word: prefix blocking would miss the corpus's own best matches
+    * ('cold widget' ↔ 'old widget' — first chars differ), the
+    * textbook argument for multi-pass/token blocking. Scale shape:
+    * linkage runs on the DISTINCT-name frame (the representative
+    * collapse the SimHash rebuild uses) — catalog name vocabularies
+    * are bounded while the entity table grows, so candidate
+    * generation is |names|-sized at any SF and each accepted pair is
+    * enriched with its sides' entity support counts from one
+    * aggregate. The scorer is the codegen'd
+    * [[graft.expressions.JaroWinkler]] kernel at τ = 0.9.
+    */
+  def linkPartNames(spark: SparkSession, dir: String): DataFrame = {
+    val names = Tables.part(spark, dir)
+      .groupBy(col("p_name")).agg(count(lit(1)).as("n"))
+    val toks = names.select(col("p_name"),
+      explode(split(col("p_name"), " ")).as("tok"))
+    val cand = toks.as("a").join(toks.as("b"),
+        col("a.tok") === col("b.tok") && col("a.p_name") < col("b.p_name"))
+      .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"))
+      .distinct()
+    val jw = graft.functions.Strings.jaroWinkler(col("name_a"), col("name_b"))
+    cand
+      .withColumn("sim", round(lit(1e-9) + jw, 4))
+      .filter(jw >= 0.9)
+      .join(names.select(col("p_name").as("name_a"), col("n").as("n_a")), Seq("name_a"))
+      .join(names.select(col("p_name").as("name_b"), col("n").as("n_b")), Seq("name_b"))
+      .select(col("name_a"), col("name_b"), col("sim"), col("n_a"), col("n_b"))
+      .orderBy(col("name_a"), col("name_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "link_part_names" -> (linkPartNames _),
+    "join_skew_salted" -> (joinSkewSalted _),
     "agg_incremental" -> (aggIncremental _),
     "scd2_asof_lookup" -> (scd2AsofLookup _),
     "orders_cohort_ltv" -> (ordersCohortLtv _),
@@ -1518,6 +1579,28 @@ object Analytics extends QueryPack {
     "events_windowed_agg" -> (windowedAgg _))
 
   val oracles: Map[String, String] = Map(
+    "link_part_names" ->
+      """WITH names AS (SELECT p_name, count(*) AS n FROM part GROUP BY 1),
+        |toks AS (SELECT p_name, unnest(string_split(p_name, ' ')) AS tok FROM names),
+        |cand AS (
+        | SELECT DISTINCT a.p_name AS name_a, b.p_name AS name_b
+        | FROM toks a JOIN toks b ON a.tok = b.tok AND a.p_name < b.p_name)
+        |SELECT name_a, name_b,
+        | round(1e-9 + jaro_winkler_similarity(name_a, name_b), 4) AS sim,
+        | na.n AS n_a, nb.n AS n_b
+        |FROM cand
+        |JOIN names na ON na.p_name = cand.name_a
+        |JOIN names nb ON nb.p_name = cand.name_b
+        |WHERE jaro_winkler_similarity(name_a, name_b) >= 0.9
+        |ORDER BY 1, 2""".stripMargin,
+    "join_skew_salted" ->
+      """WITH dim AS (
+        | SELECT DISTINCT event_type, CAST(length(event_type) AS DOUBLE) AS weight
+        | FROM events)
+        |SELECT e.event_type, count(*) AS n_events,
+        | round(1e-9 + sum(e.value * d.weight), 2) AS wsum
+        |FROM events e JOIN dim d USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_incremental" ->
       """SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
         | count(*) AS n_events,

@@ -327,6 +327,54 @@ object Search extends QueryPack {
       .orderBy(col("doc_id"), col("matched_tok"))
   }
 
+  /** The five fixed misspelled mentions of the spell-correction probe
+    * (each a corruption of a corpus vocabulary word).
+    */
+  private[graft] val FuzzyJwMentions: Seq[String] =
+    Seq("qery", "windw", "custmer", "strem", "vektor")
+
+  /** Spell correction / entity normalization by Jaro–Winkler: rank the
+    * dictionary against a set of misspelled mentions and keep the top-3
+    * suggestions with similarity ≥ 0.9 — the record-linkage scorer
+    * (Winkler 1990) run the way a linkage system runs it: against the
+    * REFERENCE DICTIONARY, never the corpus. Cost is
+    * |mentions|·|pruned vocab| evaluations of the codegen'd
+    * `graft.expressions.JaroWinkler` kernel; the vocabulary is
+    * Heaps'-law sublinear in corpus size, so the probe is flat per
+    * decade once the dictionary saturates.
+    *
+    * Pruning: jw ≥ τ bounds the length ratio. With boost ≤ 0.4·(1−jaro),
+    * jw ≥ τ ⇒ jaro ≥ (τ−0.4)/0.6, and jaro ≤ (2 + s/L)/3 for
+    * s = min(l1,l2), L = max — so s/L ≥ 5τ−4 (= 1/2 at τ = 0.9). The
+    * union of the mentions' [⌈|q|/2⌉, 2|q|] bands is a driver-side
+    * literal `tok_len IN (…)` on the length-partitioned vocab layout:
+    * every other length directory is pruned at planning time, like
+    * searchFuzzy's edit-distance band but derived from the JW bound.
+    */
+  def searchFuzzyJw(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tau = 0.9
+    val lens = FuzzyJwMentions
+      .flatMap(q => (q.length + 1) / 2 to 2 * q.length).distinct.sorted
+    val mentions = broadcast(FuzzyJwMentions.toDF("q"))
+    val jw = graft.functions.Strings.jaroWinkler(col("tok"), col("q"))
+    val scored = TextIndex.vocabWsPersisted(spark, dir)
+      .filter(col("tok_len").isin(lens: _*))
+      .crossJoin(mentions)
+      // per-pair ratio bound (the exact form of the prune above) keeps
+      // the kernel off hopeless pairs the union band let through
+      .filter(least(col("tok_len"), length(col("q"))) * 2 >=
+        greatest(col("tok_len"), length(col("q"))))
+      .filter(jw >= tau)
+      .select(col("q"), col("tok").as("suggestion"), jw.as("jw"))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q")).orderBy(col("jw").desc, col("suggestion"))))
+      .filter(col("rk") <= 3)
+      .select(col("q"), col("suggestion"), round(lit(1e-9) + col("jw"), 4).as("sim"))
+      .orderBy(col("q"), col("sim").desc, col("suggestion"))
+  }
+
   /** Incremental inverted-index maintenance (the merge-or-upload
     * discipline applied to postings — the reference's indexer merges
     * document batches into the prebuilt search index, it never
@@ -575,6 +623,7 @@ object Search extends QueryPack {
     "search_bm25_persisted" -> (searchBm25Persisted _),
     "search_incremental" -> (searchIncremental _),
     "search_fuzzy" -> (searchFuzzy _),
+    "search_fuzzy_jw" -> (searchFuzzyJw _),
     "search_suggest" -> (searchSuggest _),
     "search_highlight" -> (searchHighlight _),
     "search_ismatch_path" -> (searchIsMatchPath _),
@@ -770,6 +819,20 @@ object Search extends QueryPack {
         |SELECT doc_id, tok AS matched_tok, CAST(levenshtein(tok, 'sprk') AS INT) AS dist
         |FROM dt WHERE levenshtein(tok, 'sprk') <= 1
         |ORDER BY doc_id, matched_tok""".stripMargin,
+    "search_fuzzy_jw" ->
+      """WITH dt AS (
+        | SELECT DISTINCT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |q(q) AS (VALUES ('qery'), ('windw'), ('custmer'), ('strem'), ('vektor')),
+        |scored AS (
+        | SELECT q.q, dt.tok AS suggestion,
+        |  jaro_winkler_similarity(dt.tok, q.q) AS jw,
+        |  row_number() OVER (PARTITION BY q.q
+        |    ORDER BY jaro_winkler_similarity(dt.tok, q.q) DESC, dt.tok) AS rk
+        | FROM dt CROSS JOIN q
+        | WHERE jaro_winkler_similarity(dt.tok, q.q) >= 0.9)
+        |SELECT q, suggestion, round(1e-9 + jw, 4) AS sim
+        |FROM scored WHERE rk <= 3
+        |ORDER BY q, sim DESC, suggestion""".stripMargin,
     "search_suggest" ->
       """WITH toks AS (
         | SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),

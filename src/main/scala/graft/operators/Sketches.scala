@@ -423,7 +423,35 @@ object Sketches extends QueryPack {
       .orderBy(col("cnt").desc, col("term"))
   }
 
+  /** EXACT distinct users per (type, day) via bitmap words — the
+    * roaring-bitmap OLAP pattern reduced to Spark primitives: user_id
+    * space is chunked into 64-id buckets, each (type, day, bucket)
+    * collapses to ONE 64-bit word (`bit_or` of `1 << (id % 64)` —
+    * combinable, so map-side partials enter the shuffle as single
+    * longs), and the readout is `sum(bit_count(word))`. Versus
+    * count(distinct): the shuffled payload is one long per POPULATED
+    * 64-id chunk instead of one row per distinct (type, day, user)
+    * triple — a ≥ 64× reduction on dense id spaces — and the words
+    * are mergeable state (day bitmaps OR together into week/month
+    * rollups without re-touching events, the same algebra the HLL
+    * rolling query rides, but exact). Both aggregations partial
+    * map-side; keys are high-cardinality composites, skew-free.
+    */
+  def eventsBitmapDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(
+      col("event_type"),
+      date_format(col("ts"), "yyyy-MM-dd").as("day"),
+      col("user_id"))
+    ev.groupBy(col("event_type"), col("day"),
+        expr("user_id div 64").as("bucket"))
+      .agg(bit_or(expr("shiftleft(1L, int(user_id % 64))")).as("word"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(bit_count(col("word"))).as("n_users"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_bitmap_distinct" -> (eventsBitmapDistinct _),
     "events_hll" -> (eventsHll _),
     "events_hll_rolling" -> (eventsHllRolling _),
     "events_kmv_overlap" -> (eventsKmvOverlap _),
@@ -433,6 +461,10 @@ object Sketches extends QueryPack {
     "events_cms" -> (eventsCms _))
 
   val oracles: Map[String, String] = Map(
+    "events_bitmap_distinct" ->
+      """SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        | count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "events_hll" ->
       s"""WITH h AS (
          | SELECT event_type, user_id,

@@ -410,6 +410,45 @@ object TextAnalysis extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** FUZZY decontamination — the near-duplicate complement of
+    * [[decontaminate]]'s exact 5-gram containment: a training doc is
+    * contaminated if its word-3-gram shingle set has Jaccard ≥ 0.5
+    * with ANY benchmark doc (doc_id < 10), catching the
+    * lightly-reworded eval leaks exact n-gram matching misses. Rides
+    * the per-doc shingle-set index ([[Dedup.shingleSetIndex]], built
+    * once per snapshot, shared with the dedup family); the benchmark
+    * side BROADCASTS — eval benches are kilobytes-to-megabytes while
+    * the corpus is the 100 TB side, so the scan is one map-side pass
+    * computing |bench| set intersections per doc (array_intersect on
+    * the compact hash sets — nothing explodes, nothing shuffles except
+    * the top-1 window on the per-doc candidate rows). Emits every
+    * training doc with its best-matching benchmark doc and the exact
+    * Jaccard, flagged at τ = 0.5.
+    */
+  def decontaminateFuzzy(spark: SparkSession, dir: String): DataFrame = {
+    val shs = Dedup.shingleSetIndex(spark, dir)
+    val bench = shs.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("bench_doc"), col("shs").as("sb"))
+    val scored = shs.filter(col("doc_id") >= 10)
+      .crossJoin(broadcast(bench))
+      .withColumn("inter", size(array_intersect(col("shs"), col("sb"))).cast("double"))
+      // zero-overlap candidates are not matches: they fall to the
+      // left-join null path below (best_bench NULL, jac 0)
+      .filter(col("inter") > 0)
+      .withColumn("jac",
+        col("inter") / (size(col("shs")) + size(col("sb")) - col("inter")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("jac").desc, col("bench_doc"))))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("bench_doc"), col("jac"))
+    Tables.documents(spark, dir).filter(col("doc_id") >= 10).select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("bench_doc"),
+        round(lit(1e-9) + coalesce(col("jac"), lit(0.0)), 4).as("jac"),
+        (coalesce(col("jac"), lit(0.0)) >= 0.5).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Unigram log-probability quality score — the cheap stand-in for a
     * KenLM-style perplexity filter every large corpus pipeline runs:
     * token frequencies over the whole corpus (one shuffle on token),
@@ -1006,6 +1045,7 @@ object TextAnalysis extends QueryPack {
     "text_tfidf" -> (tfidfTop _),
     "pii_scrub" -> (piiScrub _),
     "decontaminate" -> (decontaminate _),
+    "decontaminate_fuzzy" -> (decontaminateFuzzy _),
     "sample_deterministic" -> (sampleDeterministic _),
     "sample_stratified" -> (sampleStratified _),
     "sample_weighted" -> (sampleWeighted _),
@@ -1366,6 +1406,33 @@ object TextAnalysis extends QueryPack {
         | coalesce(h.n_contaminated_grams, 0) > 0 AS contaminated
         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
         |WHERE d.doc_id >= 10 ORDER BY d.doc_id""".stripMargin,
+    "decontaminate_fuzzy" ->
+      """WITH shd AS (
+        | SELECT DISTINCT doc_id, sh FROM (
+        |  SELECT doc_id, unnest(list_transform(generate_series(0, len(t)-3),
+        |    i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS sh
+        |  FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents)
+        |  WHERE len(t) >= 3)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY 1),
+        |inter AS (
+        | SELECT t.doc_id AS doc_id, b.doc_id AS bench_doc, count(*) AS i
+        | FROM shd t JOIN shd b USING (sh)
+        | WHERE t.doc_id >= 10 AND b.doc_id < 10
+        | GROUP BY 1, 2),
+        |scored AS (
+        | SELECT i.doc_id, i.bench_doc,
+        |  i.i * 1.0 / (st.n + sb.n - i.i) AS jac,
+        |  row_number() OVER (PARTITION BY i.doc_id
+        |    ORDER BY i.i * 1.0 / (st.n + sb.n - i.i) DESC, i.bench_doc) AS rk
+        | FROM inter i
+        | JOIN sizes st ON st.doc_id = i.doc_id
+        | JOIN sizes sb ON sb.doc_id = i.bench_doc)
+        |SELECT d.doc_id, s.bench_doc,
+        | round(1e-9 + coalesce(s.jac, 0.0), 4) AS jac,
+        | coalesce(s.jac, 0.0) >= 0.5 AS contaminated
+        |FROM (SELECT doc_id FROM documents WHERE doc_id >= 10) d
+        |LEFT JOIN (SELECT * FROM scored WHERE rk = 1) s USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "sample_deterministic" ->
       """SELECT doc_id, lang,
         | ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 AS bucket

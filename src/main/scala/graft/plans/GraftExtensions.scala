@@ -29,6 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("dot_product", "dot_product(a, b) - dot product of two float vectors"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1))))
     ext.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      info("jaro_winkler", "jaro_winkler(a, b) - Jaro-Winkler similarity of two strings in [0,1]"),
+      (children: Seq[Expression]) => graft.expressions.JaroWinkler(children(0), children(1))))
+    ext.injectFunction((
       FunctionIdentifier("top_k_ids"),
       info("top_k_ids", "top_k_ids(ord, id, k) - ids of the k largest ord values, as an aggregate"),
       (children: Seq[Expression]) => {

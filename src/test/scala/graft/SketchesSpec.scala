@@ -194,6 +194,32 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("bitmap distinct is exact and its words are mergeable") {
+    // exactness: word-popcount == count(distinct) per (type, day)
+    val got = operators.Sketches.eventsBitmapDistinct(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_users")).toMap
+    val exact = Tables.events(spark, sf)
+      .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(countDistinct(col("user_id")).as("n")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n")).toMap
+    assert(got == exact && got.nonEmpty)
+
+    // mergeability: OR-ing two slices' words == the union's distinct
+    // count (the algebra that rolls day bitmaps into weeks/months)
+    val ev = Tables.events(spark, sf)
+    def words(f: org.apache.spark.sql.DataFrame) = f
+      .groupBy(expr("user_id div 64").as("bucket"))
+      .agg(bit_or(expr("shiftleft(1L, int(user_id % 64))")).as("word"))
+    val a = words(ev.filter(col("event_type") === "click"))
+    val b = words(ev.filter(col("event_type") === "view"))
+    val merged = a.select(col("bucket"), col("word")).union(b.select(col("bucket"), col("word")))
+      .groupBy(col("bucket")).agg(bit_or(col("word")).as("word"))
+      .agg(sum(bit_count(col("word")))).collect()(0).getLong(0)
+    val exactUnion = ev.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id")).distinct().count()
+    assert(merged == exactUnion)
+  }
+
   test("Bloom screen never false-negatives against the band index") {
     val rows = operators.Dedup.dedupBloom(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -54,4 +54,17 @@ class SkewJoinSpec extends SparkSpec {
       .groupBy(pmod(hash(col("key"), col("payload")), lit(8))).count().count()
     assert(parts > 1) // payload-derived salt distributes the key
   }
+
+  test("join_skew_salted equals the unsalted join + aggregate on corpus data") {
+    val salted = operators.Analytics.joinSkewSalted(spark, sf).collect()
+    val ev = Tables.events(spark, sf)
+    val dim = ev.select(col("event_type")).distinct()
+      .withColumn("weight", length(col("event_type")).cast("double"))
+    val plain = ev.join(dim, Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(lit(1e-9) + sum(col("value") * col("weight")), 2).as("wsum"))
+      .orderBy(col("event_type")).collect()
+    assert(salted.map(_.toString).toSeq == plain.map(_.toString).toSeq)
+  }
 }

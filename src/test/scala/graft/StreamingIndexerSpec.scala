@@ -21,9 +21,14 @@ class StreamingIndexerSpec extends SparkSpec {
     val schema = "key STRING, value STRING, seq LONG"
     val store = new IndexStore(spark, idxDir, "key")
 
-    // first file lands before the stream starts
+    // first file lands before the stream starts. coalesce(1): each
+    // write must commit as ONE file — the file source polls
+    // continuously, and a two-part-file commit can be discovered
+    // across two micro-batches (one rename visible, the other not
+    // yet), which would split the batch into two merges and make the
+    // version assertion below racy.
     Seq(("k1", "v1", 1L), ("k2", "v2", 1L)).toDF("key", "value", "seq")
-      .write.mode(SaveMode.Append).parquet(inDir)
+      .coalesce(1).write.mode(SaveMode.Append).parquet(inDir)
 
     val stream = spark.readStream.schema(schema).parquet(inDir)
     val query = stream.writeStream
@@ -38,7 +43,7 @@ class StreamingIndexerSpec extends SparkSpec {
 
       // second file: one update, one insert — arrives mid-stream
       Seq(("k2", "v2b", 2L), ("k3", "v3", 2L)).toDF("key", "value", "seq")
-        .write.mode(SaveMode.Append).parquet(inDir)
+        .coalesce(1).write.mode(SaveMode.Append).parquet(inDir)
       query.processAllAvailable()
 
       val state = store.read().get.collect()

@@ -5,6 +5,34 @@ import org.apache.spark.sql.functions._
 
 class TextMultimodalSpec extends SparkSpec {
 
+  test("fuzzy decontamination flags a reworded benchmark copy, not unrelated docs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_decon").toString
+    def doc(id: Long, text: String) = (id, text, "en", "srcT", text.length.toLong)
+    val vocabA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val benchDocs = (0L until 10L).map(i => doc(i, s"b$i one$i two$i three$i four$i five$i six$i"))
+      .updated(5, doc(5L, vocabA))
+    val train = Seq(
+      // near-copy of bench doc 5: shares 7 of its 8 3-grams plus one new
+      doc(100L, vocabA + " reworded"),
+      // unrelated vocabulary: zero shingle overlap with any bench doc
+      doc(101L, "red blue green yellow purple orange brown black white pink"))
+    (benchDocs ++ train).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val out = TextAnalysis.decontaminateFuzzy(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((if (r.isNullAt(1)) None else Some(r.getAs[Long]("bench_doc"))),
+          r.getAs[Double]("jac"), r.getAs[Boolean]("contaminated"))).toMap
+    assert(out.keySet == Set(100L, 101L))
+    val (b100, jac100, c100) = out(100L)
+    assert(b100.contains(5L) && c100, s"expected doc 100 flagged against bench 5, got $b100 jac=$jac100")
+    // 10-word source → 8 shingles, 11-word copy → 9, sharing 8: 8/9
+    assert(math.abs(jac100 - 8.0 / 9.0) < 1e-3)
+    val (b101, jac101, c101) = out(101L)
+    assert(b101.isEmpty && jac101 == 0.0 && !c101, "unrelated doc must not be flagged")
+  }
+
   test("langid predicts a language or 'und' for every doc") {
     val rows = TextAnalysis.langId(spark, sf).collect()
     assert(rows.length == Tables.documents(spark, sf).count())
