@@ -325,6 +325,26 @@ object Dedup extends QueryPack {
         round(col("inter") / (col("ca") + col("cb") - col("inter")) + 1e-9, 4).as("jaccard"))
       .orderBy(col("a"), col("b"))
 
+  /** Dedup threshold sweep — the knob-tuning readout every near-dup
+    * deployment runs before committing to a τ: how many candidate
+    * pairs survive at each Jaccard threshold in {0.5 … 0.9}. One pass
+    * over the cached candidate-pair frame (the same LSH band index +
+    * shingle-set overlap every other dedup key probes — nothing is
+    * recomputed), cross-joined with the 5-row broadcast threshold
+    * table and conditionally counted; at 100 TB this is a kilobyte
+    * answer off the already-built pair index, the cheapest possible
+    * way to see the dedup-rate curve before a full clustering run.
+    */
+  def dedupThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val j = dedupNgramJaccard(spark, dir).select(col("jaccard"))
+    val thrs = broadcast(Seq(0.5, 0.6, 0.7, 0.8, 0.9).toDF("threshold"))
+    j.crossJoin(thrs)
+      .groupBy(col("threshold"))
+      .agg(sum(when(col("jaccard") >= col("threshold"), 1L).otherwise(0L)).as("n_pairs"))
+      .orderBy(col("threshold"))
+  }
+
   /** Shared pair-overlap kernel: attach each side's shingle SET from
     * [[shingleSetIndex]] and compute |A∩B| with a codegen'd
     * array_intersect — identical semantics to joining the exploded
@@ -857,6 +877,7 @@ object Dedup extends QueryPack {
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_simhash_pairs" -> (dedupSimhashPairs _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_threshold_sweep" -> (dedupThresholdSweep _),
     "dedup_embedding" -> (dedupEmbedding _))
 
   // Shared oracle fragments (DuckDB dialect).
@@ -1178,6 +1199,24 @@ object Dedup extends QueryPack {
          | JOIN sizes ca ON ca.doc_id = p.a
          | JOIN sizes cb ON cb.doc_id = p.b
          |ORDER BY p.a, p.b""".stripMargin,
+    "dedup_threshold_sweep" ->
+      s"""WITH pairs AS ($pairsSql),
+         |shd AS (SELECT DISTINCT doc_id, sh FROM ($shingleSql)),
+         |sizes AS (SELECT doc_id, count(*) AS c FROM shd GROUP BY doc_id),
+         |inter AS (
+         | SELECT p.a, p.b, count(*) AS i
+         | FROM pairs p JOIN shd sa ON sa.doc_id = p.a JOIN shd sb ON sb.doc_id = p.b AND sb.sh = sa.sh
+         | GROUP BY p.a, p.b),
+         |j AS (
+         | SELECT round(coalesce(i.i, 0) / (ca.c + cb.c - coalesce(i.i, 0)) + 1e-9, 4) AS jaccard
+         | FROM pairs p
+         |  LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+         |  JOIN sizes ca ON ca.doc_id = p.a
+         |  JOIN sizes cb ON cb.doc_id = p.b)
+         |SELECT CAST(t.threshold AS DOUBLE) AS threshold,
+         | CAST(sum(CASE WHEN j.jaccard >= t.threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs
+         |FROM j CROSS JOIN (VALUES (0.5), (0.6), (0.7), (0.8), (0.9)) t(threshold)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_embedding" ->
       s"""WITH ${Similarity.boundedCellsSql(probes = 2)},
         |cand AS (

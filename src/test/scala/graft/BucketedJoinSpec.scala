@@ -48,4 +48,35 @@ class BucketedJoinSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS graft_ord_bucketed")
     }
   }
+
+  test("join_bucketed keyed query matches the raw-parquet formulation") {
+    val got = operators.Analytics.joinBucketed(spark, sf).collect()
+    assert(got.nonEmpty)
+    val li = Tables.lineitem(spark, sf)
+    val o = Tables.orders(spark, sf)
+    val plain = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        round(lit(1e-9) +
+          sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5)
+            .cast("long")) / 100.0, 2).as("revenue"))
+      .orderBy(col("o_orderpriority")).collect()
+    assert(got.map(_.toString).toSeq == plain.map(_.toString).toSeq)
+  }
+
+  test("join_incremental: merge == rebuild, and maintenance scans only the delta") {
+    val merged = operators.Analytics.joinIncremental(spark, sf)
+    val rows = merged.collect()
+    assert(rows.nonEmpty)
+    // maintenance reads orders.parquet exactly once (the delta leg) —
+    // the base view is a cached checkpoint, never re-scanned
+    // AQE's toString prints the final AND initial plans — count scans
+    // in the final section only
+    val plan = merged.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val ordersScans = "orders\\.parquet".r.findAllIn(plan).length
+    assert(ordersScans == 1, s"expected one orders scan (the delta), got $ordersScans:\n$plan")
+    assert(plan.contains("Scan ExistingRDD") || plan.toLowerCase.contains("checkpoint"),
+      "expected the cached base aggregate in the plan")
+  }
 }

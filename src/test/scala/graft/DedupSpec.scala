@@ -321,4 +321,17 @@ class DedupSpec extends SparkSpec {
     // at least one real near-dup cluster exists in the shipped corpus
     assert(rows.exists(_.getAs[Long]("cluster_size") > 1L))
   }
+
+  test("threshold sweep is monotone and each point equals a direct recount") {
+    val sweep = operators.Dedup.dedupThresholdSweep(spark, sf).collect()
+      .map(r => r.getDouble(0) -> r.getLong(1))
+    assert(sweep.map(_._1).toSeq == Seq(0.5, 0.6, 0.7, 0.8, 0.9))
+    // survivors can only shrink as the threshold rises
+    assert(sweep.map(_._2).sliding(2).forall(w => w.head >= w.last))
+    val jac = operators.Dedup.dedupNgramJaccard(spark, sf)
+      .select(col("jaccard")).collect().map(_.getDouble(0))
+    sweep.foreach { case (t, n) =>
+      assert(n == jac.count(_ >= t), s"threshold $t")
+    }
+  }
 }
