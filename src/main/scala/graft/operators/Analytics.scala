@@ -1065,6 +1065,50 @@ object Analytics extends QueryPack {
       .orderBy(col("user_id"), col("version"))
   }
 
+  /** SCD2 MERGE maintenance — the lakehouse MERGE INTO applied to the
+    * versioned-dimension history: the base history (events before
+    * [[AggCutoffNs]], windowed once and cached per snapshot) absorbs
+    * today's change batch WITHOUT re-windowing the corpus. The merge
+    * algebra: users untouched by the batch pass through verbatim
+    * (anti-join — at 100 TB this is the file-pruned "unmatched
+    * partitions untouched" half of MERGE); touched users — and ONLY
+    * they — re-window their base+batch rows (per-user windows are
+    * independent, so recomputing the touched slice is exact). Cost is
+    * O(batch + touched users' history), never a corpus re-sort. The
+    * oracle states the full rebuild over ALL events — the same
+    * declarative truth as `scd2_history` — proving merge == rebuild.
+    */
+  def scd2Merge(spark: SparkSession, dir: String): DataFrame = {
+    // raw columns + the window ordering keys, cached pre-projection so
+    // the touched slice can re-window without re-reading the corpus
+    val baseRaw = graft.sources.IndexCache.getOrBuild(spark, "scd2_base_raw", dir) {
+      Tables.events(spark, dir).filter(Tables.tsBeforeNs(AggCutoffNs))
+        .select(col("user_id"), col("event_id"), col("ts"), col("ts_ns"),
+          col("event_type"), col("value"))
+        .localCheckpoint(true)
+    }
+    val batch = Tables.events(spark, dir).filter(Tables.tsSinceNs(AggCutoffNs))
+      .select(col("user_id"), col("event_id"), col("ts"), col("ts_ns"),
+        col("event_type"), col("value"))
+    val touchedUsers = batch.select(col("user_id")).distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+    def history(rows: DataFrame): DataFrame = rows
+      .withColumn("version", row_number().over(w))
+      .withColumn("next_ts", lead(col("ts"), 1).over(w))
+      .select(
+        col("user_id"), col("version"),
+        col("event_type"), round(col("value") + 1e-9, 2).as("value"),
+        date_format(col("ts"), TsFmt).as("valid_from"),
+        date_format(col("next_ts"), TsFmt).as("valid_to"),
+        col("next_ts").isNull.as("is_current"))
+    // untouched users' history comes from the base alone — identical
+    // to the rebuild because no batch row re-orders their windows
+    val untouched = history(baseRaw.join(touchedUsers, Seq("user_id"), "left_anti"))
+    val touched = history(
+      baseRaw.join(touchedUsers, Seq("user_id"), "left_semi").unionByName(batch))
+    untouched.unionByName(touched).orderBy(col("user_id"), col("version"))
+  }
+
   /** Zone-map data-skipping audit over the WRITTEN natural-order layout
     * ([[writtenLayouts]]) — per physical parquet file, min/max of the
     * predicate column and the rows a time-ranged scan actually matches,
@@ -1623,6 +1667,7 @@ object Analytics extends QueryPack {
     "q2_mincost" -> (q2 _),
     "q11_stockshare" -> (q11 _),
     "scd2_history" -> (scd2History _),
+    "scd2_merge" -> (scd2Merge _),
     "zonemap_prune" -> (zonemapPrune _),
     "layout_compaction" -> (layoutCompaction _),
     "layout_bloom_skip" -> (layoutBloomSkip _),
@@ -1935,6 +1980,16 @@ object Analytics extends QueryPack {
         |ORDER BY pr_norm DESC, p_partkey
         |LIMIT 20""".stripMargin,
     "scd2_history" ->
+      """SELECT user_id,
+        |  CAST(row_number() OVER w AS INT) AS version,
+        |  event_type, round(value + 1e-9, 2) AS value,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        |  strftime(lead(ts, 1) OVER w, '%Y-%m-%d %H:%M:%S') AS valid_to,
+        |  (lead(ts, 1) OVER w IS NULL) AS is_current
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, version""".stripMargin,
+    "scd2_merge" ->
       """SELECT user_id,
         |  CAST(row_number() OVER w AS INT) AS version,
         |  event_type, round(value + 1e-9, 2) AS value,

@@ -447,4 +447,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(total == Tables.events(spark, sf).count())
     drift.foreach(r => assert(!r.getAs[Double]("psi").isNaN))
   }
+
+  test("scd2_merge equals the full rebuild; every events scan is delta-predicated") {
+    val merged = Analytics.scd2Merge(spark, sf)
+    val got = merged.collect().map(_.toString).toSeq
+    val rebuild = Analytics.scd2History(spark, sf).collect().map(_.toString).toSeq
+    assert(got == rebuild, "merge must equal the rebuilt history")
+    // the base is a cached checkpoint; the only parquet reads of the
+    // events table are the batch legs, each with the cutoff pushed
+    val plan = merged.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("Scan ExistingRDD"), "expected the cached base in the plan")
+    val scanLines = plan.linesIterator
+      .filter(l => l.contains("events.parquet") && l.contains("FileScan")).toSeq
+    assert(scanLines.nonEmpty)
+    scanLines.foreach(l =>
+      assert(l.contains("GreaterThan"), s"events scan without the delta cutoff pushed:\n$l"))
+  }
 }
