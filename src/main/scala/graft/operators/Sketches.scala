@@ -450,8 +450,37 @@ object Sketches extends QueryPack {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** EXACT rolling 7-day distinct users by OR-MERGING daily bitmap
+    * words — [[eventsBitmapDistinct]]'s merge algebra exercised as a
+    * query, and the exact twin of [[eventsHllRolling]]: the corpus is
+    * touched ONCE (the daily word build); the rolling window then
+    * replays day t's words into targets t..t+6 and re-ORs — a 7×
+    * fan-out of the compact WORD frame (one long per populated 64-id
+    * chunk per day), never of the event stream (contrast the HLL
+    * key's exact-readout leg, which explodes hashed events 7×). This
+    * is how a 100 TB deployment serves "distinct users, trailing
+    * week, any day": daily bitmap segments merged at read time, no
+    * count-distinct re-scan.
+    */
+  def eventsBitmapRolling(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.events(spark, dir)
+      .select(expr("ts_ns div 86400000000000").as("day"), col("user_id"))
+      .groupBy(col("day"), expr("user_id div 64").as("bucket"))
+      .agg(bit_or(expr("shiftleft(1L, int(user_id % 64))")).as("word"))
+    val days = words.select(col("day")).distinct()
+    words
+      .withColumn("t", explode(sequence(col("day"), col("day") + 6)))
+      .join(broadcast(days.select(col("day").as("t"))), Seq("t"), "left_semi")
+      .groupBy(col("t"), col("bucket")).agg(bit_or(col("word")).as("word"))
+      .groupBy(col("t"))
+      .agg(sum(bit_count(col("word"))).as("n_users_7d"))
+      .select(col("t").as("day"), col("n_users_7d"))
+      .orderBy(col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_bitmap_distinct" -> (eventsBitmapDistinct _),
+    "events_bitmap_rolling" -> (eventsBitmapRolling _),
     "events_hll" -> (eventsHll _),
     "events_hll_rolling" -> (eventsHllRolling _),
     "events_kmv_overlap" -> (eventsKmvOverlap _),
@@ -461,6 +490,13 @@ object Sketches extends QueryPack {
     "events_cms" -> (eventsCms _))
 
   val oracles: Map[String, String] = Map(
+    "events_bitmap_rolling" ->
+      """WITH du AS (
+        | SELECT DISTINCT epoch_ns(ts) // 86400000000000 AS day, user_id FROM events),
+        |days AS (SELECT DISTINCT day FROM du)
+        |SELECT d.day, count(DISTINCT du.user_id) AS n_users_7d
+        |FROM days d JOIN du ON du.day BETWEEN d.day - 6 AND d.day
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "events_bitmap_distinct" ->
       """SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
         | count(DISTINCT user_id) AS n_users

@@ -580,7 +580,73 @@ object StreamingOps extends QueryPack {
       .orderBy(col("purchase_id"), col("view_id"))
   }
 
+  /** OR-merge one change batch into the bitmap-word serving table
+    * (store schema: k = "day:bucket", day, bucket, word). The partial
+    * words are combinable map-side aggregates of the batch alone; the
+    * merge touches ONLY the keys the batch populated (left join against
+    * the current snapshot — the delta-bounded half of MERGE), and OR is
+    * idempotent + commutative, so replayed micro-batches converge (the
+    * reference's merge-or-upload discipline applied to sketch state).
+    * Shared by the keyed batch fold ([[streamBitmap]]) and
+    * StreamingSpec's MemoryStream foreachBatch — the two execution
+    * strategies literally run this function.
+    */
+  def bitmapMergeBatch(store: graft.sources.IndexStore, batch: DataFrame): Unit = {
+    val partial = batch
+      .select(expr("ts_ns div 86400000000000").as("day"), col("user_id"))
+      .groupBy(col("day"), expr("user_id div 64").as("bucket"))
+      .agg(bit_or(expr("shiftleft(1L, int(user_id % 64))")).as("word"))
+      .withColumn("k", concat_ws(":", col("day"), col("bucket")))
+    val merged = store.read() match {
+      case Some(cur) =>
+        partial.join(cur.select(col("k"), col("word").as("prev")), Seq("k"), "left")
+          .select(col("k"), col("day"), col("bucket"),
+            coalesce(col("prev"), lit(0L)).bitwiseOR(col("word")).as("word"))
+      case None => partial.select(col("k"), col("day"), col("bucket"), col("word"))
+    }
+    store.mergeOrUpload(merged)
+    ()
+  }
+
+  /** Per-day EXACT distinct users served from an INCREMENTALLY
+    * MAINTAINED bitmap-word table: the change log replays as three
+    * time-ordered batches through [[bitmapMergeBatch]] into a versioned
+    * IndexStore (built once per snapshot), and the query POPCOUNTS the
+    * final snapshot — the 100 TB serving shape for "distinct users per
+    * day" (maintain kilobyte-per-day words as events arrive, never
+    * count-distinct re-scans). Oracle = the full-corpus distinct
+    * recompute, proving fold == rebuild; StreamingSpec proves the
+    * MemoryStream replay of the SAME merge function converges to the
+    * same table, including a replayed (at-least-once) batch.
+    */
+  def streamBitmap(spark: SparkSession, dir: String): DataFrame = {
+    def dayNs(d: String): Long =
+      java.time.Instant.parse(d).getEpochSecond * 1000000000L
+    val c1 = dayNs("2024-01-11T00:00:00Z")
+    val c2 = dayNs("2024-01-21T00:00:00Z")
+    val table = graft.sources.IndexCache.getOrBuild(spark, "bitmap_store", dir) {
+      val root = s"/tmp/graft_bitmapstore/${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val store = new graft.sources.IndexStore(spark, root, "k")
+      val ev = Tables.events(spark, dir)
+      def slice(cond: org.apache.spark.sql.Column): DataFrame =
+        ev.filter(cond).select(col("ts_ns"), col("user_id"))
+      Seq(
+        slice(Tables.tsBeforeNs(c1)),
+        slice(Tables.tsSinceNs(c1) && Tables.tsBeforeNs(c2)),
+        slice(Tables.tsSinceNs(c2)))
+        .foreach(b => bitmapMergeBatch(store, b))
+      store.read().get.localCheckpoint(true)
+    }
+    table.groupBy(col("day"))
+      .agg(sum(bit_count(col("word"))).as("n_users"))
+      .orderBy(col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_bitmap" -> (streamBitmap _),
     "stream_interval_join" -> (streamIntervalJoin _),
     "stream_asof" -> (streamAsof _),
     "stream_decay" -> (streamDecay _),
@@ -591,6 +657,10 @@ object StreamingOps extends QueryPack {
     "stream_dedup" -> (streamDedup _))
 
   val oracles: Map[String, String] = Map(
+    "stream_bitmap" ->
+      """SELECT epoch_ns(ts) // 86400000000000 AS day,
+        | count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // the SAME oracle as the window-formulated scd2_asof_lookup: two
     // independent execution strategies (state-machine fold vs window
     // forward-fill) gated against one declarative interval-join truth

@@ -507,4 +507,46 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("user_id") -> (r.getAs[Long]("n_sessions"), r.getAs[Long]("n_events"))).toMap
     assert(native == viaLag)
   }
+
+  test("streamed bitmap-word maintenance converges to the batch fold, replay-idempotent") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val dirS = java.nio.file.Files.createTempDirectory("graft_bm_store").toString + "/idx"
+    val dirC = java.nio.file.Files.createTempDirectory("graft_bm_ck").toString
+    val store = new graft.sources.IndexStore(spark, dirS, "k")
+
+    val rows = Tables.events(spark, sf)
+      .selectExpr("event_id", "ts_ns", "user_id", "event_type", "value")
+      .as[EventRow].collect().sortBy(e => (e.ts_ns, e.event_id))
+    val input = MemoryStream[EventRow]
+    val query = input.toDS().toDF().writeStream
+      .option("checkpointLocation", dirC)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!b.isEmpty) StreamingOps.bitmapMergeBatch(store, b)
+      }.start()
+    try {
+      val third = rows.length / 3
+      input.addData(rows.take(third).toSeq); query.processAllAvailable()
+      input.addData(rows.slice(third, 2 * third).toSeq); query.processAllAvailable()
+      input.addData(rows.drop(2 * third).toSeq); query.processAllAvailable()
+      // at-least-once delivery: re-merge an already-applied batch —
+      // OR is idempotent, the table must not change
+      val before = store.read().get.collect().map(_.toString).sorted
+      StreamingOps.bitmapMergeBatch(store,
+        spark.createDataset(rows.take(third).toSeq).toDF())
+      val after = store.read().get.collect().map(_.toString).sorted
+      assert(before.sameElements(after), "replayed batch must be a no-op")
+
+      val streamed = store.read().get
+        .groupBy(col("day"))
+        .agg(org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.bit_count(col("word"))).as("n_users"))
+        .collect().map(r => r.getAs[Long]("day") -> r.getAs[Long]("n_users")).toMap
+      val exact = Tables.events(spark, sf)
+        .selectExpr("ts_ns div 86400000000000 AS day", "user_id").distinct()
+        .groupBy(col("day")).count()
+        .collect().map(r => r.getAs[Long]("day") -> r.getAs[Long]("count")).toMap
+      assert(streamed == exact)
+    } finally query.stop()
+  }
 }
