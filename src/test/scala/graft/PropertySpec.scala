@@ -83,4 +83,47 @@ class PropertySpec extends SparkSpec {
       assert(r2.created == 0 && r2.modified == batch.length, s"seed=$seed")
     }
   }
+
+  test("jaro-winkler: symmetry, bounds, identity, and boost dominance on random strings") {
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    def jw(a: String, b: String): Double =
+      graft.expressions.JaroWinklerAlgo.sim(u(a), u(b))
+    for (seed <- 1 to 5) {
+      val rnd = new Random(seed)
+      def str(): String = rnd.alphanumeric.take(rnd.nextInt(15)).mkString
+      for (_ <- 1 to 200) {
+        val (a, b) = (str(), str())
+        val s = jw(a, b)
+        assert(s == jw(b, a), s"symmetry ('$a','$b')")      // window uses max/min of lengths
+        assert(s >= 0.0 && s <= 1.0, s"bounds ('$a','$b')")
+        if (a.nonEmpty) assert(jw(a, a) == 1.0, s"identity '$a'")
+        // the Winkler boost can only raise a similarity, never lower it
+        if (a.nonEmpty && b.nonEmpty && s > 0.7)
+          assert(s >= jwNoBoostFloor(a, b) - 1e-12)
+      }
+    }
+    // bounds used by search_fuzzy_jw's partition prune: jw >= 0.9
+    // forces min/max length ratio >= 0.5 — no random pair may violate it
+    for (seed <- 6 to 8) {
+      val rnd = new Random(seed)
+      def str(n: Int): String = Seq.fill(n)(('a' + rnd.nextInt(6)).toChar).mkString
+      for (_ <- 1 to 500) {
+        val a = str(1 + rnd.nextInt(12)); val b = str(1 + rnd.nextInt(12))
+        if (jw(a, b) >= 0.9)
+          assert(math.min(a.length, b.length) * 2 >= math.max(a.length, b.length),
+            s"length-ratio bound violated by ('$a','$b')")
+      }
+    }
+  }
+
+  /** jaro component alone (strip the max possible boost) — a floor for
+    * the boosted value.
+    */
+  private def jwNoBoostFloor(a: String, b: String): Double = {
+    val s = graft.expressions.JaroWinklerAlgo.sim(
+      org.apache.spark.unsafe.types.UTF8String.fromString(a),
+      org.apache.spark.unsafe.types.UTF8String.fromString(b))
+    // invert jw = j + 0.1p(1-j) at worst-case p=4: j = (jw-0.4)/0.6
+    math.min(s, (s - 0.4) / 0.6)
+  }
 }
