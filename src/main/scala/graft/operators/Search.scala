@@ -426,6 +426,27 @@ object Search extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** Proximity (slop) phrase query — Lucene's `"t1 t2"~slop` over the
+    * SAME persisted positional layout as [[searchPhrase]]: each term's
+    * `tok_prefix` directory prunes at planning time, `tok` pushes to
+    * row groups, and the proximity test is the positional-list merge
+    * with a RANGE residual (pos₂ − pos₁ ∈ [1, slop+1] — ordered
+    * proximity) instead of exact adjacency. Probe cost stays the two
+    * terms' on-disk lists at any corpus size; n_hits counts the
+    * qualifying position pairs per doc.
+    */
+  def searchPhraseSlop(spark: SparkSession, dir: String): DataFrame = {
+    val (t1, t2, slop) = ("key", "row", 2)
+    val p = TextIndex.postingsPosStdPersisted(spark, dir)
+    def termList(t: String, pc: String) =
+      p.filter(col("tok_prefix") === TextIndex.prefixOf(t) && col("tok") === t)
+        .select(col("doc_id"), col("pos").as(pc))
+    termList(t1, "p1").join(termList(t2, "p2"), Seq("doc_id"))
+      .filter(col("p2") - col("p1") >= 1 && col("p2") - col("p1") <= slop + 1)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+      .orderBy(col("doc_id"))
+  }
+
   /** BM25 over the DISK-PERSISTED prefix-partitioned posting list
     * ([[graft.sources.TextIndex.postingsStdPersisted]]) — the lake
     * form of [[searchScoreBm25]]'s in-memory probe, and the proof the
@@ -620,6 +641,7 @@ object Search extends QueryPack {
     "search_more_like_this" -> (searchMoreLikeThis _),
     "search_multifield" -> (searchMultiField _),
     "search_phrase" -> (searchPhrase _),
+    "search_phrase_slop" -> (searchPhraseSlop _),
     "search_bm25_persisted" -> (searchBm25Persisted _),
     "search_incremental" -> (searchIncremental _),
     "search_fuzzy" -> (searchFuzzy _),
@@ -804,6 +826,21 @@ object Search extends QueryPack {
         | FROM d)
         |SELECT doc_id, CAST(n_hits AS BIGINT) AS n_hits
         |FROM p WHERE n_hits > 0 ORDER BY doc_id""".stripMargin,
+    "search_phrase_slop" ->
+      """WITH d AS (
+        | SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS w
+        | FROM documents),
+        |pos1 AS (
+        | SELECT doc_id, unnest(list_filter(range(len(w)), i -> w[i + 1] = 'key')) AS p
+        | FROM d),
+        |pos2 AS (
+        | SELECT doc_id, unnest(list_filter(range(len(w)), i -> w[i + 1] = 'row')) AS p
+        | FROM d)
+        |SELECT p1.doc_id, count(*) AS n_hits
+        |FROM pos1 p1 JOIN pos2 p2
+        | ON p2.doc_id = p1.doc_id AND p2.p - p1.p BETWEEN 1 AND 3
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "search_bm25_persisted" -> bm25OracleSql,
     "search_incremental" ->
       """WITH toks AS (

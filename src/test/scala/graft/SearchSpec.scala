@@ -505,4 +505,23 @@ class SearchSpec extends SparkSpec {
     val plan = Search.searchMultiField(spark, sf).queryExecution.executedPlan.toString
     assert(!plan.contains("documents.parquet"), s"corpus re-scan in multifield plan:\n$plan")
   }
+
+  test("slop phrase: ordered near-pair counts equal a direct text recount, prune holds") {
+    val rows = Search.searchPhraseSlop(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val hit = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    texts.foreach { case (id, text) =>
+      val w = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      val p1 = w.zipWithIndex.collect { case ("key", i) => i }
+      val p2 = w.zipWithIndex.collect { case ("row", i) => i }.toSet
+      val n = p1.map(i => (1 to 3).count(d => p2(i + d))).sum.toLong
+      assert(hit.getOrElse(id, 0L) == n, s"doc $id")
+    }
+    // the probe prunes to the two terms' prefix directories
+    val plan = Search.searchPhraseSlop(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("tok_prefix"), "expected tok_prefix pruning in the slop probe")
+    assert(!plan.contains("documents.parquet"), "slop probe must not rescan the corpus")
+  }
 }
