@@ -29,12 +29,18 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object JaroWinklerAlgo {
 
-  /** Static entry point shared by eval and generated code. */
+  /** Static entry point shared by eval and generated code.
+    *
+    * CALIBRATION SCOPE: comparison is per UTF-16 char, DuckDB's
+    * jaro_winkler_similarity is per byte. On ASCII the two units
+    * coincide, and the 4000-pair fuzz calibration in JaroWinklerSpec
+    * runs on ASCII input — so DuckDB-identical semantics are claimed
+    * (and SQL-registered) for ASCII strings only. Multi-byte input
+    * changes l1/l2 and the match window differently per engine; the
+    * engine's dictionary/name columns are ASCII, so the keyed queries
+    * never leave the calibrated regime.
+    */
   def sim(a: UTF8String, b: UTF8String): Double = {
-    // UTF-16 char comparison; the engine's dictionary/name columns are
-    // ASCII so this agrees with DuckDB's byte-wise comparison (both
-    // degrade the same way only for identical bytes, which is what
-    // equality needs).
     val s1 = a.toString
     val s2 = b.toString
     val l1 = s1.length
@@ -80,6 +86,51 @@ object JaroWinklerAlgo {
       while (p < pMax && s1.charAt(p) == s2.charAt(p)) p += 1
       jaro + 0.1 * p * (1.0 - jaro)
     }
+  }
+
+  /** The jaro component alone — [[sim]] without the Winkler prefix
+    * boost. Not on any query path; PropertySpec uses it to assert the
+    * boost-dominance property (boosted >= unboosted) against the REAL
+    * unboosted value rather than an algebraic floor.
+    */
+  def jaroOnly(a: UTF8String, b: UTF8String): Double = {
+    val s1 = a.toString
+    val s2 = b.toString
+    val l1 = s1.length
+    val l2 = s2.length
+    if (l1 == 0 || l2 == 0) return 0.0
+    val window = math.max(0, math.max(l1, l2) / 2 - 1)
+    val m1 = new Array[Boolean](l1)
+    val m2 = new Array[Boolean](l2)
+    var matches = 0
+    var i = 0
+    while (i < l1) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(l2 - 1, i + window)
+      var j = lo
+      var found = false
+      while (j <= hi && !found) {
+        if (!m2(j) && s1.charAt(i) == s2.charAt(j)) {
+          m1(i) = true; m2(j) = true; matches += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (matches == 0) return 0.0
+    var t = 0
+    var k = 0
+    i = 0
+    while (i < l1) {
+      if (m1(i)) {
+        while (!m2(k)) k += 1
+        if (s1.charAt(i) != s2.charAt(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    val m = matches.toDouble
+    (m / l1 + m / l2 + (m - t / 2) / m) / 3.0
   }
 }
 

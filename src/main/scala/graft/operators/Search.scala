@@ -188,13 +188,23 @@ object Search extends QueryPack {
     */
   def searchHybridRrf(spark: SparkSession, dir: String): DataFrame = {
     val RrfK = 60.0
+    // both rank frames are ≤50-row index-probe results, so a global
+    // window is safe — partitionBy(lit(0)) states that explicitly:
+    // identical execution (every row in one hash partition) but a
+    // non-empty partition spec, so the "No Partition Defined" warning
+    // never fires and PlanAuditSpec can gate that NO registered query
+    // plans a partitionless window (a real global-window accident on a
+    // corpus-sized frame now fails the build instead of hiding among
+    // whitelisted warnings)
     val lex = searchScoreBm25(spark, dir)
       .withColumn("bm25_rank",
-        row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
+        row_number().over(Window.partitionBy(lit(0))
+          .orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
       .select(col("doc_id"), col("bm25_rank"))
     val vec = graft.operators.Similarity.annIvf(spark, dir)
       .withColumn("vec_rank",
-        row_number().over(Window.orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+        row_number().over(Window.partitionBy(lit(0))
+          .orderBy(col("cos").desc, col("vec_id"))).cast("long"))
       .select(col("vec_id").as("doc_id"), col("vec_rank"))
     lex.join(vec, Seq("doc_id"), "full_outer")
       .select(col("doc_id"), col("bm25_rank"), col("vec_rank"),

@@ -201,7 +201,7 @@ object Similarity extends QueryPack {
     val suffix = if (probes == 1) "cells" else s"cells_p$probes"
     graft.sources.IndexCache.getOrBuild(spark, s"ivf_cells_disk_p$probes", dir) {
       val (cells, _) = cellIndex(spark, dir, probes)
-      val out = s"/tmp/graft_ivfindex/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/$suffix"
+      val out = s"${graft.sources.IndexCache.layoutRoot(spark, "graft_ivfindex", dir)}/$suffix"
       val data = cells.join(Tables.embeddings(spark, dir), Seq("vec_id"))
         .select(col("cell"), col("vec_id"), col("label"), col("embedding"))
       data.repartition(col("cell"))

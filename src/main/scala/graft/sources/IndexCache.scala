@@ -63,4 +63,18 @@ object IndexCache {
 
   /** Drop every cached index (all snapshots, all kinds). */
   def invalidate(): Unit = cache.clear()
+
+  /** Per-JVM disk root for a derived layout family
+    * (`/tmp/<family>/<appId>/<sanitized dir>`): the applicationId
+    * component guarantees two JVMs building against the same snapshot
+    * can never overwrite — or rm -rf — each other's files mid-build.
+    * Cross-JVM disk reuse was never exploited anyway: IndexCache is
+    * empty at JVM start, so every session rebuilt its layouts
+    * (mode=overwrite) regardless.
+    */
+  def layoutRoot(spark: SparkSession, family: String, dir: String): String = {
+    val app = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9.-]", "_")
+    val d = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    s"/tmp/$family/$app/$d"
+  }
 }

@@ -136,7 +136,7 @@ object TextIndex {
     */
   private def persistByPrefix(spark: SparkSession, built: DataFrame,
       dir: String, name: String, sortCols: Seq[String]): DataFrame = {
-    val out = s"/tmp/graft_textindex/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/$name"
+    val out = s"${IndexCache.layoutRoot(spark, "graft_textindex", dir)}/$name"
     val data = built.withColumn("tok_prefix",
       coalesce(nullif(substring(col("tok"), 1, 1), lit("")), lit("_")))
     data.repartition(col("tok_prefix"))
@@ -185,7 +185,7 @@ object TextIndex {
   def vocabWsPersisted(spark: SparkSession, dir: String): DataFrame = {
     val built = vocabWs(spark, dir)
     IndexCache.getOrBuild(spark, "text_vocab_ws_disk", dir) {
-      val out = s"/tmp/graft_textindex/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/vocab_ws"
+      val out = s"${IndexCache.layoutRoot(spark, "graft_textindex", dir)}/vocab_ws"
       val data = built.withColumn("tok_len", length(col("tok")).cast("int"))
       data.repartition(col("tok_len"))
         .sortWithinPartitions(col("tok_len"), col("tok"))

@@ -625,7 +625,7 @@ object StreamingOps extends QueryPack {
     val c1 = dayNs("2024-01-11T00:00:00Z")
     val c2 = dayNs("2024-01-21T00:00:00Z")
     val table = graft.sources.IndexCache.getOrBuild(spark, "bitmap_store", dir) {
-      val root = s"/tmp/graft_bitmapstore/${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      val root = graft.sources.IndexCache.layoutRoot(spark, "graft_bitmapstore", dir)
       val p = new org.apache.hadoop.fs.Path(root)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) fs.delete(p, true)

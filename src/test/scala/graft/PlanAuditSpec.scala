@@ -31,4 +31,25 @@ class PlanAuditSpec extends SparkSpec {
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
+
+  test("no registered query plans a partitionless window") {
+    // every deliberate global window in the repo runs over a bounded
+    // (≤O(k)-row) frame and declares itself with partitionBy(lit(0)) —
+    // identical execution, non-empty partition spec. So ANY window
+    // with an empty partitionSpec surviving to the optimized plan is a
+    // corpus-sized single-task sort accident, the exact failure mode
+    // the WindowExec "No Partition Defined" warning exists to flag —
+    // enforced here instead of warning-log review.
+    val offenders = scala.collection.mutable.ArrayBuffer[String]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val bad = fn(spark, sf).queryExecution.optimizedPlan.collectWithSubqueries {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window
+              if w.partitionSpec.isEmpty => w
+        }
+        if (bad.nonEmpty) offenders += s"$name: ${bad.size} partitionless Window node(s)"
+      } catch { case e: Throwable => offenders += s"$name: plan build failed: ${e.getMessage}" }
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
 }

@@ -97,9 +97,12 @@ class PropertySpec extends SparkSpec {
         assert(s == jw(b, a), s"symmetry ('$a','$b')")      // window uses max/min of lengths
         assert(s >= 0.0 && s <= 1.0, s"bounds ('$a','$b')")
         if (a.nonEmpty) assert(jw(a, a) == 1.0, s"identity '$a'")
-        // the Winkler boost can only raise a similarity, never lower it
-        if (a.nonEmpty && b.nonEmpty && s > 0.7)
-          assert(s >= jwNoBoostFloor(a, b) - 1e-12)
+        // the Winkler boost can only raise a similarity, never lower
+        // it — compared against the REAL unboosted jaro component, not
+        // a derived floor (min(s, f(s)) <= s held tautologically)
+        if (a.nonEmpty && b.nonEmpty)
+          assert(s >= graft.expressions.JaroWinklerAlgo.jaroOnly(u(a), u(b)) - 1e-12,
+            s"boost dominance ('$a','$b')")
       }
     }
     // bounds used by search_fuzzy_jw's partition prune: jw >= 0.9
@@ -116,14 +119,4 @@ class PropertySpec extends SparkSpec {
     }
   }
 
-  /** jaro component alone (strip the max possible boost) — a floor for
-    * the boosted value.
-    */
-  private def jwNoBoostFloor(a: String, b: String): Double = {
-    val s = graft.expressions.JaroWinklerAlgo.sim(
-      org.apache.spark.unsafe.types.UTF8String.fromString(a),
-      org.apache.spark.unsafe.types.UTF8String.fromString(b))
-    // invert jw = j + 0.1p(1-j) at worst-case p=4: j = (jw-0.4)/0.6
-    math.min(s, (s - 0.4) / 0.6)
-  }
 }
