@@ -32,6 +32,24 @@ import org.apache.spark.sql.functions._
   */
 object Ranks {
 
+  /** Row number over a PROVEN-BOUNDED frame — the caller guarantees an
+    * upstream `.limit(k)` (index-probe results, top-k pages), so a
+    * single task is the CORRECT plan, not an accident. Implemented
+    * with zero Window nodes: coalesce to one partition, sort within
+    * it, then number rows by `monotonically_increasing_id` (partition
+    * index 0 → ids are exactly 0..n−1 in iteration order, which IS the
+    * sorted order; the id expression is nondeterministic, so Catalyst's
+    * EliminateSorts cannot drop the sort under it). This keeps the
+    * plan-audit invariant absolute — ANY partitionless Window in an
+    * optimized plan is a corpus-sized single-task accident — with no
+    * "the optimizer never folds my constant partition key" assumption
+    * (it does fold `lit(0)`, which is how round 11's gate went red).
+    */
+  def boundedRowNumber(df: DataFrame,
+      order: Seq[org.apache.spark.sql.Column], outCol: String): DataFrame =
+    df.coalesce(1).sortWithinPartitions(order: _*)
+      .withColumn(outCol, monotonically_increasing_id() + 1)
+
   /** Distributed global running total of `valueCol` in `orderCol`
     * order — the same three-step shape as [[globalRowNumber]] (range
     * partition → per-partition running sum → broadcast prefix of the
@@ -60,16 +78,18 @@ object Ranks {
         .withColumn("_lcs",
           sum(col(valueCol)).over(Window.partitionBy(col("_pid")).orderBy(col(orderCol))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      // ≤`partitions`-row frame: the constant partition key keeps the
-      // single-task window but gives it a non-empty partition spec (no
-      // "No Partition Defined" warning; PlanAuditSpec gates that no
-      // registered query plans a truly partitionless window)
-      val offsets = local.groupBy(col("_pid")).agg(sum(col(valueCol)).as("_s"))
-        .withColumn("_off", coalesce(
-          sum(col("_s")).over(Window.partitionBy(lit(0))
-            .orderBy(col("_pid")).rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0.0)))
-        .select(col("_pid"), col("_off"))
+      // prefix sum of the ≤`partitions`-row subtotal frame WITHOUT a
+      // window: _off(p) = Σ subtotals of partitions before p, as a
+      // broadcast non-equi self-join (≤32×32 BroadcastNestedLoopJoin).
+      // The earlier partitionBy(lit(0)) window formulation was
+      // optimizer-fragile — Catalyst folds the literal partition key
+      // away, leaving the partitionless WindowExec the plan gate
+      // (PlanAuditSpec) exists to forbid.
+      val subs = local.groupBy(col("_pid")).agg(sum(col(valueCol)).as("_s"))
+      val offsets = subs.as("a")
+        .join(broadcast(subs.as("b")), col("b._pid") < col("a._pid"), "left_outer")
+        .groupBy(col("a._pid").as("_pid"))
+        .agg(coalesce(sum(col("b._s")), lit(0.0)).as("_off"))
       local.join(broadcast(offsets), Seq("_pid"))
         .withColumn(outCol, col("_lcs") + col("_off"))
         .drop("_pid", "_lcs", "_off")
@@ -84,15 +104,14 @@ object Ranks {
         .withColumn("_pid", spark_partition_id())
         .withColumn("_lrn",
           row_number().over(Window.partitionBy(col("_pid")).orderBy(col(orderCol))))
-      // prefix-sum of partition counts: ≤`partitions` rows — constant
-      // partition key = same single-task window, non-empty partition
-      // spec (see globalCumSum)
-      val offsets = local.groupBy(col("_pid")).agg(count(lit(1)).as("_cnt"))
-        .withColumn("_off", coalesce(
-          sum(col("_cnt")).over(Window.partitionBy(lit(0))
-            .orderBy(col("_pid")).rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-        .select(col("_pid"), col("_off"))
+      // prefix-sum of partition counts: ≤`partitions` rows, computed as
+      // a broadcast non-equi self-join instead of a window (see
+      // globalCumSum for why the windowed formulation was dropped)
+      val counts = local.groupBy(col("_pid")).agg(count(lit(1)).as("_cnt"))
+      val offsets = counts.as("a")
+        .join(broadcast(counts.as("b")), col("b._pid") < col("a._pid"), "left_outer")
+        .groupBy(col("a._pid").as("_pid"))
+        .agg(coalesce(sum(col("b._cnt")), lit(0L)).as("_off"))
       // one action: both the offsets agg and the join probe read the one
       // persisted placement; localCheckpoint(eager) freezes the result so
       // later actions replay blocks, not the sampled partitioner

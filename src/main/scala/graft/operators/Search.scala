@@ -182,29 +182,25 @@ object Search extends QueryPack {
     * lexical leg reads the query terms' posting lists from the cached
     * [[graft.sources.TextIndex]], the vector leg probes the cached IVF
     * lists — and the fusion itself joins two ≤50-row frames, so the
-    * global rank windows and the full-outer join are constant-size
+    * single-task rank numbering and the full-outer join are constant-size
     * driver-scale work regardless of corpus size; at 100 TB the cost
     * of hybrid search is exactly the two index probes.
     */
   def searchHybridRrf(spark: SparkSession, dir: String): DataFrame = {
     val RrfK = 60.0
-    // both rank frames are ≤50-row index-probe results, so a global
-    // window is safe — partitionBy(lit(0)) states that explicitly:
-    // identical execution (every row in one hash partition) but a
-    // non-empty partition spec, so the "No Partition Defined" warning
-    // never fires and PlanAuditSpec can gate that NO registered query
-    // plans a partitionless window (a real global-window accident on a
-    // corpus-sized frame now fails the build instead of hiding among
-    // whitelisted warnings)
-    val lex = searchScoreBm25(spark, dir)
-      .withColumn("bm25_rank",
-        row_number().over(Window.partitionBy(lit(0))
-          .orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
+    // both rank frames are ≤50-row index-probe results (each leg ends
+    // in an explicit limit), so single-task ranking is the CORRECT
+    // plan — computed by [[graft.functions.Ranks.boundedRowNumber]]
+    // with zero Window nodes, so PlanAuditSpec's invariant stays
+    // absolute: any partitionless Window in an optimized plan is a
+    // corpus-sized single-task accident
+    val lex = graft.functions.Ranks.boundedRowNumber(
+        searchScoreBm25(spark, dir),
+        Seq(col("bm25").desc, col("doc_id")), "bm25_rank")
       .select(col("doc_id"), col("bm25_rank"))
-    val vec = graft.operators.Similarity.annIvf(spark, dir)
-      .withColumn("vec_rank",
-        row_number().over(Window.partitionBy(lit(0))
-          .orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+    val vec = graft.functions.Ranks.boundedRowNumber(
+        graft.operators.Similarity.annIvf(spark, dir),
+        Seq(col("cos").desc, col("vec_id")), "vec_rank")
       .select(col("vec_id").as("doc_id"), col("vec_rank"))
     lex.join(vec, Seq("doc_id"), "full_outer")
       .select(col("doc_id"), col("bm25_rank"), col("vec_rank"),

@@ -33,13 +33,17 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("no registered query plans a partitionless window") {
-    // every deliberate global window in the repo runs over a bounded
-    // (≤O(k)-row) frame and declares itself with partitionBy(lit(0)) —
-    // identical execution, non-empty partition spec. So ANY window
-    // with an empty partitionSpec surviving to the optimized plan is a
+    // the repo has NO deliberate partitionless windows: every global
+    // rank/prefix-sum runs either over a proven-bounded frame via
+    // Ranks.boundedRowNumber (no Window node) or as a broadcast
+    // prefix-sum self-join (Ranks offsets). So ANY window with an
+    // empty partitionSpec surviving to the OPTIMIZED plan is a
     // corpus-sized single-task sort accident, the exact failure mode
     // the WindowExec "No Partition Defined" warning exists to flag —
-    // enforced here instead of warning-log review.
+    // enforced here instead of warning-log review. (Round 11 tried
+    // declaring bounded windows with partitionBy(lit(0)); Catalyst
+    // constant-folds the literal key away, so the gate inspects the
+    // optimized plan and the convention is: don't plan them at all.)
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
