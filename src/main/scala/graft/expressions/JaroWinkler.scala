@@ -43,6 +43,30 @@ object JaroWinklerAlgo {
   def sim(a: UTF8String, b: UTF8String): Double = {
     val s1 = a.toString
     val s2 = b.toString
+    val jaro = jaroKernel(s1, s2)
+    if (jaro <= 0.7) jaro
+    else {
+      var p = 0
+      val pMax = math.min(4, math.min(s1.length, s2.length))
+      while (p < pMax && s1.charAt(p) == s2.charAt(p)) p += 1
+      jaro + 0.1 * p * (1.0 - jaro)
+    }
+  }
+
+  /** The jaro component alone — [[sim]] without the Winkler prefix
+    * boost. Not on any query path; PropertySpec uses it to assert the
+    * boost-dominance property (boosted >= unboosted) against the REAL
+    * unboosted value rather than an algebraic floor. Shares
+    * [[jaroKernel]] with [[sim]] by construction, so the two cannot
+    * drift (which would invalidate that test's premise).
+    */
+  def jaroOnly(a: UTF8String, b: UTF8String): Double =
+    jaroKernel(a.toString, b.toString)
+
+  /** The shared match/transposition kernel: plain Jaro similarity.
+    * 0.0 when either side is empty or nothing matches.
+    */
+  private def jaroKernel(s1: String, s2: String): Double = {
     val l1 = s1.length
     val l2 = s2.length
     if (l1 == 0 || l2 == 0) return 0.0
@@ -66,58 +90,6 @@ object JaroWinklerAlgo {
     }
     if (matches == 0) return 0.0
     // transpositions: walk matched chars of both strings in order
-    var t = 0
-    var k = 0
-    i = 0
-    while (i < l1) {
-      if (m1(i)) {
-        while (!m2(k)) k += 1
-        if (s1.charAt(i) != s2.charAt(k)) t += 1
-        k += 1
-      }
-      i += 1
-    }
-    val m = matches.toDouble
-    val jaro = (m / l1 + m / l2 + (m - t / 2) / m) / 3.0
-    if (jaro <= 0.7) jaro
-    else {
-      var p = 0
-      val pMax = math.min(4, math.min(l1, l2))
-      while (p < pMax && s1.charAt(p) == s2.charAt(p)) p += 1
-      jaro + 0.1 * p * (1.0 - jaro)
-    }
-  }
-
-  /** The jaro component alone — [[sim]] without the Winkler prefix
-    * boost. Not on any query path; PropertySpec uses it to assert the
-    * boost-dominance property (boosted >= unboosted) against the REAL
-    * unboosted value rather than an algebraic floor.
-    */
-  def jaroOnly(a: UTF8String, b: UTF8String): Double = {
-    val s1 = a.toString
-    val s2 = b.toString
-    val l1 = s1.length
-    val l2 = s2.length
-    if (l1 == 0 || l2 == 0) return 0.0
-    val window = math.max(0, math.max(l1, l2) / 2 - 1)
-    val m1 = new Array[Boolean](l1)
-    val m2 = new Array[Boolean](l2)
-    var matches = 0
-    var i = 0
-    while (i < l1) {
-      val lo = math.max(0, i - window)
-      val hi = math.min(l2 - 1, i + window)
-      var j = lo
-      var found = false
-      while (j <= hi && !found) {
-        if (!m2(j) && s1.charAt(i) == s2.charAt(j)) {
-          m1(i) = true; m2(j) = true; matches += 1; found = true
-        }
-        j += 1
-      }
-      i += 1
-    }
-    if (matches == 0) return 0.0
     var t = 0
     var k = 0
     i = 0

@@ -1531,21 +1531,43 @@ object Analytics extends QueryPack {
     * space, score only within blocks). Blocking key = any shared
     * word: prefix blocking would miss the corpus's own best matches
     * ('cold widget' ↔ 'old widget' — first chars differ), the
-    * textbook argument for multi-pass/token blocking. Scale shape:
-    * linkage runs on the DISTINCT-name frame (the representative
-    * collapse the SimHash rebuild uses) — catalog name vocabularies
-    * are bounded while the entity table grows, so candidate
-    * generation is |names|-sized at any SF and each accepted pair is
-    * enriched with its sides' entity support counts from one
-    * aggregate. The scorer is the codegen'd
+    * textbook argument for multi-pass/token blocking. STOP-TOKEN CAP:
+    * tokens with document frequency > [[LinkDfCap]] are excluded from
+    * blocking (the standard token-blocking guard — Papadakis et al.'s
+    * block purging), because candidate volume is Σ_tok df(tok)²:
+    * one ubiquitous token ('widget' in every name) alone would make
+    * the candidate space quadratic in the vocabulary. With the cap,
+    * candidates ≤ cap · Σ df = cap · O(token occurrences) — linear in
+    * the name vocabulary at any scale; pairs whose ONLY shared token
+    * is a stop token are deliberately skipped (the classic recall
+    * trade: τ = 0.9 near-duplicates share their rare tokens too).
+    * The stop list itself is provably ≤ Σdf/cap entries — broadcast.
+    * Scale shape: linkage runs on the DISTINCT-name frame (the
+    * representative collapse the SimHash rebuild uses) — catalog name
+    * vocabularies are bounded while the entity table grows, and each
+    * accepted pair is enriched with its sides' entity support counts
+    * from one aggregate. The scorer is the codegen'd
     * [[graft.expressions.JaroWinkler]] kernel at τ = 0.9.
     */
-  def linkPartNames(spark: SparkSession, dir: String): DataFrame = {
-    val names = Tables.part(spark, dir)
-      .groupBy(col("p_name")).agg(count(lit(1)).as("n"))
+  def linkPartNames(spark: SparkSession, dir: String): DataFrame =
+    linkNamesFrom(Tables.part(spark, dir)
+      .groupBy(col("p_name")).agg(count(lit(1)).as("n")))
+
+  private[graft] val LinkDfCap = 64
+
+  /** The token-blocking + JW-verification kernel over any
+    * (p_name, n) frame — split out so the spec can prove the stop-token
+    * cap on a synthetic vocabulary where one token's df exceeds
+    * [[LinkDfCap]] (the shipped corpora max out at df = 8, so the cap
+    * is inert there and the oracle gates the uncapped semantics).
+    */
+  private[graft] def linkNamesFrom(names: DataFrame): DataFrame = {
     val toks = names.select(col("p_name"),
       explode(split(col("p_name"), " ")).as("tok"))
-    val cand = toks.as("a").join(toks.as("b"),
+    val stop = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > LinkDfCap).select(col("tok"))
+    val kept = toks.join(broadcast(stop), Seq("tok"), "left_anti")
+    val cand = kept.as("a").join(kept.as("b"),
         col("a.tok") === col("b.tok") && col("a.p_name") < col("b.p_name"))
       .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"))
       .distinct()
@@ -1579,6 +1601,11 @@ object Analytics extends QueryPack {
       if (fs.exists(loc)) fs.delete(loc, true)
       graft.sources.Bucketing.saveBucketed(
         Tables.load(spark, dir, src).select(cols.map(col): _*), name, key, buckets = 16)
+      // same exit-time GC as the /tmp layout roots: the per-app table
+      // DIRECTORY would otherwise outlive the JVM (the in-memory
+      // catalog entry dies with it) and accumulate across sessions;
+      // the defensive drop above still covers kill -9 leftovers
+      graft.sources.IndexCache.registerGcPath(loc.toUri.getPath)
       spark.table(name)
     }
   }
@@ -1723,8 +1750,11 @@ object Analytics extends QueryPack {
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "link_part_names" ->
-      """WITH names AS (SELECT p_name, count(*) AS n FROM part GROUP BY 1),
-        |toks AS (SELECT p_name, unnest(string_split(p_name, ' ')) AS tok FROM names),
+      s"""WITH names AS (SELECT p_name, count(*) AS n FROM part GROUP BY 1),
+        |toks0 AS (SELECT p_name, unnest(string_split(p_name, ' ')) AS tok FROM names),
+        |toks AS (
+        | SELECT p_name, tok FROM toks0
+        | QUALIFY count(*) OVER (PARTITION BY tok) <= $LinkDfCap),
         |cand AS (
         | SELECT DISTINCT a.p_name AS name_a, b.p_name AS name_b
         | FROM toks a JOIN toks b ON a.tok = b.tok AND a.p_name < b.p_name)

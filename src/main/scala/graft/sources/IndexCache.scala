@@ -71,10 +71,42 @@ object IndexCache {
     * Cross-JVM disk reuse was never exploited anyway: IndexCache is
     * empty at JVM start, so every session rebuilt its layouts
     * (mode=overwrite) regardless.
+    *
+    * GC: every per-app root is registered with [[registerGcPath]] and
+    * deleted by a JVM shutdown hook — normal exits leave nothing
+    * behind, so repeated sessions don't accumulate dead layout trees.
+    * A kill -9 still leaks its root (deliberately: pruning SIBLING
+    * appIds at startup would reintroduce the exact cross-JVM rm -rf
+    * race the per-app naming closed — a live sibling's layouts look
+    * identical to a crashed one's), bounded by /tmp's host lifetime.
     */
   def layoutRoot(spark: SparkSession, family: String, dir: String): String = {
     val app = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9.-]", "_")
     val d = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    registerGcPath(s"/tmp/$family/$app")
     s"/tmp/$family/$app/$d"
+  }
+
+  /** Register a LOCAL filesystem path (this JVM's own scratch — layout
+    * roots, per-app bucketed-table locations) for recursive deletion at
+    * JVM exit. Idempotent; safe to call from executor-side-free driver
+    * code only.
+    */
+  def registerGcPath(path: String): Unit = {
+    gcPaths.add(path)
+    gcHookInstalled // force the lazy registration exactly once
+  }
+
+  private val gcPaths = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private lazy val gcHookInstalled: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      gcPaths.forEach(p => deleteRecursively(new java.io.File(p)))
+    }, "graft-layout-gc"))
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRecursively)
+    f.delete(): Unit
   }
 }

@@ -67,6 +67,32 @@ class JaroWinklerSpec extends SparkSpec {
       "expected at least one cross-prefix linked pair")
   }
 
+  test("link blocking: stop-token cap drops ubiquitous-token candidates, keeps rare-token pairs") {
+    import spark.implicits._
+    // 'common' appears in 66 names (> LinkDfCap = 64) → stop token.
+    // The two 'common abcdefghN' names are JW-similar ABOVE τ but share
+    // ONLY the stop token — the cap must drop them at BLOCKING time
+    // (that is what bounds candidates to cap·Σdf ~ linear at 100× the
+    // vocabulary). 'cold widget'/'old widget' share the rare token
+    // 'widget' (df = 2 ≤ cap) and must still link.
+    val filler = (0 until 64).map(i => (s"common u${i}x", 1L))
+    val names = (filler ++ Seq(
+      ("common abcdefgh1", 1L), ("common abcdefgh2", 1L),
+      ("cold widget", 1L), ("old widget", 1L)))
+      .toDF("p_name", "n")
+    val out = operators.Analytics.linkNamesFrom(names).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // the dropped pair WOULD clear the score threshold — prove the
+    // absence is the blocker's doing, not the verifier's
+    val jwRow = names.sparkSession.sql(
+      "SELECT jaro_winkler('common abcdefgh1', 'common abcdefgh2') AS s").collect()
+    assert(jwRow(0).getDouble(0) >= 0.9)
+    assert(!out.contains(("common abcdefgh1", "common abcdefgh2")),
+      s"stop-token pair should be blocked out: $out")
+    assert(out.contains(("cold widget", "old widget")),
+      s"rare-token pair must survive the cap: $out")
+  }
+
   test("search_fuzzy_jw suggests the intended corrections, pruning by length band") {
     val out = operators.Search.searchFuzzyJw(spark, sf).collect()
     assert(out.nonEmpty)

@@ -32,11 +32,20 @@ class SketchesSpec extends SparkSpec {
   }
 
   test("KMV overlap: small-range fallback is exact; estimator path lands in the error band") {
-    // shipped corpus: every type has < k distinct users, so the sketch
-    // IS the set and every estimate must equal the exact overlap
-    Sketches.eventsKmvOverlap(spark, sf).collect().foreach { r =>
-      assert(r.getAs[Double]("est_overlap") == r.getAs[Long]("exact_overlap").toDouble,
-        s"complete sketch not exact: $r")
+    // accuracy gate lives HERE, against the spec-side exact reference
+    // (Sketches.exactOverlapOf) — the serving path never rescans the
+    // corpus for an accuracy column. Shipped corpus: every type has
+    // < k distinct users, so the sketch IS the set and every estimate
+    // must equal the exact overlap.
+    val ev = Tables.events(spark, sf).select(col("event_type"), col("user_id"))
+    val exact = Sketches.exactOverlapOf(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("exact_overlap")).toMap
+    val served = Sketches.eventsKmvOverlap(spark, sf).collect()
+    assert(served.nonEmpty)
+    served.foreach { r =>
+      val ex = exact.getOrElse((r.getString(0), r.getString(1)), 0L)
+      assert(r.getAs[Double]("est_overlap") == ex.toDouble,
+        s"complete sketch not exact (exact=$ex): $r")
     }
     // synthetic corpus with per-type cardinality ≫ k exercises the real
     // theta/ratio estimator: types A and B have 8000 users each sharing
@@ -51,7 +60,8 @@ class SketchesSpec extends SparkSpec {
       s"union estimate off: $row")
     assert(math.abs(row.getAs[Double]("est_overlap") - 4000.0) / 4000.0 < 0.25,
       s"overlap estimate off: $row")
-    assert(row.getAs[Long]("exact_overlap") == 4000L)
+    val exSyn = Sketches.exactOverlapOf(e).collect()
+    assert(exSyn.length == 1 && exSyn.head.getAs[Long]("exact_overlap") == 4000L)
   }
 
   test("streaming HLL register maintenance converges to the batch registers") {
@@ -85,11 +95,18 @@ class SketchesSpec extends SparkSpec {
   }
 
   test("KMV a-not-b: complete-sketch fallback exact; estimator path lands in the error band") {
-    // shipped corpus: every sketch is complete (θ = 1), so the retained
-    // set IS A∖B and the estimate must equal the exact difference
-    Sketches.eventsKmvDiff(spark, sf).collect().foreach { r =>
-      assert(r.getAs[Double]("est_diff") == r.getAs[Long]("exact_diff").toDouble,
-        s"complete sketch not exact: $r")
+    // accuracy gated here against Sketches.exactDiffOf (see the overlap
+    // test). Shipped corpus: every sketch is complete (θ = 1), so the
+    // retained set IS A∖B and the estimate must equal the exact diff.
+    val ev = Tables.events(spark, sf).select(col("event_type"), col("user_id"))
+    val exact = Sketches.exactDiffOf(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("exact_diff")).toMap
+    val served = Sketches.eventsKmvDiff(spark, sf).collect()
+    assert(served.nonEmpty)
+    served.foreach { r =>
+      val ex = exact((r.getString(0), r.getString(1)))
+      assert(r.getAs[Double]("est_diff") == ex.toDouble,
+        s"complete sketch not exact (exact=$ex): $r")
     }
     // synthetic corpus with per-type cardinality ≫ k drives the real
     // θ = min(θ_A, θ_B) estimator; |A∖B| = |B∖A| = 4000 by construction
@@ -97,8 +114,9 @@ class SketchesSpec extends SparkSpec {
       .union(spark.range(4000, 12000).select(lit("B").as("event_type"), col("id").as("user_id")))
     val rows = Sketches.kmvDiffFrom(e).collect()
     assert(rows.length == 2) // the pair frame is ordered: A∖B and B∖A
+    val exSyn = Sketches.exactDiffOf(e).collect()
+    assert(exSyn.length == 2 && exSyn.forall(_.getAs[Long]("exact_diff") == 4000L))
     rows.foreach { r =>
-      assert(r.getAs[Long]("exact_diff") == 4000L)
       assert(math.abs(r.getAs[Double]("est_diff") - 4000.0) / 4000.0 < 0.25,
         s"diff estimate off: $r")
     }
