@@ -247,7 +247,11 @@ class KMeansSpec extends SparkSpec {
     assert(viaDisk.collect().toSeq == viaMem.collect().toSeq)
     // the written layout holds every cell directory, the probe's scan
     // reads files from exactly the two probed cells
-    val root = s"/tmp/graft_ivfindex/${sf.replaceAll("[^A-Za-z0-9.]", "_")}/cells"
+    // derive the root exactly as ivfLayout does — the pre-round-11
+    // hard-coded /tmp/graft_ivfindex/<sf>/cells path silently read a
+    // STALE leftover layout on long-lived instances and NPEs on a
+    // clean one (layouts moved under per-appId roots in round 11)
+    val root = s"${graft.sources.IndexCache.layoutRoot(spark, "graft_ivfindex", sf)}/cells"
     val allCells = new java.io.File(root).listFiles().count(_.getName.startsWith("cell="))
     assert(allCells > 2, s"expected many cell dirs, got $allCells")
     val persisted = spark.read.parquet(root)
