@@ -215,28 +215,32 @@ object Sketches extends QueryPack {
 
   /** Count-Min sketch (Cormode & Muthukrishnan 2005) heavy hitters:
     * per-user event counts read back from a 4×256 counter grid, vs the
-    * exact counts. Build = explode 4 hash rows per event and count by
-    * (row, cell) — one shuffle whose key space is 1024 regardless of
-    * data size. Read = join the DISTINCT keys against the broadcast
-    * counter frame and take the min over rows (the CMS point estimate,
-    * an upper bound that overcounts only on collisions). Top-20 by
-    * estimate, integer-exact end to end.
+    * exact counts. The counter increment is additive, so the build
+    * commutes with pre-aggregation: ONE corpus pass groups events by
+    * user (map-side combined), and the 4 hash cells are computed per
+    * DISTINCT user — 4·|users| md5 evaluations instead of 4·|events|
+    * (the first cut hashed every raw event row: measured 61s at sf10 vs
+    * the same grid off the pre-aggregated frame; counter values are
+    * identical because count-of-rows ≡ sum of per-user counts). The
+    * (row, cell) counter shuffle has key space 1024 regardless of data
+    * size; the grid broadcasts back onto the same per-user frame for
+    * the min-over-rows point estimate (an upper bound that overcounts
+    * only on collisions). Top-20 by estimate, integer-exact end to end.
     */
   def eventsCms(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(spark, dir).select(col("user_id"))
+    val byUser = Tables.events(spark, dir).select(col("user_id"))
+      .groupBy(col("user_id")).agg(count(lit(1)).as("exact_count"))
     def cell(i: org.apache.spark.sql.Column) =
       conv(substring(md5(concat(i.cast("string"), lit("_"), col("user_id").cast("string")).cast("binary")), 1, 4), 16, 10)
         .cast("long") % CmsWidth
-    val rows = e.select(col("user_id"), explode(array((0 until CmsDepth).map(lit(_)): _*)).as("i"))
+    val keyed = byUser
+      .select(col("user_id"), col("exact_count"),
+        explode(array((0 until CmsDepth).map(lit(_)): _*)).as("i"))
       .withColumn("cell", cell(col("i")))
-    val counters = rows.groupBy(col("i"), col("cell")).agg(count(lit(1)).as("c"))
-    val keys = e.distinct()
-      .select(col("user_id"), explode(array((0 until CmsDepth).map(lit(_)): _*)).as("i"))
-      .withColumn("cell", cell(col("i")))
-    val est = keys.join(broadcast(counters), Seq("i", "cell"))
-      .groupBy(col("user_id")).agg(min(col("c")).as("est_count"))
-    val exact = e.groupBy(col("user_id")).agg(count(lit(1)).as("exact_count"))
-    est.join(exact, Seq("user_id"))
+    val counters = keyed.groupBy(col("i"), col("cell")).agg(sum(col("exact_count")).as("c"))
+    val est = keyed.join(broadcast(counters), Seq("i", "cell"))
+      .groupBy(col("user_id"), col("exact_count")).agg(min(col("c")).as("est_count"))
+    est
       .select(col("user_id"), col("est_count"), col("exact_count"),
         (col("est_count") - col("exact_count")).as("overcount"))
       .orderBy(col("est_count").desc, col("user_id"))
