@@ -30,8 +30,8 @@ object Sketches extends QueryPack {
   // 0.7213/(1 + 1.079/m) — the standard bias constant; built from the
   // same literals in the oracle SQL so both engines get the same double
   private val HllAlphaSql = s"(0.7213/(1.0 + 1.079/$HllBuckets.0))"
-  private val CmsDepth = 4
-  private val CmsWidth = 256
+  private[graft] val CmsDepth = 4
+  private[graft] val CmsWidth = 256
 
   /** HyperLogLog (Flajolet et al. 2007) distinct-user estimate per
     * event type — with the standard linear-counting fallback in the

@@ -31,6 +31,28 @@ class SketchesSpec extends SparkSpec {
     assert(ests.sameElements(ests.sortBy(-(_: Long))))
   }
 
+  test("CMS counter grid off the pre-aggregated frame equals the raw-row grid") {
+    // the round-12 rewrite rests on this algebra: counter increments
+    // are additive, so count-of-raw-rows per (row, cell) must equal
+    // sum of per-user counts — the grids are bit-identical, not
+    // approximately equal
+    val e = Tables.events(spark, sf).select(col("user_id"))
+    def cell(i: org.apache.spark.sql.Column) =
+      conv(substring(md5(concat(i.cast("string"), lit("_"), col("user_id").cast("string")).cast("binary")), 1, 4), 16, 10)
+        .cast("long") % Sketches.CmsWidth
+    val iArr = array((0 until Sketches.CmsDepth).map(lit(_)): _*)
+    val raw = e.select(col("user_id"), explode(iArr).as("i"))
+      .withColumn("cell", cell(col("i")))
+      .groupBy(col("i"), col("cell")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getAs[Int]("i"), r.getAs[Long]("cell")) -> r.getAs[Long]("c")).toMap
+    val pre = e.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("n"), explode(iArr).as("i"))
+      .withColumn("cell", cell(col("i")))
+      .groupBy(col("i"), col("cell")).agg(sum(col("n")).as("c"))
+      .collect().map(r => (r.getAs[Int]("i"), r.getAs[Long]("cell")) -> r.getAs[Long]("c")).toMap
+    assert(raw.nonEmpty && raw == pre)
+  }
+
   test("KMV overlap: small-range fallback is exact; estimator path lands in the error band") {
     // accuracy gate lives HERE, against the spec-side exact reference
     // (Sketches.exactOverlapOf) — the serving path never rescans the
