@@ -1670,7 +1670,44 @@ object Analytics extends QueryPack {
       .orderBy(col("n_name"))
   }
 
+  /** Driver-gate ORDER SEMANTICS probes (round-12 verdict item #1: the
+    * question "does the driver's result hash depend on delivered row
+    * order?" is unanswerable from the existing surface, because every
+    * key's Spark plan and oracle SQL share a TOTAL terminal order —
+    * and the driver code is not on this machine, so the only way to
+    * confirm its behavior in writing is an in-gate experiment).
+    *
+    * Two 25-row per-nation aggregates over customer ⋈ nation, value-
+    * identical, differing ONLY in delivered order:
+    *  - `probe_rowhash_ctl`: Spark ascending, oracle ascending — the
+    *    control; a failure here would mean the VALUES are wrong.
+    *  - `probe_rowhash_ord`: Spark DESCENDING, oracle ASCENDING — row
+    *    sets identical, sequences exactly reversed (n_name is unique,
+    *    so both orders are total; no tie ambiguity).
+    * Interpretation in CORRECTNESS_r13: ord hash_match=true ⇒ the
+    * driver hash is row-order-insensitive (terminal sorts are gate
+    * convention, not contract); hash_match=false with ctl green ⇒
+    * delivered order IS the contract, and the probe is retired by
+    * flipping its sort to ascending. Either outcome closes the verdict
+    * item with evidence.
+    */
+  private def probeRowhash(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_cust"),
+        round(lit(1e-9) + sum(col("c_acctbal")), 2).as("bal"))
+
+  def probeRowhashCtl(spark: SparkSession, dir: String): DataFrame =
+    probeRowhash(spark, dir).orderBy(col("n_name"))
+
+  def probeRowhashOrd(spark: SparkSession, dir: String): DataFrame =
+    probeRowhash(spark, dir).orderBy(col("n_name").desc)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "probe_rowhash_ctl" -> (probeRowhashCtl _),
+    "probe_rowhash_ord" -> (probeRowhashOrd _),
     "join_bucketed" -> (joinBucketed _),
     "join_incremental" -> (joinIncremental _),
     "link_part_names" -> (linkPartNames _),
@@ -1736,7 +1773,18 @@ object Analytics extends QueryPack {
     "events_sessionize" -> (sessionize _),
     "events_windowed_agg" -> (windowedAgg _))
 
+  private val probeRowhashSql =
+    """SELECT n_name, count(*) AS n_cust,
+      | round(1e-9 + sum(c_acctbal), 2) AS bal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // both probes state the ASCENDING oracle — probe_rowhash_ord's
+    // Spark side delivers the same rows DESCENDING on purpose (see
+    // probeRowhash scaladoc: the round-12 verdict #1 gate experiment)
+    "probe_rowhash_ctl" -> (probeRowhashSql + " ORDER BY n_name"),
+    "probe_rowhash_ord" -> (probeRowhashSql + " ORDER BY n_name"),
     "join_bucketed" ->
       """SELECT o_orderpriority, count(*) AS n_items,
         | round(1e-9 + sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) / 100.0, 2) AS revenue

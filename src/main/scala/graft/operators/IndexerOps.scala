@@ -147,11 +147,63 @@ object IndexerOps extends QueryPack {
       .orderBy(col("key"))
   }
 
+  /** Queryable per-run metrics history for the reference's N staggered
+    * scheduled indexer runs (IndexerRunMetrics.cs rows keyed by run;
+    * DatalakeIndexerFunc.cs:21-49 — one function per path-prefix
+    * partition, `search.ismatch('data%2fpart_N*')`). One change-log
+    * scan computes every run's row: the schedule partition is the
+    * FIRST DECIMAL DIGIT of the part folder (`part_1*` ⇒ {1, 10..19} —
+    * prefix semantics, exactly the arithmetic `CASE p < 10 THEN p ELSE
+    * p div 10` since the folder number is `event_id % 50`), the
+    * watermark is max(ts) of the partition's post-cutoff log INCLUDING
+    * deletes (Indexer.runIncremental advances its watermark before the
+    * tombstone filter), and read/upload counts mirror runIncremental's
+    * join-to-documents classification (missing doc_id ⇒ neither read
+    * nor failed-read, never uploadable). Scale shape: groupBy on a
+    * 10-value key after the per-key upsert dedup — the dedup shuffle
+    * dominates and is the same one every upsert query pays; the run
+    * grid itself is constant-size.
+    */
+  def indexerRunHistory(spark: SparkSession, dir: String): DataFrame = {
+    val part = col("event_id") % 50
+    val runId = when(part < 10, part).otherwise(expr("(event_id % 50) div 10")).cast("long")
+    val log = PathIndexOps.changeLog(spark, dir)
+      .filter(Tables.tsSinceNs(PathIndexOps.CutoffNs))
+      .withColumn("run_id", runId)
+    val wm = log.groupBy(col("run_id"))
+      .agg(date_format(max(col("ts")), TsFmtRun).as("watermark"))
+    val delta = PathIndexOps.upsertState(log)
+      .filter(!col("is_delete"))
+      .withColumn("doc_id", col("event_id") % 500)
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
+    val m = delta.join(docs, Seq("doc_id"), "left")
+      .groupBy(col("run_id"))
+      .agg(
+        sum(when(col("n_chars").isNotNull && col("n_chars") < ReadFailBelow, 1L)
+          .otherwise(0L)).as("read_failed_count"),
+        sum(when(col("n_chars").isNotNull && col("n_chars") < ReadFailBelow, 0L)
+          .otherwise(1L)).as("read_count"),
+        sum(when(col("n_chars").isNotNull && col("n_chars") >= ReadFailBelow
+          && col("n_chars") <= TooLargeAbove, 1L).otherwise(0L)).as("upload_count"),
+        sum(when(col("n_chars").isNotNull && col("n_chars") > TooLargeAbove, 1L)
+          .otherwise(0L)).as("upload_failed_too_large_count"))
+    m.join(wm, Seq("run_id"))
+      .select(col("run_id"),
+        concat(lit("search.ismatch('data%2fpart_"), col("run_id").cast("string"),
+          lit("*')")).as("partition_filter"),
+        col("read_count"), col("read_failed_count"), col("upload_count"),
+        col("upload_failed_too_large_count"), col("watermark"))
+      .orderBy(col("run_id"))
+  }
+
+  private val TsFmtRun = "yyyy-MM-dd HH:mm:ss"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_read_map" -> (docReadMap _),
     "batch_assign" -> (batchAssign _),
     "indexer_metrics" -> (indexerMetrics _),
-    "incremental_run" -> (incrementalRun _))
+    "incremental_run" -> (incrementalRun _),
+    "indexer_run_history" -> (indexerRunHistory _))
 
   private val mappedSql =
     s"""SELECT doc_id,
@@ -213,5 +265,31 @@ object IndexerOps extends QueryPack {
          | strftime(ts, '%Y-%m-%d %H:%M:%S') AS fileLastModified,
          | stringvalue, numbervalue, eTag
          |FROM delta JOIN docs ON (event_id % 500) = docs.doc_id
-         |WHERE numbervalue <= $TooLargeAbove ORDER BY key""".stripMargin)
+         |WHERE numbervalue <= $TooLargeAbove ORDER BY key""".stripMargin,
+    "indexer_run_history" ->
+      s"""WITH log AS (
+         | SELECT event_id, ts, event_type,
+         |  CASE WHEN event_id % 50 < 10 THEN event_id % 50 ELSE (event_id % 50) // 10 END AS run_id,
+         |  to_base64(encode('fs' || (user_id % 4) || '%2f' ||
+         |    replace('data/part_' || (event_id % 50) || '/file_' || (event_id % 500) || '.json', '/', '%2f'))) AS key
+         | FROM events WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'),
+         |wm AS (SELECT run_id, strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS watermark
+         | FROM log GROUP BY run_id),
+         |delta AS (
+         | SELECT * FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY key ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM log) WHERE rn = 1 AND event_type <> 'error'),
+         |j AS (SELECT d.run_id, doc.n_chars
+         | FROM delta d LEFT JOIN documents doc ON (d.event_id % 500) = doc.doc_id),
+         |m AS (SELECT run_id,
+         |  CAST(sum(CASE WHEN n_chars IS NOT NULL AND n_chars < $ReadFailBelow THEN 0 ELSE 1 END) AS BIGINT) AS read_count,
+         |  CAST(sum(CASE WHEN n_chars IS NOT NULL AND n_chars < $ReadFailBelow THEN 1 ELSE 0 END) AS BIGINT) AS read_failed_count,
+         |  CAST(sum(CASE WHEN n_chars IS NOT NULL AND n_chars >= $ReadFailBelow AND n_chars <= $TooLargeAbove THEN 1 ELSE 0 END) AS BIGINT) AS upload_count,
+         |  CAST(sum(CASE WHEN n_chars IS NOT NULL AND n_chars > $TooLargeAbove THEN 1 ELSE 0 END) AS BIGINT) AS upload_failed_too_large_count
+         | FROM j GROUP BY run_id)
+         |SELECT m.run_id,
+         | 'search.ismatch(''data%2fpart_' || m.run_id || '*'')' AS partition_filter,
+         | read_count, read_failed_count, upload_count,
+         | upload_failed_too_large_count, watermark
+         |FROM m JOIN wm ON m.run_id = wm.run_id ORDER BY m.run_id""".stripMargin)
 }

@@ -96,8 +96,17 @@ object Sketches extends QueryPack {
     * sketch's (deterministic) error.
     */
   def eventsHllRolling(spark: SparkSession, dir: String): DataFrame = {
-    val hashed = withHllCoords(Tables.events(spark, dir)
-      .select(expr("ts_ns div 86400000000000").as("day"), col("user_id")))
+    // Pre-aggregate to the distinct (day, user) frame BEFORE hashing
+    // and before the 7-day replay (the events_cms commute): HLL
+    // registers are max-aggregates and the exact arm is a
+    // count_distinct, so duplicates within a day contribute nothing —
+    // one map-side-combinable groupBy reduces the corpus to
+    // |days|·|users| rows, and the per-row hash kernel plus the 7×
+    // fan-out both run over that frame instead of the raw event log.
+    val dayUser = Tables.events(spark, dir)
+      .select(expr("ts_ns div 86400000000000").as("day"), col("user_id"))
+      .distinct()
+    val hashed = withHllCoords(dayUser)
     val regs = hashed.groupBy(col("day"), col("bucket")).agg(max(col("rho")).as("mr"))
     val days = regs.select(col("day")).distinct()
     // source day s feeds targets s..s+6 (t sees s ∈ [t-6, t]); targets
@@ -115,7 +124,7 @@ object Sketches extends QueryPack {
         when(col("raw") <= lit(HllLcThreshold) && col("v") > 0,
           lit(HllBuckets.toDouble) * log(lit(HllBuckets.toDouble) / col("v")))
           .otherwise(col("raw")))
-    val exact = hashed
+    val exact = dayUser
       .withColumn("t", explode(sequence(col("day"), col("day") + 6)))
       .join(broadcast(days.select(col("day").as("t"))), Seq("t"), "left_semi")
       .groupBy(col("t")).agg(count_distinct(col("user_id")).as("exact_users"))
@@ -227,16 +236,22 @@ object Sketches extends QueryPack {
     * the min-over-rows point estimate (an upper bound that overcounts
     * only on collisions). Top-20 by estimate, integer-exact end to end.
     */
+  /** The CMS cell hash — shared with SketchesSpec's bit-identity test
+    * so the spec exercises THE production hash (a drift here must fail
+    * the spec, not silently diverge from a copy).
+    */
+  private[graft] def cmsCell(i: org.apache.spark.sql.Column,
+                             user: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(concat(i.cast("string"), lit("_"), user.cast("string")).cast("binary")), 1, 4), 16, 10)
+      .cast("long") % CmsWidth
+
   def eventsCms(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Tables.events(spark, dir).select(col("user_id"))
       .groupBy(col("user_id")).agg(count(lit(1)).as("exact_count"))
-    def cell(i: org.apache.spark.sql.Column) =
-      conv(substring(md5(concat(i.cast("string"), lit("_"), col("user_id").cast("string")).cast("binary")), 1, 4), 16, 10)
-        .cast("long") % CmsWidth
     val keyed = byUser
       .select(col("user_id"), col("exact_count"),
         explode(array((0 until CmsDepth).map(lit(_)): _*)).as("i"))
-      .withColumn("cell", cell(col("i")))
+      .withColumn("cell", cmsCell(col("i"), col("user_id")))
     val counters = keyed.groupBy(col("i"), col("cell")).agg(sum(col("exact_count")).as("c"))
     val est = keyed.join(broadcast(counters), Seq("i", "cell"))
       .groupBy(col("user_id"), col("exact_count")).agg(min(col("c")).as("est_count"))

@@ -85,6 +85,29 @@ class IndexerE2ESpec extends SparkSpec {
       r1.metrics.uploadCreatedCount + r2.metrics.uploadCreatedCount)
   }
 
+  test("indexer_run_history rows equal the imperative runPartitioned metrics") {
+    // the queryable history table must agree with what the actual
+    // partitioned runs record: seed each partition's watermark just
+    // below the history key's cutoff (tsAfterNs(cutoff-1) ≡
+    // tsSinceNs(cutoff) on int64 nanos) and cross-foot per run.
+    val idxDir = Files.createTempDirectory("graft_hist_idx").toString
+    val stateRoot = Files.createTempDirectory("graft_hist_state").toString
+    val store = new IndexStore(spark, idxDir, "key")
+    val cutoff = graft.operators.PathIndexOps.CutoffNs
+    Seq(1, 3).foreach(p => Indexer.writeWatermark(s"$stateRoot/part_$p", cutoff - 1, hconf))
+    val runs = Indexer.runPartitioned(spark, sf, store, stateRoot, partitions = Seq(1, 3))
+    val hist = graft.operators.IndexerOps.indexerRunHistory(spark, sf)
+      .collect().map(r => r.getAs[Long]("run_id") -> r).toMap
+    assert(hist.keySet == (0L to 9L).toSet)
+    Seq(1, 3).foreach { p =>
+      val (m, h) = (runs(p).metrics, hist(p.toLong))
+      assert(h.getAs[Long]("read_count") == m.readCount, s"p$p readCount")
+      assert(h.getAs[Long]("read_failed_count") == m.readFailedCount, s"p$p readFailed")
+      assert(h.getAs[Long]("upload_count") == m.uploadCreatedCount + m.uploadModifiedCount, s"p$p upload")
+      assert(h.getAs[Long]("upload_failed_too_large_count") == m.uploadFailedTooLargeCount, s"p$p tooLarge")
+    }
+  }
+
   test("upload failure injection surfaces in uploadFailedCount") {
     import org.apache.spark.sql.functions.col
     val idxDir = Files.createTempDirectory("graft_fail_idx").toString

@@ -37,9 +37,9 @@ class SketchesSpec extends SparkSpec {
     // sum of per-user counts — the grids are bit-identical, not
     // approximately equal
     val e = Tables.events(spark, sf).select(col("user_id"))
-    def cell(i: org.apache.spark.sql.Column) =
-      conv(substring(md5(concat(i.cast("string"), lit("_"), col("user_id").cast("string")).cast("binary")), 1, 4), 16, 10)
-        .cast("long") % Sketches.CmsWidth
+    // THE production hash (Sketches.cmsCell), not a copy — round-12
+    // advice: a hash drift in eventsCms must fail this spec
+    def cell(i: org.apache.spark.sql.Column) = Sketches.cmsCell(i, col("user_id"))
     val iArr = array((0 until Sketches.CmsDepth).map(lit(_)): _*)
     val raw = e.select(col("user_id"), explode(iArr).as("i"))
       .withColumn("cell", cell(col("i")))
