@@ -20,19 +20,25 @@ SHARDS=${SHARDS:-6}
 SF1=/tmp/graft_sf1
 SF10=/tmp/graft_sf10
 
-if [ ! -f $SF1/lineitem.parquet ]; then
+# NB: Spark writes lineitem.parquet as a DIRECTORY — test with -e, not -f
+if [ ! -e $SF1/lineitem.parquet ]; then
   echo "== gen sf1 ($(date -u +%H:%M:%S)) =="
   sbt -batch "runMain graft.GenData /root/testdata/sf0.1 $SF1 10 const" 2>&1 | grep -E "gendata|error\]" | grep -v "INFO\|WARN" | tail -15
 fi
-if [ ! -f $SF10/lineitem.parquet ]; then
+if [ ! -e $SF10/lineitem.parquet ]; then
   echo "== gen sf10 ($(date -u +%H:%M:%S)) =="
   sbt -batch "runMain graft.GenData /root/testdata/sf0.1 $SF10 100 const" 2>&1 | grep -E "gendata|error\]" | grep -v "INFO\|WARN" | tail -15
 fi
 
 echo "== shard plan ($(date -u +%H:%M:%S)) =="
-sbt -batch "runMain graft.ListKeys" 2>&1 | grep -E '^[a-z][a-z0-9_]*$' > /tmp/graft_keys.txt
+# sbt prefixes every stdout line with "[info] " — strip it and keep
+# only bare key tokens (drops sbt's own chatter lines)
+sbt -batch "runMain graft.ListKeys" 2>&1 \
+  | sed -n 's/^\[info\] \([a-z][a-z0-9_]*\)$/\1/p' \
+  | grep -vE '^(set|done)$' > /tmp/graft_keys.txt
 N=$(wc -l < /tmp/graft_keys.txt)
 echo "$N keys across $SHARDS shards"
+if [ "$N" -lt 100 ]; then echo "ABORT: key extraction broke ($N keys)"; exit 1; fi
 split -d -n r/$SHARDS /tmp/graft_keys.txt /tmp/graft_shard_
 
 for SF in sf1 sf10; do
