@@ -56,4 +56,29 @@ class PlanAuditSpec extends SparkSpec {
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
+
+  test("blob-event keys sort the narrow change-log, never the fabricated wide rows") {
+    // the round-13 rewrite's load-bearing property: the global
+    // event_id sort runs BELOW the envelope fabricate/parse
+    // projections, so the range exchange ships ~60-byte source rows.
+    // If a refactor (or a future Catalyst rule) ever re-plans the sort
+    // above the fabrication, the sorted frame would carry the derived
+    // wide columns — caught here by inspecting every Sort node's
+    // output schema in the optimized plan.
+    val narrow = Set("event_id", "ts", "ts_ns", "props", "filesystem",
+      "path", "is_delete", "user_id", "event_type")
+    Seq("blob_event_envelope", "blob_events_to_paths").foreach { name =>
+      val sorts = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.optimizedPlan.collectWithSubqueries {
+          case s: org.apache.spark.sql.catalyst.plans.logical.Sort => s
+        }
+      assert(sorts.nonEmpty, s"$name: expected a global Sort in the plan")
+      sorts.foreach { s =>
+        val cols = s.child.output.map(_.name).toSet
+        val wide = cols -- narrow
+        assert(wide.isEmpty,
+          s"$name: Sort input carries fabricated columns $wide — the sort moved above the fabrication")
+      }
+    }
+  }
 }

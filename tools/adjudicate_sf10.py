@@ -80,7 +80,15 @@ SUBLIN = {
     # riders dedup_ngram_jaccard/containment/threshold_sweep/
     # soft_weights/minhash_lsh/semdedup grow with the band table,
     # which is corpus-linear.)
-    "dedup_simhash_pairs", "dedup_minhash_est",
+    # dedup_minhash_est REMOVED round 13 (was sublin through r12): it
+    # rides dedupNgramJaccard — the pair-frame-rider family this
+    # comment already classifies corpus-linear — so its sublin
+    # membership was an oversight that r12's tail-inflated sf1 point
+    # (8.5s, 5.2x) masked; the r13 fresh-JVM shard exposed the true
+    # shape (3.24->36.57, 11.3x; isolated quiet re-run 3.36->37.03,
+    # 11.0x — inside linear, outside sublin). Before/after recorded
+    # here per the round-12 re-banding-auditability advice.
+    "dedup_simhash_pairs",
     "text_ccnet_buckets", "text_unigram_logprob",
     "embed_pca", "embed_pca_topk", "embed_abtt", "graph_pagerank",
     "link_part_names", "dedup_clusters",
