@@ -30,4 +30,15 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     packs.flatMap(_.oracles).toMap
+
+  /** Declared scale band per key (see [[QueryPack.bands]]) — every
+    * registered key resolves, undeclared keys default to linear. The
+    * cert harness exports this via `ListKeys bands` and
+    * tools/adjudicate_sf10.py grades against it; RegistrySpec pins
+    * that declared bands reference real keys with legal band names.
+    */
+  def bands: Map[String, String] = {
+    val declared = packs.flatMap(_.bands).toMap
+    queries.keys.map(k => k -> declared.getOrElse(k, Band.Linear)).toMap
+  }
 }

@@ -99,4 +99,36 @@ object Tables {
 trait QueryPack {
   def queries: Map[String, (SparkSession, String) => DataFrame]
   def oracles: Map[String, String]
+
+  /** Declared per-decade SCALE BAND per key — the single source of
+    * truth the certification harness grades against (round-13 verdict
+    * #4: the band table used to live in tools/adjudicate_sf10.py while
+    * each key's scale claim lived in its scaladoc, and the drift caused
+    * two re-banding episodes during certification; declaring the band
+    * NEXT TO the registry binding makes a mis-filing a code-review
+    * diff, not a cert-time judgment call). Bands (10× data ⇒):
+    *  - [[Band.Probe]]  — persisted-index probe / fixed-size serving
+    *    frame: flat, ≤3× per decade (plus an absolute sf10 ≤2.5s pass,
+    *    ratio-bounded at the linear band so constants on a sub-second
+    *    sf1 point never mask a scan).
+    *  - [[Band.Sketch]] — constant-STATE mergeable sketch: the scale
+    *    claim is state + mergeability (spec-proven), the TIME is one
+    *    linear corpus pass, so the time band is linear's ≤12×.
+    *  - [[Band.Sublin]] — vocabulary/key-space-bounded reduced-frame
+    *    work: ≤6× per decade.
+    *  - [[Band.Linear]] — one-or-more full corpus passes: ≤12× (10×
+    *    data plus run-to-run variance). The default; only non-linear
+    *    claims need declaring.
+    * Keys absent from this map grade as [[Band.Linear]].
+    */
+  def bands: Map[String, String] = Map.empty
+}
+
+/** Band names — see [[QueryPack.bands]]. */
+object Band {
+  val Probe = "probe"
+  val Sketch = "sketch"
+  val Sublin = "sublin"
+  val Linear = "linear"
+  val All: Set[String] = Set(Probe, Sketch, Sublin, Linear)
 }

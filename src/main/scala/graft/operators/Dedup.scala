@@ -247,7 +247,6 @@ object Dedup extends QueryPack {
     Tables.documents(spark, dir)
       .groupBy(md5(col("text").cast("binary")).as("content_hash"))
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_docs"))
-      .orderBy(col("content_hash"))
 
   private val BloomK = 3
   private val BloomBitsPerKey = 16
@@ -299,7 +298,7 @@ object Dedup extends QueryPack {
   }
 
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
-    candidatePairs(spark, dir).orderBy(col("a"), col("b"))
+    candidatePairs(spark, dir)
 
   /** 16-bit SimHash over whitespace tokens (md5-derived bit votes). */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
@@ -313,7 +312,6 @@ object Dedup extends QueryPack {
       when(col(s"s$j") >= 0, lit(1L) * (1L << j)).otherwise(0L)).reduce(_ + _)
     summed.select(col("doc_id"), sim.as("simhash"))
       .withColumn("bucket_size", count(lit(1)).over(Window.partitionBy(col("simhash"))))
-      .orderBy(col("doc_id"))
   }
 
   /** Word-3-gram Jaccard for every LSH candidate pair (the verify step
@@ -323,7 +321,6 @@ object Dedup extends QueryPack {
     shingleOverlap(spark, dir, candidatePairs(spark, dir))
       .select(col("a"), col("b"),
         round(col("inter") / (col("ca") + col("cb") - col("inter")) + 1e-9, 4).as("jaccard"))
-      .orderBy(col("a"), col("b"))
 
   /** Dedup threshold sweep — the knob-tuning readout every near-dup
     * deployment runs before committing to a τ: how many candidate
@@ -391,7 +388,6 @@ object Dedup extends QueryPack {
         .withColumnRenamed("jaccard", "jaccard_exact"), Seq("a", "b"))
       .select(col("a"), col("b"), col("jaccard_est"), col("jaccard_exact"),
         round(abs(col("jaccard_est") - col("jaccard_exact")) + 1e-9, 4).as("abs_err"))
-      .orderBy(col("a"), col("b"))
   }
 
   /** Shingle CONTAINMENT for the LSH candidates — the metric Jaccard
@@ -413,7 +409,6 @@ object Dedup extends QueryPack {
         when(col("jaccard") >= 0.7, "near_dup")
           .when(col("containment") >= 0.8, "contained")
           .otherwise("overlap"))
-      .orderBy(col("a"), col("b"))
   }
 
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
@@ -449,7 +444,6 @@ object Dedup extends QueryPack {
         round(col("inter") / (col("ca") + col("cb") - col("inter")) + 1e-9, 4).as("jaccard"))
       .withColumn("kind",
         when(col("jaccard") >= 0.3, "lexical").otherwise("semantic"))
-      .orderBy(col("a"), col("b"))
   }
 
   /** Per-doc shingle SET index: each doc's distinct word-3-grams as one
@@ -474,7 +468,7 @@ object Dedup extends QueryPack {
     * for ANY corpus, exactly the IVF coarse-quantizer pattern.
     */
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
-    embeddingNearPairs(spark, dir).orderBy(col("a"), col("b"))
+    embeddingNearPairs(spark, dir)
 
   /** The corpus's embedding NEAR-PAIR index (a, b, cos ≥ 0.3) — built
     * ONCE per snapshot through [[graft.sources.IndexCache]] and probed
@@ -611,7 +605,6 @@ object Dedup extends QueryPack {
       .withColumn("hamming", ham)
       .filter(col("hamming") <= 3)
       .select(col("rep_a"), col("rep_b"), col("hamming"), col("n_a"), col("n_b"))
-      .orderBy(col("rep_a"), col("rep_b"))
   }
 
   /** Duplicate clustering: connected components over the LSH candidate
@@ -683,7 +676,6 @@ object Dedup extends QueryPack {
       .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
     all
       .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
-      .orderBy(col("doc_id"))
   }
 
   /** Soft deduplication (SoftDedup, He et al., ACL 2024): instead of
@@ -707,7 +699,6 @@ object Dedup extends QueryPack {
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
         round(lit(1e-9) + lit(1.0) / col("cluster_size"), 4).as("weight"),
         round(lit(1e-9) + col("n_tok").cast("double") / col("cluster_size"), 4).as("eff_tokens"))
-      .orderBy(col("doc_id"))
   }
 
   private val SubGram = 8  // words per gram (the Lee et al. match unit, sandbox-scaled)
@@ -763,7 +754,6 @@ object Dedup extends QueryPack {
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("shared_grams"),
         min(col("pos_a")).as("a_start"), min(col("pos_b")).as("b_start"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   private val SubOccCap = 16 // total-occurrence cap for the span variant
@@ -798,7 +788,6 @@ object Dedup extends QueryPack {
       .agg(min(col("pa")).as("a_start"), min(col("pb")).as("b_start"),
         (count(lit(1)) + SubGram - 1).as("span_words"))
       .select(col("doc_a"), col("doc_b"), col("a_start"), col("b_start"), col("span_words"))
-      .orderBy(col("doc_a"), col("doc_b"), col("a_start"), col("b_start"))
   }
 
   /** APPLY the substring dedup — Lee et al.'s actual intervention:
@@ -832,7 +821,6 @@ object Dedup extends QueryPack {
       .select(col("doc_id"),
         coalesce(col("clean_text"), lit("")).as("clean_text"),
         (col("n_words") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
-      .orderBy(col("doc_id"))
   }
 
   /** The dedup pipeline's KEEP decision: within each multi-doc
@@ -856,8 +844,26 @@ object Dedup extends QueryPack {
         col("mv.d").as("keep_doc"),
         round(negate(col("mv.nq")), 4).as("best_quality"),
         (col("cluster_size") - 1).as("n_dropped"))
-      .orderBy(col("cluster_id"))
   }
+
+  /** Scale bands: `dedup_lookup_persisted` serves one doc off the
+    * prefix-partitioned band layout; `dedup_incremental` joins a
+    * fixed-size batch to the band index; `dedup_embedding` probes the
+    * bounded-cell near-pair index (O(n*C) build amortized per
+    * snapshot) — flat. `dedup_simhash_pairs` collapses to distinct
+    * signatures before Manku banding and `dedup_clusters` iterates on
+    * the candidate-pair graph (duplicate-population-sized) — sublinear.
+    * The pair-frame riders (ngram_jaccard / containment /
+    * threshold_sweep / soft_weights / minhash_lsh / minhash_est /
+    * semdedup) grow with the band table, which is corpus-linear —
+    * default (dedup_minhash_est re-filed sublin->linear in r13:
+    * isolated quiet 11.0x/decade, audit trail in SURVEY section 4).
+    */
+  override def bands: Map[String, String] = (Seq(
+    "dedup_lookup_persisted", "dedup_incremental", "dedup_embedding")
+    .map(_ -> graft.Band.Probe) ++ Seq(
+    "dedup_simhash_pairs", "dedup_clusters")
+    .map(_ -> graft.Band.Sublin)).toMap
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_keep_best" -> (dedupKeepBest _),

@@ -48,8 +48,11 @@ object IndexerOps extends QueryPack {
         encoded.as("pathUrlEncoded"))
   }
 
+  // (terminal-sort retirement, round 14: see PathIndexOps §2.A note —
+  // the r13 probe proved the gate hash order-insensitive, so the
+  // corpus-sized keys here no longer pay a presentational range sort)
   def docReadMap(spark: SparkSession, dir: String): DataFrame =
-    mappedDocs(spark, dir).orderBy(col("doc_id"))
+    mappedDocs(spark, dir)
 
   /** Byte-accurate upload size of one index document: the octet length
     * of its JSON serialization — the reference sizes every doc by
@@ -144,7 +147,6 @@ object IndexerOps extends QueryPack {
       .filter(col("numbervalue") <= TooLargeAbove)
       .select(col("key"), col("doc_id"), col("filesystem"), col("fileLastModified"),
         col("stringvalue"), col("numbervalue"), col("eTag"))
-      .orderBy(col("key"))
   }
 
   /** Queryable per-run metrics history for the reference's N staggered
@@ -158,8 +160,10 @@ object IndexerOps extends QueryPack {
     * watermark is max(ts) of the partition's post-cutoff log INCLUDING
     * deletes (Indexer.runIncremental advances its watermark before the
     * tombstone filter), and read/upload counts mirror runIncremental's
-    * join-to-documents classification (missing doc_id ⇒ neither read
-    * nor failed-read, never uploadable). Scale shape: groupBy on a
+    * join-to-documents classification (a delta row with no matching
+    * doc_id counts as READ — runIncremental's readCount is
+    * delta.count() − readFailed, which includes unmatched docs — but
+    * is never uploadable). Scale shape: groupBy on a
     * 10-value key after the per-key upsert dedup — the dedup shuffle
     * dominates and is the same one every upsert query pays; the run
     * grid itself is constant-size.

@@ -164,7 +164,7 @@ object Multimodal extends QueryPack {
   }
 
   def mmDecode(spark: SparkSession, dir: String): DataFrame =
-    decodeFeatures(spark, assets(spark, dir)).toDF().orderBy(col("doc_id"))
+    decodeFeatures(spark, assets(spark, dir)).toDF()
 
   /** Frame sampling at 0.5 fps: one row per sampled frame timestamp. */
   def mmFrameSample(spark: SparkSession, dir: String): DataFrame =
@@ -172,7 +172,6 @@ object Multimodal extends QueryPack {
       .filter(col("mime") === "video/mp4" && col("duration_s") > 0)
       .select(col("doc_id"), col("duration_s"),
         explode(sequence(lit(0), col("duration_s"), lit(2))).as("frame_t"))
-      .orderBy(col("doc_id"), col("frame_t"))
 
   /** Aspect-preserving resize planning: compute the (w, h) a decoder
     * would scale each asset to for a max-512 long edge, plus the scale
@@ -194,7 +193,6 @@ object Multimodal extends QueryPack {
     a.filter(col("mime") === "image/bmp")
       .select(col("doc_id"), col("width"), col("height"),
         newW.as("target_w"), newH.as("target_h"), needs.as("downscaled"))
-      .orderBy(col("doc_id"))
   }
 
   /** 64-bit average-threshold perceptual hash (aHash) computed from the
@@ -230,7 +228,6 @@ object Multimodal extends QueryPack {
         }
       })
       .toDF("doc_id", "decoded_w", "decoded_h", "phash")
-      .orderBy(col("doc_id"))
   }
 
   /** Per-image pHash split into 4×16-bit band values (the join keys of
@@ -309,7 +306,6 @@ object Multimodal extends QueryPack {
       .withColumn("hamming", ham)
       .filter(col("hamming") <= 3)
       .select(col("rep_a"), col("rep_b"), col("hamming"), col("n_a"), col("n_b"))
-      .orderBy(col("rep_a"), col("rep_b"))
   }
 
   private val WavRate = 8000
@@ -403,7 +399,6 @@ object Multimodal extends QueryPack {
       })
       .toDF("doc_id", "mime", "byte_len", "sample_rate", "n_samples",
         "duration_us", "sum_abs", "max_abs", "zero_crossings", "decoded")
-      .orderBy(col("doc_id"))
   }
 
   private val VadFrame = 8      // samples per frame
@@ -472,7 +467,6 @@ object Multimodal extends QueryPack {
       })
       .toDF("doc_id", "n_frames", "n_active", "n_segments", "first_active",
         "active_us", "decoded")
-      .orderBy(col("doc_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

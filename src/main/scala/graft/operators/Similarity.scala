@@ -533,7 +533,6 @@ object Similarity extends QueryPack {
     val sizes = buckets.groupBy(col("bucket")).agg(count(lit(1)).as("bucket_size"))
     buckets.join(broadcast(sizes), Seq("bucket"))
       .select(col("vec_id"), col("bucket"), col("bucket_size"))
-      .orderBy(col("vec_id"))
   }
 
   /** k-NN join with label-free buckets: for probe vectors (vec_id < 20),
@@ -1107,6 +1106,22 @@ object Similarity extends QueryPack {
           .limit(10)
     }
   }
+
+  /** Scale bands: the IVF family probes the WRITTEN cell-partitioned
+    * layout with planning-time `cell IN (...)` pruning — flat probes
+    * (certified ~1x/decade since r12). `ann_incremental` assigns a
+    * fixed-size batch to the existing codebook. NOT the contrast
+    * baselines (`ann_bruteforce_topk`/`ann_int8_topk`/`ann_pq`/
+    * `ann_lsh_bucket`/`ann_recall`, `knn_*`): those scan the corpus by
+    * design and grade linear. The PCA family reduces to a d x d Gram
+    * on a cached frame — sublinear per decade.
+    */
+  override def bands: Map[String, String] = (Seq(
+    "ann_ivf", "ann_ivf_persisted", "ann_ivfpq", "ann_multiquery",
+    "ann_filtered", "ann_range", "ann_incremental")
+    .map(_ -> graft.Band.Probe) ++ Seq(
+    "embed_pca", "embed_pca_topk", "embed_abtt")
+    .map(_ -> graft.Band.Sublin)).toMap
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_pca" -> (embedPca _),

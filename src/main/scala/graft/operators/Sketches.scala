@@ -511,6 +511,16 @@ object Sketches extends QueryPack {
       .orderBy(col("day"))
   }
 
+  /** Scale bands: every key here is a constant-space mergeable sketch
+    * (HLL registers, CMS counters, KMV k-minima, 1024-bin quantiles,
+    * Misra-Gries heavy hitters, roaring-style bitmap words) — the
+    * STATE is constant and merge-exact (spec-proven); the TIME is one
+    * linear corpus pass, so the sketch band's time bound equals
+    * linear's (see [[graft.QueryPack.bands]]).
+    */
+  override def bands: Map[String, String] =
+    queries.keys.map(_ -> graft.Band.Sketch).toMap
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_bitmap_distinct" -> (eventsBitmapDistinct _),
     "events_bitmap_rolling" -> (eventsBitmapRolling _),

@@ -73,7 +73,6 @@ object TemporalJoins extends QueryPack {
         col("view_id"),
         date_format(col("v_ts"), TsFmt).as("view_ts"),
         expr("(p_ns - v_ns) div 1000000000").as("gap_s"))
-      .orderBy(col("purchase_id"))
   }
 
   /** Interval join: per session interval (the sessionize gap logic's
@@ -106,7 +105,6 @@ object TemporalJoins extends QueryPack {
     sess.select(col("user_id"), col("session_id"))
       .join(counts, Seq("user_id", "session_id"), "left")
       .na.fill(0L, Seq("n_other_purchases"))
-      .orderBy(col("user_id"), col("session_id"))
   }
 
   private val DecayHlNs = 900000000000L // 15-min credit half-life

@@ -52,7 +52,7 @@ object TextAnalysis extends QueryPack {
     val scored = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang").as("declared_lang"), pred.as("predicted_lang"),
         maxScore.cast("long").as("marker_hits"))
-    scored.orderBy(col("doc_id"))
+    scored
   }
 
   def quality(spark: SparkSession, dir: String): DataFrame = {
@@ -73,7 +73,6 @@ object TextAnalysis extends QueryPack {
       round(punctRatio + 1e-9, 4).as("punct_ratio"),
       round(stopRatio + 1e-9, 4).as("stop_ratio"),
       round(q + 1e-9, 4).as("quality"))
-      .orderBy(col("doc_id"))
   }
 
   /** Byte-pair merge table, priority order — trained offline with the
@@ -213,7 +212,6 @@ object TextAnalysis extends QueryPack {
       .join(perDoc, Seq("doc_id"), "left")
       .na.fill(0L, Seq("bpe_tokens"))
       .select(col("doc_id"), col("ws_tokens"), col("bpe_tokens"), col("n_chars_text"))
-      .orderBy(col("doc_id"))
   }
 
   /** Winnowing-style fingerprint: char-5-grams sampled at stride 3; the
@@ -234,7 +232,6 @@ object TextAnalysis extends QueryPack {
       .agg(
         min(md5(col("gram").cast("binary"))).as("fingerprint"),
         count_distinct(col("gram")).as("n_distinct_grams"))
-      .orderBy(col("doc_id"))
 
   /** Sliding-window token chunking with overlap (chunk=32 tokens,
     * stride=24 ⇒ 8-token overlap) — how training pipelines split long
@@ -253,7 +250,6 @@ object TextAnalysis extends QueryPack {
         col("doc_id"), col("ci").as("chunk_id"),
         array_join(slice(col("t"), col("ci") * stride + 1, lit(chunkSize)), " ").as("chunk_text"),
         least(size(col("t")) - col("ci") * stride, lit(chunkSize)).cast("long").as("chunk_tokens"))
-      .orderBy(col("doc_id"), col("chunk_id"))
   }
 
   /** Text normalization: lowercase, strip non-alphanumerics, collapse
@@ -265,7 +261,6 @@ object TextAnalysis extends QueryPack {
         trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
           .as("norm_text"))
       .withColumn("norm_hash", md5(col("norm_text").cast("binary")))
-      .orderBy(col("doc_id"))
 
   /** Deterministic ~10% Bernoulli sample: keep docs whose md5-derived
     * bucket (0..99) is < 10. Hash-based sampling is reproducible across
@@ -380,7 +375,6 @@ object TextAnalysis extends QueryPack {
       regexp_count(col("text"), lit(digitsRe)).cast("long").as("n_longdigits"),
       regexp_replace(regexp_replace(col("text"), emailRe, "<EMAIL>"), digitsRe, "<NUM>").as("scrubbed"))
       .withColumn("was_redacted", (col("n_emails") + col("n_longdigits")) > 0)
-      .orderBy(col("doc_id"))
   }
 
   /** Benchmark decontamination: flag docs sharing any word-5-gram with
@@ -407,7 +401,6 @@ object TextAnalysis extends QueryPack {
     d.filter(col("doc_id") >= 10).select(col("doc_id"))
       .join(hits, Seq("doc_id"), "left").na.fill(0L, Seq("n_contaminated_grams"))
       .withColumn("contaminated", col("n_contaminated_grams") > 0)
-      .orderBy(col("doc_id"))
   }
 
   /** FUZZY decontamination — the near-duplicate complement of
@@ -446,7 +439,6 @@ object TextAnalysis extends QueryPack {
       .select(col("doc_id"), col("bench_doc"),
         round(lit(1e-9) + coalesce(col("jac"), lit(0.0)), 4).as("jac"),
         (coalesce(col("jac"), lit(0.0)) >= 0.5).as("contaminated"))
-      .orderBy(col("doc_id"))
   }
 
   /** Unigram log-probability quality score — the cheap stand-in for a
@@ -496,7 +488,6 @@ object TextAnalysis extends QueryPack {
         round(lit(1e-9) + sum(col("k") * -log(col("c") / col("n"))) / sum(col("k")), 4)
           .as("mean_neg_logprob"),
         sum(col("k")).as("n_tokens"))
-      .orderBy(col("doc_id"))
   }
 
   /** Bigram-LM quality score — the next step up from
@@ -540,7 +531,6 @@ object TextAnalysis extends QueryPack {
         round(lit(1e-9) + sum(col("k") * -log(col("c_ab") / col("c_a"))) / sum(col("k")), 4)
           .as("mean_neg_logprob"),
         sum(col("k")).as("n_bigrams"))
-      .orderBy(col("doc_id"))
   }
 
   /** Feature-hashed document embedding (the hashing trick:
@@ -574,7 +564,6 @@ object TextAnalysis extends QueryPack {
     dims.join(norms, Seq("doc_id"))
       .select(col("doc_id"), col("dim"),
         round(col("s") / sqrt(col("sq").cast("double")) + 1e-9, 4).as("weight"))
-      .orderBy(col("doc_id"), col("dim"))
   }
 
   /** Corpus topic exploration — the full unsupervised pipeline
@@ -687,7 +676,6 @@ object TextAnalysis extends QueryPack {
       .filter(col("rk") <= 3)
       .select(col("doc_id"), col("tok"), col("tf"), col("df"),
         round(lit(1e-9) + col("tfidf"), 4).as("tfidf"), col("rk"))
-      .orderBy(col("doc_id"), col("rk"))
   }
 
   private val ProfiledCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
@@ -772,7 +760,6 @@ object TextAnalysis extends QueryPack {
       round(dup2g + 1e-9, 4).as("dup_2gram_frac"),
       round(top2g + 1e-9, 4).as("top_2gram_frac"),
       (dup2g <= 0.08 && top2g <= 0.10 && dupWord <= 0.55).as("keep"))
-      .orderBy(col("doc_id"))
   }
 
   /** The curation FUNNEL — the five gates of a training-data pipeline
@@ -979,7 +966,6 @@ object TextAnalysis extends QueryPack {
       .select(col("doc_id"),
         round(lit(1.0) / (lit(1.0) + exp(-col("zb"))) + lit(1e-9), 4).as("p_keep"),
         (col("zb") > 0).as("keep"))
-      .orderBy(col("doc_id"))
   }
 
   def bpeTrainStep(spark: SparkSession, dir: String): DataFrame = {
@@ -1024,8 +1010,18 @@ object TextAnalysis extends QueryPack {
         when(col("ppl_score") <= col("p33_est"), lit("head"))
           .when(col("ppl_score") <= col("p67_est"), lit("middle"))
           .otherwise(lit("tail")).as("bucket"))
-      .orderBy(col("doc_id"))
   }
+
+  /** Scale bands: `text_ccnet_buckets` terciles on the k-row per-lang
+    * quantile frame and `text_unigram_logprob` scores against the
+    * rank-1024 head vocabulary (Heaps-law-bounded) — sublinear. The
+    * token-family corpus scans (text_tokens / sample_token_budget /
+    * bpe_train_step / text_bigram_logprob) measured ~10x/decade in
+    * rounds 8-9 and grade linear, the default.
+    */
+  override def bands: Map[String, String] = Seq(
+    "text_ccnet_buckets", "text_unigram_logprob")
+    .map(_ -> graft.Band.Sublin).toMap
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_ccnet_buckets" -> (textCcnetBuckets _),

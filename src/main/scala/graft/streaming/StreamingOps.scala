@@ -383,7 +383,6 @@ object StreamingOps extends QueryPack {
     latestPerUserBatch(spark, eventRows(spark, dir)).toDF()
       .select(col("user_id"), col("last_event_id"), col("last_type"),
         round(col("last_value"), 2).as("last_value"), col("n_events"))
-      .orderBy(col("user_id"))
 
   def streamWindow(spark: SparkSession, dir: String): DataFrame =
     eventRows(spark, dir).toDF()
@@ -422,7 +421,6 @@ object StreamingOps extends QueryPack {
       .select(col("user_id"),
         date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
         col("n_events"), col("session_value"))
-      .orderBy(col("user_id"), col("session_start"))
 
   /** Batch form of [[dedupStream]]: first event per content hash wins
     * (earliest ts, then event_id — dropDuplicates keeps the first
@@ -438,7 +436,6 @@ object StreamingOps extends QueryPack {
       .filter(col("rn") === 1)
       .select(col("event_id"), col("user_id"), col("event_type"),
         round(col("value"), 2).as("value"), col("n_dups"))
-      .orderBy(col("event_id"))
   }
 
   private[graft] val DecayHlNs = 7L * 24 * 3600 * 1000000000L // 7-day half-life
@@ -528,14 +525,12 @@ object StreamingOps extends QueryPack {
       .agg(count(lit(1)).as("n_events"),
         round(sum(w) + lit(1e-9), 4).as("decayed_n"),
         round(sum(w * col("value")) + lit(1e-9), 4).as("decayed_value"))
-      .orderBy(col("user_id"))
   }
 
   def streamAsof(spark: SparkSession, dir: String): DataFrame =
     asofLookupBatch(spark, eventRows(spark, dir)).toDF()
       .select(col("purchase_id"), col("user_id"), col("version"), col("attr_type"),
         round(col("attr_value") + 1e-9, 2).as("attr_value"))
-      .orderBy(col("purchase_id"))
 
   /** Stream–stream interval join (the last Structured Streaming join
     * shape the surface lacked): each purchase joins ALL of the same
@@ -577,7 +572,6 @@ object StreamingOps extends QueryPack {
     intervalJoinStream(
       e.filter(_.event_type == "purchase"),
       e.filter(_.event_type == "view"))
-      .orderBy(col("purchase_id"), col("view_id"))
   }
 
   /** OR-merge one change batch into the bitmap-word serving table
@@ -644,6 +638,15 @@ object StreamingOps extends QueryPack {
       .agg(sum(bit_count(col("word"))).as("n_users"))
       .orderBy(col("day"))
   }
+
+  /** Scale bands: `stream_bitmap` serves a day-slice off the mergeable
+    * bitmap state store — flat probe. The other batch twins replay the
+    * corpus through the same plan the stream runs incrementally —
+    * linear, the default (the streaming form's per-batch cost is the
+    * DELTA, proven by the MemoryStream specs, not by this batch grade).
+    */
+  override def bands: Map[String, String] =
+    Map("stream_bitmap" -> graft.Band.Probe)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_bitmap" -> (streamBitmap _),

@@ -18,4 +18,21 @@ class EntrySpec extends SparkSpec {
   test("every oracle key has a matching query") {
     assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet)
   }
+
+  test("declared scale bands reference real keys with legal band names") {
+    // single-source-of-truth pin (r13 verdict #4): a band declared for
+    // a key that was renamed/removed, or a typo'd band name, must fail
+    // CI — not silently grade as linear at certification time.
+    val declared = Seq(
+      operators.Analytics, operators.PathIndexOps, operators.IndexerOps,
+      operators.Search, operators.TemporalJoins, operators.Sketches,
+      operators.Dedup, operators.Similarity, operators.TextAnalysis,
+      operators.Multimodal, streaming.StreamingOps).flatMap(_.bands)
+    val orphans = declared.map(_._1).filterNot(SparkEntry.queries.keySet)
+    assert(orphans.isEmpty, s"bands declared for unknown keys: $orphans")
+    val illegal = declared.filterNot { case (_, b) => Band.All(b) }
+    assert(illegal.isEmpty, s"illegal band names: $illegal")
+    // and the resolved map covers the full surface
+    assert(SparkEntry.bands.keySet == SparkEntry.queries.keySet)
+  }
 }

@@ -57,28 +57,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
-  test("blob-event keys sort the narrow change-log, never the fabricated wide rows") {
-    // the round-13 rewrite's load-bearing property: the global
-    // event_id sort runs BELOW the envelope fabricate/parse
-    // projections, so the range exchange ships ~60-byte source rows.
-    // If a refactor (or a future Catalyst rule) ever re-plans the sort
-    // above the fabrication, the sorted frame would carry the derived
-    // wide columns — caught here by inspecting every Sort node's
-    // output schema in the optimized plan.
-    val narrow = Set("event_id", "ts", "ts_ns", "props", "filesystem",
-      "path", "is_delete", "user_id", "event_type")
+  test("blob-event keys are pure projection pipelines — no Sort, no shuffle") {
+    // Round-14 form of the r13 narrow-sort pin: once the r13 driver-gate
+    // probe proved the correctness hash is row-order-insensitive
+    // (probe_rowhash_ord hash_match=true, CORRECTNESS_r13.json), the
+    // blob keys dropped their terminal sort entirely. The load-bearing
+    // property is now stronger: these corpus-sized fabricate/parse
+    // round-trips must stay map-only — ANY Sort or exchange appearing
+    // in the plan means a regression re-introduced a corpus-sized
+    // shuffle (r12 paid 396.9s at sf10 for exactly that).
     Seq("blob_event_envelope", "blob_events_to_paths").foreach { name =>
-      val sorts = SparkEntry.queries(name)(spark, sf)
-        .queryExecution.optimizedPlan.collectWithSubqueries {
-          case s: org.apache.spark.sql.catalyst.plans.logical.Sort => s
-        }
-      assert(sorts.nonEmpty, s"$name: expected a global Sort in the plan")
-      sorts.foreach { s =>
-        val cols = s.child.output.map(_.name).toSet
-        val wide = cols -- narrow
-        assert(wide.isEmpty,
-          s"$name: Sort input carries fabricated columns $wide — the sort moved above the fabrication")
+      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan
+      val sorts = plan.collectWithSubqueries {
+        case s: org.apache.spark.sql.catalyst.plans.logical.Sort => s
       }
+      assert(sorts.isEmpty,
+        s"$name: expected a sort-free projection pipeline, found ${sorts.size} Sort node(s)")
+      val exchanges = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }
+      assert(exchanges.isEmpty,
+        s"$name: expected a shuffle-free physical plan, found ${exchanges.size} exchange(s)")
     }
   }
 }

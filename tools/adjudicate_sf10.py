@@ -1,146 +1,114 @@
 #!/usr/bin/env python3
-"""Build the SURVEY second-decade adjudication table from the round-12
-full-surface sf1/sf10 bench artifacts (BENCH_sf1_r12.json /
-BENCH_sf10_r12.json). Each key's best-of-3 sf1 -> sf10 ratio is graded
-against its declared scaling band:
+"""Build the SURVEY scale-adjudication table from full-surface bench
+artifacts. Round-14 form: grades BOTH decades (sf0.1->sf1 and
+sf1->sf10, r13 verdict #3 — two first-decade anomalies went ungraded in
+r13 because only the second decade was banded), and the per-key band
+declarations live IN THE SCALA REGISTRY (QueryPack.bands, next to each
+key's binding — r13 verdict #4's single source of truth), exported by
+`runMain graft.ListKeys bands` into a TSV this script consumes. The
+python band dicts this file carried through r13 are deleted; a band
+change is now a Scala code-review diff.
 
-  probe   - persisted-index probe or fixed-size serving frame: declared
-            FLAT per decade (band <= 3x; index build cost shows in run 1,
-            "queries" reports steady-state min).
-  sketch  - constant-space mergeable sketch / bounded key-space agg:
-            declared flat-to-sublinear (band <= 3x).
-  sublin  - vocabulary/key-space-bounded work over a corpus-sized scan
-            whose reduced frame grows sublinearly (band <= 6x).
-  linear  - one-or-more full corpus passes, per-row work dominates:
-            declared at-or-under LINEAR (band <= 12x: 10x data plus
-            run-to-run variance; anything above needs a named cause).
+Band semantics (per decade, 10x data):
+  probe   - persisted-index probe or fixed-size serving frame: FLAT
+            (<= 3x; plus an absolute pass: sf10-point <= 2.5s,
+            ratio-bounded at the linear band).
+  sketch  - constant-STATE mergeable sketch: state/mergeability is the
+            claim (spec-proven); TIME is one linear corpus pass, so the
+            time band equals linear (<= 12x).
+  sublin  - vocabulary/key-space-bounded reduced-frame work: <= 6x.
+  linear  - one-or-more full corpus passes: <= 12x (10x data plus
+            run-to-run variance); anything above needs a named cause.
 
-Emits a markdown table (stdout) sorted family-major, plus a summary of
-out-of-band keys. The table is pasted into SURVEY.md section 4 and the
-out-of-band keys adjudicated by hand there.
+usage: adjudicate_sf10.py [BENCH_sf1.json] [BENCH_sf10.json]
+                          [bands.tsv] [BENCH_sf0.1.json]
+The fourth arg (a quiet sf0.1 full-surface artifact) enables the
+first-decade column; without it only sf1->sf10 is graded.
 """
-import json, sys, collections
+import json, sys
 
-# artifact paths overridable for per-round re-runs:
-#   adjudicate_sf10.py [BENCH_sf1.json] [BENCH_sf10.json]
-sf1 = json.load(open(sys.argv[1] if len(sys.argv) > 1 else "BENCH_sf1_r12.json"))
-sf10 = json.load(open(sys.argv[2] if len(sys.argv) > 2 else "BENCH_sf10_r12.json"))
+sf1 = json.load(open(sys.argv[1] if len(sys.argv) > 1 else "BENCH_sf1_r14.json"))
+sf10 = json.load(open(sys.argv[2] if len(sys.argv) > 2 else "BENCH_sf10_r14.json"))
+bands_path = sys.argv[3] if len(sys.argv) > 3 else "tools/bands.tsv"
+sf01 = json.load(open(sys.argv[4])) if len(sys.argv) > 4 else None
 
 BANDS = {"probe": 3.0, "sketch": 12.0, "sublin": 6.0, "linear": 12.0}
+band_of = {}
+for line in open(bands_path):
+    k, b = line.split()
+    if b not in BANDS:
+        sys.exit(f"{bands_path}: illegal band '{b}' for {k}")
+    band_of[k] = b
+missing = set(sf10["queries"]) - set(band_of)
+if missing:
+    sys.exit(f"{bands_path}: no band for keys {sorted(missing)} — "
+             "regenerate with `sbt 'runMain graft.ListKeys bands'`")
 
-# Declared band per key. Default: linear (a corpus pass — ≤12x for 10x
-# data: 10x plus run-to-run variance; anything above needs a named
-# cause). Round-12 note on the sketch band: a sketch's TIME is one
-# linear corpus pass (per-row hash/register work) — its scale claim is
-# constant STATE and mergeability, proven spec-side, not flat time. The
-# band is therefore ≤12x like linear; what distinguishes the family in
-# the table is the declared state shape. Probes additionally pass on
-# ABSOLUTE time: a ≤2.5s sf10 point is serving-path flat regardless of
-# the ratio against a timer-noise-sized sf1 point.
-PROBE = {
-    # lexical search surface: every query probes the per-snapshot
-    # TextIndex posting/dictionary frames; serving frames are k-row.
-    # (NOT search_highlight / search_ismatch_path — highlight
-    # tokenizes every doc's text for snippets and the path listing
-    # reconstructs upsert state over a prefix-pruned change-log slice:
-    # both corpus scans by design, graded linear.)
-    "search_filter", "search_filter_functions", "search_orderby_page",
-    "search_facets", "search_ismatch",
-    "search_score", "search_ismatch_terms", "search_score_bm25",
-    "search_hybrid_rrf", "search_suggest",
-    "search_fuzzy", "search_fuzzy_jw", "search_phrase",
-    "search_phrase_slop", "search_boolean", "search_more_like_this",
-    "search_multifield", "search_multiquery", "search_bm25_persisted",
-    # ANN serving: IVF cell-pruned probes over the written layout
-    # (NOT ann_bruteforce/int8/pq/lsh_bucket/recall — those scan the
-    # corpus by design and grade against the linear band)
-    "ann_ivf", "ann_ivf_persisted", "ann_ivfpq",
-    "ann_multiquery", "ann_filtered", "ann_range",
-    "ann_incremental",
-    # dedup serving probes over the persisted/cached band index
-    "dedup_lookup_persisted", "dedup_incremental", "dedup_embedding",
-    # incremental/delta paths: the delta is fixed-size, not corpus-size
-    "search_incremental", "join_incremental",
-    "agg_incremental", "stream_bitmap", "layout_compaction",
-}
-SKETCH = {
-    "events_hll", "events_hll_rolling", "events_cms",
-    "events_quantile_sketch", "events_kmv_overlap", "events_kmv_diff",
-    "events_bitmap_distinct", "events_bitmap_rolling",
-    "text_heavy_hitters",
-}
-SUBLIN = {
-    # distinct-signature / vocabulary-bounded reduced frames whose
-    # REDUCED-frame work dominates. (NOT the corpus-token scans —
-    # text_tokens / sample_token_budget / bpe_train_step /
-    # text_*_logprob measured ~10x/decade in rounds 8-9 and SURVEY's
-    # round-9 record correction already re-attributed them to the
-    # irreducible linear scan band; dedup_simhash is per-occurrence
-    # fingerprint compute, linear by construction; the pair-frame
-    # riders dedup_ngram_jaccard/containment/threshold_sweep/
-    # soft_weights/minhash_lsh/semdedup grow with the band table,
-    # which is corpus-linear.)
-    # dedup_minhash_est REMOVED round 13 (was sublin through r12): it
-    # rides dedupNgramJaccard — the pair-frame-rider family this
-    # comment already classifies corpus-linear — so its sublin
-    # membership was an oversight that r12's tail-inflated sf1 point
-    # (8.5s, 5.2x) masked; the r13 fresh-JVM shard exposed the true
-    # shape (3.24->36.57, 11.3x; isolated quiet re-run 3.36->37.03,
-    # 11.0x — inside linear, outside sublin). Before/after recorded
-    # here per the round-12 re-banding-auditability advice.
-    "dedup_simhash_pairs",
-    "text_ccnet_buckets", "text_unigram_logprob",
-    "embed_pca", "embed_pca_topk", "embed_abtt", "graph_pagerank",
-    "link_part_names", "dedup_clusters",
-}
 
-def band_of(k):
-    if k in PROBE: return "probe"
-    if k in SKETCH: return "sketch"
-    if k in SUBLIN: return "sublin"
-    return "linear"
+def grade(a, b, band):
+    """Return (ratio, verdict) for one decade a->b under `band`.
+
+    Small-absolute floors (round-12 advice): an absolute pass may only
+    absorb timer noise and per-query constants, never mask genuine
+    super-linear growth, so every absolute pass is RATIO-BOUNDED at the
+    linear band (12x). Two absolute rules:
+     - probes: decade-top point <= 2.5s (serving-path flat regardless
+       of band-ratio noise against a sub-second lower point);
+     - ANY band with the lower point under the 0.15s timer-noise floor:
+       the ratio is unmeasurable, grade on the upper absolute alone.
+    """
+    if a is None or a <= 0 or b is None or b < 0:
+        return None, "ERR"
+    r = b / a
+    if a < 0.15:
+        return r, ("ok" if b <= 2.5 else "OUT")
+    if band == "probe" and b <= 2.5 and r <= BANDS["linear"]:
+        return r, "ok"
+    return r, ("ok" if r <= BANDS[band] else "OUT")
+
 
 rows = []
 for k in sorted(sf10["queries"]):
+    band = band_of[k]
     a, b = sf1["queries"].get(k, -1.0), sf10["queries"][k]
-    band = band_of(k)
-    if a is None or a <= 0 or b is None or b < 0:
-        rows.append((k, a, b, None, band, "ERR"))
-        continue
-    # Small-absolute floors (round-12 advice): an absolute pass may only
-    # absorb timer noise and per-query constants, never mask genuine
-    # super-linear growth, so every absolute pass is RATIO-BOUNDED at
-    # the linear band (12x): a 0.05s->2.4s probe is 48x/decade and must
-    # NOT certify, while a 0.4s->1.9s probe (constants + noise on a
-    # sub-second point) still does. Two absolute rules, both bounded:
-    #  - probes: sf10 <= 2.5s (serving-path flat regardless of band
-    #    ratio noise against a sub-second sf1 point);
-    #  - ANY band with sf1 below the 0.15s timer-noise floor: the
-    #    ratio is meaningless, grade on the sf10 absolute alone.
-    r = b / a
-    if a < 0.15:
-        # sf1 below the timer-noise floor: the ratio is unmeasurable
-        # (the point is scheduler/codegen constants), so the verdict is
-        # the sf10 absolute alone — any band.
-        rows.append((k, a, b, r, band, "ok" if b <= 2.5 else "OUT"))
-        continue
-    if band == "probe" and b <= 2.5 and r <= BANDS["linear"]:
-        # measurable sf1: the absolute pass is ratio-bounded so it only
-        # absorbs constants+noise, never a probe growing like a scan.
-        rows.append((k, a, b, r, band, "ok"))
-        continue
-    rows.append((k, a, b, r, band, "ok" if r <= BANDS[band] else "OUT"))
+    r2, v2 = grade(a, b, band)
+    if sf01 is not None:
+        z = sf01["queries"].get(k, -1.0)
+        r1, v1 = grade(z, a, band)
+    else:
+        z, r1, v1 = None, None, "-"
+    rows.append((k, band, z, a, b, r1, v1, r2, v2))
 
-out = [r for r in rows if r[5] != "ok"]
-print(f"| key | band | sf1 s | sf10 s | ratio | verdict |")
-print(f"| --- | --- | --- | --- | --- | --- |")
-for k, a, b, r, band, v in rows:
-    rs = f"{r:.1f}x" if r is not None else "-"
-    print(f"| `{k}` | {band} | {a:.2f} | {b:.2f} | {rs} | {v} |")
+out = [r for r in rows if r[6] == "OUT" or r[8] == "OUT"]
+
+
+def f(x, fmt="{:.2f}"):
+    return fmt.format(x) if x is not None else "-"
+
+
+hdr = ("| key | band | sf0.1 s | sf1 s | sf10 s | dec1 | v1 | dec2 | v2 |"
+       if sf01 is not None else
+       "| key | band | sf1 s | sf10 s | ratio | verdict |")
+print(hdr)
+print("| --- " * (hdr.count("|") - 1) + "|")
+for k, band, z, a, b, r1, v1, r2, v2 in rows:
+    if sf01 is not None:
+        print(f"| `{k}` | {band} | {f(z)} | {f(a)} | {f(b)} | "
+              f"{f(r1, '{:.1f}x')} | {v1} | {f(r2, '{:.1f}x')} | {v2} |")
+    else:
+        print(f"| `{k}` | {band} | {f(a)} | {f(b)} | {f(r2, '{:.1f}x')} | {v2} |")
 print()
 print(f"total sf1 {sf1['value']:.1f}s  sf10 {sf10['value']:.1f}s  "
       f"ratio {sf10['value']/sf1['value']:.2f}x  "
       f"errors sf1={sf1['errors']} sf10={sf10['errors']}")
+if sf01 is not None:
+    print(f"sf0.1 total {sf01['value']:.1f}s  "
+          f"first-decade ratio {sf1['value']/sf01['value']:.2f}x")
 print(f"out-of-band ({len(out)}):")
-for k, a, b, r, band, v in out:
-    print(f"  {k}: {band} {a:.2f}->{b:.2f} ({(r or 0):.1f}x)")
+for k, band, z, a, b, r1, v1, r2, v2 in out:
+    which = []
+    if v1 == "OUT":
+        which.append(f"dec1 {f(z)}->{f(a)} ({f(r1, '{:.1f}x')})")
+    if v2 == "OUT":
+        which.append(f"dec2 {f(a)}->{f(b)} ({f(r2, '{:.1f}x')})")
+    print(f"  {k}: {band} " + "; ".join(which))

@@ -1,5 +1,5 @@
 #!/bin/bash
-# Full-surface scale certification (round-13 form): generate the
+# Full-surface scale certification (round-14 form): generate the
 # 10x/100x key-shifted replicas of the driver's sf0.1 (graft.GenData,
 # const vocab — same shape as every prior sf1/sf10 artifact), then run
 # the complete key surface at each point in N fresh-JVM shards and
@@ -12,32 +12,41 @@
 # and contend for cores). 32g driver heap per the round-9 finding (at
 # 24g sf10 loses localCheckpoint blocks to heap pressure).
 #
-# usage: certify_sf10.sh [round_tag]      (default r13)
+# Round-14 changes: the per-key scale bands are EXPORTED from the Scala
+# registry (ListKeys bands -> tools/bands.tsv) so adjudicate_sf10.py
+# grades exactly what the code declares (r13 verdict #4); the replica
+# regeneration guard tests the Spark _SUCCESS marker, not the bare
+# directory, so an interrupted GenData regenerates instead of certifying
+# truncated data (r13 advice); and merge_bench.py receives the expected
+# key count so a silently missing shard fails the merge (r13 advice).
+#
+# usage: certify_sf10.sh [round_tag]      (default r14)
 set -e
 cd /root/repo
-TAG=${1:-r13}
+TAG=${1:-r14}
 SHARDS=${SHARDS:-6}
 SF1=/tmp/graft_sf1
 SF10=/tmp/graft_sf10
 
-# NB: Spark writes lineitem.parquet as a DIRECTORY — test with -e, not -f
-if [ ! -e $SF1/lineitem.parquet ]; then
+# NB: Spark writes lineitem.parquet as a DIRECTORY; the _SUCCESS marker
+# inside it is the only reliable completion signal
+if [ ! -e $SF1/lineitem.parquet/_SUCCESS ]; then
   echo "== gen sf1 ($(date -u +%H:%M:%S)) =="
   sbt -batch "runMain graft.GenData /root/testdata/sf0.1 $SF1 10 const" 2>&1 | grep -E "gendata|error\]" | grep -v "INFO\|WARN" | tail -15
 fi
-if [ ! -e $SF10/lineitem.parquet ]; then
+if [ ! -e $SF10/lineitem.parquet/_SUCCESS ]; then
   echo "== gen sf10 ($(date -u +%H:%M:%S)) =="
   sbt -batch "runMain graft.GenData /root/testdata/sf0.1 $SF10 100 const" 2>&1 | grep -E "gendata|error\]" | grep -v "INFO\|WARN" | tail -15
 fi
 
-echo "== shard plan ($(date -u +%H:%M:%S)) =="
+echo "== shard plan + band export ($(date -u +%H:%M:%S)) =="
 # sbt prefixes every stdout line with "[info] " — strip it and keep
-# only bare key tokens (drops sbt's own chatter lines)
-sbt -batch "runMain graft.ListKeys" 2>&1 \
-  | sed -n 's/^\[info\] \([a-z][a-z0-9_]*\)$/\1/p' \
-  | grep -vE '^(set|done)$' > /tmp/graft_keys.txt
+# only key<TAB>band rows (drops sbt's own chatter lines)
+sbt -batch "runMain graft.ListKeys bands" 2>&1 \
+  | sed -n $'s/^\[info\] \([a-z][a-z0-9_]*\t[a-z]*\)$/\\1/p' > tools/bands.tsv
+cut -f1 tools/bands.tsv > /tmp/graft_keys.txt
 N=$(wc -l < /tmp/graft_keys.txt)
-echo "$N keys across $SHARDS shards"
+echo "$N keys across $SHARDS shards (bands -> tools/bands.tsv)"
 if [ "$N" -lt 100 ]; then echo "ABORT: key extraction broke ($N keys)"; exit 1; fi
 split -d -n r/$SHARDS /tmp/graft_keys.txt /tmp/graft_shard_
 
@@ -52,6 +61,6 @@ for SF in sf1 sf10; do
       SPARK_GRAFT_BENCH_OUT=/tmp/bench_${TAG}_${SF}_shard$s.json \
       sbt -batch "runMain graft.Bench" 2>&1 | grep '"metric"'
   done
-  python3 tools/merge_bench.py BENCH_${SF}_${TAG}.json /tmp/bench_${TAG}_${SF}_shard*.json
+  python3 tools/merge_bench.py --expect $N BENCH_${SF}_${TAG}.json /tmp/bench_${TAG}_${SF}_shard*.json
 done
 echo "== done ($(date -u +%H:%M:%S)) =="

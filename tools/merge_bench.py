@@ -6,11 +6,21 @@ queries/runs/errors unioned, value = sum of per-key minima, loadavg =
 the max observed across shards (worst co-tenancy during the series),
 plus a `shards` field recording the per-shard provenance.
 
-usage: merge_bench.py OUT.json SHARD1.json SHARD2.json ...
+usage: merge_bench.py [--expect N] OUT.json SHARD1.json SHARD2.json ...
+
+--expect N (round-13 advice): fail the merge when the union of shard
+keys differs from the expected surface size — a shard JSON missing from
+the glob (skipped shard, stale rm) must not certify a partial surface
+with no error.
 """
 import json, sys
 
-out_path, shard_paths = sys.argv[1], sys.argv[2:]
+args = sys.argv[1:]
+expect = None
+if args and args[0] == "--expect":
+    expect = int(args[1])
+    args = args[2:]
+out_path, shard_paths = args[0], args[1:]
 queries, runs, errors, shards = {}, {}, [], []
 sf = cpus = None
 load = [0.0, 0.0, 0.0]
@@ -27,6 +37,9 @@ for p in shard_paths:
     sf, cpus = d.get("sf", sf), d.get("cpus", cpus)
     shards.append({"file": p, "n": len(d["queries"]),
                    "value": d.get("value"), "loadavg": la})
+if expect is not None and len(queries) != expect:
+    sys.exit(f"merge incomplete: {len(queries)} keys from "
+             f"{len(shard_paths)} shard files, expected {expect}")
 total = sum(v for v in queries.values() if v >= 0)
 merged = {"metric": "total", "value": total, "unit": "sec",
           "queries": queries, "runs": runs, "errors": sorted(errors),
