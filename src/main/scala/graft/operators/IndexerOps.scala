@@ -34,7 +34,7 @@ object IndexerOps extends QueryPack {
 
   /** documents mapped to the index model (IndexMapper.cs analog). */
   def mappedDocs(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+    val d = Tables.parallelized(spark, Tables.documents(spark, dir), "doc_id")
     val path = concat(lit("docs/"), col("lang"), lit("/"), col("doc_id").cast("string"), lit(".json"))
     val encoded = Keys.pathUrlEncode(path)
     d.filter(col("n_chars") >= ReadFailBelow) // mapper returned null ⇒ skip

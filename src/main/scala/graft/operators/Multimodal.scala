@@ -93,7 +93,10 @@ object Multimodal extends QueryPack {
     */
   def assets(spark: SparkSession, dir: String): Dataset[MediaAsset] = {
     import spark.implicits._
-    Tables.documents(spark, dir)
+    // redistribute the single-split local file across cores BEFORE the
+    // CPU-bound decode (Tables.parallelized is a no-op on a real lake
+    // scan with many splits) — the whole mm_* family rides this
+    Tables.parallelized(spark, Tables.documents(spark, dir), "doc_id")
       .select(
         col("doc_id"),
         col("text").cast("binary").as("payload"),

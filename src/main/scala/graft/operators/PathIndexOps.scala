@@ -41,7 +41,11 @@ object PathIndexOps extends QueryPack {
 
   /** events → blob-event change-log with derived path-model columns. */
   def changeLog(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(spark, dir)
+    // redistribute the single-split local file across cores before the
+    // per-row path/key fabrication (md5 + base64 per event) — no-op on
+    // a real lake scan; cutoff filters still push through the
+    // repartition to the parquet scan
+    val e = Tables.parallelized(spark, Tables.events(spark, dir), "event_id")
     val fs = concat(lit("fs"), (col("user_id") % 4).cast("string"))
     val path = concat(
       lit("data/part_"), (col("event_id") % 50).cast("string"),
@@ -68,7 +72,7 @@ object PathIndexOps extends QueryPack {
     * measurement.
     */
   def changeLogGrown(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(spark, dir)
+    val e = Tables.parallelized(spark, Tables.events(spark, dir), "event_id")
     val fs = concat(lit("fs"), (col("user_id") % 4).cast("string"))
     val path = concat(
       lit("data/part_"), (col("event_id") % 50).cast("string"),
@@ -104,7 +108,7 @@ object PathIndexOps extends QueryPack {
   // call site and pays for exactly what they asked for.
 
   def pathKeyQ(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+    val d = Tables.parallelized(spark, Tables.documents(spark, dir), "doc_id")
     val path = concat(lit("docs/"), col("lang"), lit("/"), col("doc_id").cast("string"), lit(".json"))
     val encoded = Keys.pathUrlEncode(path)
     d.select(
@@ -165,7 +169,8 @@ object PathIndexOps extends QueryPack {
       .limit(5000)
 
   def rebuildIndex(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir).filter(col("doc_id") % 17 =!= 0) // dirs skipped
+    val d = Tables.parallelized(spark, Tables.documents(spark, dir), "doc_id")
+      .filter(col("doc_id") % 17 =!= 0) // dirs skipped
     val path = concat(lit("docs/"), col("lang"), lit("/"), col("doc_id").cast("string"), lit(".json"))
     val encoded = Keys.pathUrlEncode(path)
     val keyed = d.select(

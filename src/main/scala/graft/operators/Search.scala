@@ -277,13 +277,15 @@ object Search extends QueryPack {
     * array ops — no shuffle at all; the scan prunes to (doc_id, text).
     */
   def searchHighlight(spark: SparkSession, dir: String): DataFrame = {
+    // per-doc snippet tokenization is a corpus scan: spread the
+    // single-split local file across cores (no-op at lake scale)
     val toks = split(col("text"), " ")
     val pos = array_position(toks, "spark")
     val start = greatest(lit(1L), pos - 5).cast("int")
     val snippet = slice(toks, start, (pos + lit(5) - start + 1).cast("int"))
     val tagged = transform(snippet,
       t => when(t === "spark", lit("<em>spark</em>")).otherwise(t))
-    index(spark, dir)
+    Tables.parallelized(spark, index(spark, dir), "doc_id")
       .withColumn("pos", pos)
       .filter(col("pos") > 0)
       .select(col("doc_id"),

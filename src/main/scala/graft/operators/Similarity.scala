@@ -26,7 +26,11 @@ object Similarity extends QueryPack {
       .select(col("embedding").as("qv"))
 
   def annBruteForce(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir).filter(col("vec_id") =!= QueryVecId)
+    // declared-linear contrast baseline: the corpus scan is the point,
+    // but it must engage every core — redistribute the single-split
+    // local file (no-op at lake scale) before the per-row cosine
+    val e = Tables.parallelized(spark,
+      Tables.embeddings(spark, dir), "vec_id").filter(col("vec_id") =!= QueryVecId)
     e.crossJoin(broadcast(queryVec(spark, dir)))
       .select(col("vec_id"), col("label"),
         round(Vectors.cosine(col("embedding"), col("qv")), 4).as("cos"))
@@ -274,7 +278,7 @@ object Similarity extends QueryPack {
     val scale = (aggregate(xs, lit(0.0), (a, x) => greatest(a, abs(x))) / 127.0).as("scale")
     def codes(sc: Column) = transform(col("embedding"),
       x => floor(x.cast("double") / sc + 0.5)).as("c")
-    val qz = Tables.embeddings(spark, dir)
+    val qz = Tables.parallelized(spark, Tables.embeddings(spark, dir), "vec_id")
       .select(col("vec_id"), col("label"), col("embedding"), scale)
       .filter(col("scale") > 0)
       .select(col("vec_id"), col("label"), codes(col("scale")))
@@ -321,7 +325,8 @@ object Similarity extends QueryPack {
     */
   private def pqIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
     graft.sources.IndexCache.getOrBuild(spark, "pq_index", dir) {
-      val sub = pqSubvectors(Tables.embeddings(spark, dir))
+      val sub = pqSubvectors(
+        Tables.parallelized(spark, Tables.embeddings(spark, dir), "vec_id"))
       val seeds = sub.filter(col("vec_id") < PqK)
         .select(col("m"), col("vec_id").cast("int").as("cell"), col("sv").as("centroid"))
       // Lloyd round 1: assign to seed cells (carrying sv through the
@@ -514,7 +519,7 @@ object Similarity extends QueryPack {
     * with md5-derived plane weights (engine-portable, no RNG).
     */
   def annLshBucket(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
+    val e = Tables.parallelized(spark, Tables.embeddings(spark, dir), "vec_id")
     val dims = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
     // plane weight table: Planes × 64 dims, generated not stored
     val planes = spark.range(Planes).select(col("id").cast("int").as("plane"))

@@ -49,7 +49,7 @@ object TextAnalysis extends QueryPack {
       when(s === maxScore && maxScore > 0, lit(lang)).otherwise(elseCol)
     }
     // foldRight keeps alphabetical priority: first match in Markers order wins
-    val scored = Tables.documents(spark, dir)
+    val scored = Tables.parallelized(spark, Tables.documents(spark, dir), "doc_id")
       .select(col("doc_id"), col("lang").as("declared_lang"), pred.as("predicted_lang"),
         maxScore.cast("long").as("marker_hits"))
     scored
@@ -66,7 +66,7 @@ object TextAnalysis extends QueryPack {
     val stopRatio = stopHits.cast("double") / nWords
     val q = least(nWords.cast("double") / 100.0, lit(1.0)) * 0.4 +
       (lit(1.0) - punctRatio) * 0.3 + (lit(1.0) - stopRatio) * 0.3
-    Tables.documents(spark, dir).select(
+    Tables.parallelized(spark, Tables.documents(spark, dir), "doc_id").select(
       col("doc_id"),
       nWords.as("n_words"),
       round(meanWlen + 1e-9, 4).as("mean_wlen"),
@@ -201,7 +201,8 @@ object TextAnalysis extends QueryPack {
     }
 
   def tokenCounts(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val docs = Tables.parallelized(spark,
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")), "doc_id")
     val dw = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("k"))
     val perDoc = dw.join(bpeVocab(spark, dir), Seq("w"))
@@ -242,7 +243,7 @@ object TextAnalysis extends QueryPack {
     val chunkSize = 32
     val stride = 24
     val toks = split(col("text"), " ")
-    Tables.documents(spark, dir)
+    Tables.parallelized(spark, Tables.documents(spark, dir), "doc_id")
       .select(col("doc_id"), toks.as("t"))
       .select(col("doc_id"), col("t"),
         explode(sequence(lit(0), greatest(ceil((size(col("t")) - chunkSize).cast("double") / stride).cast("long"), lit(0L)))).as("ci"))
@@ -256,7 +257,7 @@ object TextAnalysis extends QueryPack {
     * whitespace — the canonical pre-dedup cleanup pass.
     */
   def normalize(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.parallelized(spark, Tables.documents(spark, dir), "doc_id")
       .select(col("doc_id"),
         trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
           .as("norm_text"))
@@ -368,7 +369,7 @@ object TextAnalysis extends QueryPack {
   def piiScrub(spark: SparkSession, dir: String): DataFrame = {
     val emailRe = "[a-zA-Z0-9._]+@[a-zA-Z0-9.]+\\.[a-zA-Z]+"
     val digitsRe = "[0-9]{7,}"
-    val d = Tables.documents(spark, dir)
+    val d = Tables.parallelized(spark, Tables.documents(spark, dir), "doc_id")
     d.select(
       col("doc_id"),
       regexp_count(col("text"), lit(emailRe)).cast("long").as("n_emails"),
@@ -393,7 +394,7 @@ object TextAnalysis extends QueryPack {
           element_at(col("t"), i + 1), element_at(col("t"), i + 2), element_at(col("t"), i + 3),
           element_at(col("t"), i + 4), element_at(col("t"), i + 5)).cast("binary"))))
         .as("g"))
-    val d = Tables.documents(spark, dir)
+    val d = Tables.parallelized(spark, Tables.documents(spark, dir), "doc_id")
     val bench = grams(d.filter(col("doc_id") < 10)).select(col("g")).distinct()
     val hits = grams(d.filter(col("doc_id") >= 10))
       .join(broadcast(bench), Seq("g"))
