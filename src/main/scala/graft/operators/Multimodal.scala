@@ -113,6 +113,29 @@ object Multimodal extends QueryPack {
         if (a.mime == "image/bmp") a.copy(payload = bmpBytes(a.doc_id)) else a))
   }
 
+  /** Image-only asset source: the mime rule (doc_id % 3 == 0) is a
+    * COLUMN filter — Catalyst pushes it to the scan, the modality
+    * analog of partition pruning on a real lake — and the BMP payload
+    * is synthesized from doc_id alone, so the redistribute ships 16
+    * bytes per row instead of the document text that [[assets]] must
+    * carry for the audio/video rows. The image keys (mm_phash and the
+    * pHash banding) read this; [[mmDecode]] keeps the full [[assets]]
+    * table because its stub leg digests the text payload.
+    */
+  private def imageAssets(spark: SparkSession, dir: String): Dataset[MediaAsset] = {
+    import spark.implicits._
+    Tables.parallelized(spark,
+      Tables.documents(spark, dir)
+        .filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("n_chars")), "doc_id")
+      .as[(Long, Long)]
+      .mapPartitions(_.map { case (id, nChars) =>
+        MediaAsset(id, bmpBytes(id), "image/bmp",
+          ((id % 64) * 10 + 16).toInt, ((id % 48) * 10 + 16).toInt,
+          (nChars % 120).toInt)
+      })
+  }
+
   /** Digest stub for formats with no sandboxed codec (audio/video). */
   private def stubFeatures(a: MediaAsset): MediaFeatures = {
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -169,10 +192,18 @@ object Multimodal extends QueryPack {
   def mmDecode(spark: SparkSession, dir: String): DataFrame =
     decodeFeatures(spark, assets(spark, dir)).toDF()
 
-  /** Frame sampling at 0.5 fps: one row per sampled frame timestamp. */
+  /** Frame sampling at 0.5 fps: one row per sampled frame timestamp.
+    * Pure metadata fan-out — duration comes from the asset metadata,
+    * never the payload — so this reads the video rows' metadata
+    * columns directly (the mime rule as a pushable column filter)
+    * instead of paying [[assets]]'s payload synthesis for rows whose
+    * bytes it never opens.
+    */
   def mmFrameSample(spark: SparkSession, dir: String): DataFrame =
-    assets(spark, dir).toDF()
-      .filter(col("mime") === "video/mp4" && col("duration_s") > 0)
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id"), (col("n_chars") % 120).cast("int").as("duration_s"))
+      .filter(col("duration_s") > 0)
       .select(col("doc_id"), col("duration_s"),
         explode(sequence(lit(0), col("duration_s"), lit(2))).as("frame_t"))
 
@@ -215,8 +246,7 @@ object Multimodal extends QueryPack {
     */
   def mmPhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    assets(spark, dir)
-      .filter(_.mime == "image/bmp")
+    imageAssets(spark, dir)
       .mapPartitions(_.flatMap { a =>
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a.payload))
         if (img == null) None
@@ -242,8 +272,7 @@ object Multimodal extends QueryPack {
     */
   private def phashBands(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    assets(spark, dir)
-      .filter(_.mime == "image/bmp")
+    imageAssets(spark, dir)
       .mapPartitions(_.flatMap { a =>
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a.payload))
         if (img == null) None
@@ -377,9 +406,10 @@ object Multimodal extends QueryPack {
     */
   def mmWavFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
-      .filter(col("doc_id") % 3 === 1)
-      .select(col("doc_id")).as[Long]
+    Tables.parallelized(spark,
+      Tables.documents(spark, dir)
+        .filter(col("doc_id") % 3 === 1)
+        .select(col("doc_id")), "doc_id").as[Long]
       .mapPartitions(_.map { id =>
         val payload = wavBytes(id)
         decodeWav(payload) match {
@@ -436,9 +466,10 @@ object Multimodal extends QueryPack {
     */
   def mmAudioVad(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
-      .filter(col("doc_id") % 3 === 1)
-      .select(col("doc_id")).as[Long]
+    Tables.parallelized(spark,
+      Tables.documents(spark, dir)
+        .filter(col("doc_id") % 3 === 1)
+        .select(col("doc_id")), "doc_id").as[Long]
       .mapPartitions(_.map { id =>
         val payload = pcmWavBytes(vadSamples(id))
         decodeWav(payload) match {
