@@ -5,7 +5,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
-  private val packs: Seq[QueryPack] = Seq(
+  // private[graft] so EntrySpec validates the REAL pack list (round-15
+  // advice: a hand-duplicated copy in the test skipped validation for
+  // any pack added here but not there).
+  private[graft] val packs: Seq[QueryPack] = Seq(
     operators.Analytics,
     operators.PathIndexOps,
     operators.IndexerOps,

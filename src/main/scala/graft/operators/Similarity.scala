@@ -879,9 +879,10 @@ object Similarity extends QueryPack {
     * row-shaped ever materializes (the first cut's vec_id self-join
     * pushed 20M join rows at sf0.1 and would push n·d² at 100 TB).
     * The d² reduce lands on the driver (constant-size, like the
-    * keyset-page collects), becomes a d²-row frame, and three
-    * normalized power steps + Rayleigh quotient + trace run on that —
-    * free at any corpus size.
+    * keyset-page collects), and three normalized power steps +
+    * Rayleigh quotient + trace run as local d×d arithmetic (the
+    * MLlib computePrincipalComponents split: distributed Gram, local
+    * eigensolve) — free at any corpus size, zero scheduler round-trips.
     *
     * NOTE (round-8 ADVICE): unlike every other query in the pack, this
     * one executes driver-side actions during DataFrame CONSTRUCTION
@@ -892,17 +893,27 @@ object Similarity extends QueryPack {
     * table (no rows to decompose) and a zero-variance corpus (trace 0
     * — the power step's norm would be 0/0).
     */
-  /** The centered covariance (Gram/n) frame (i, j, cv) for the
-    * snapshot's embeddings, built by the two-pass partition-accumulated
-    * pattern described at [[embedPca]] and shared with
-    * [[embedPcaTopK]]. Returns None for the degenerate corpora (empty
-    * table, zero variance) the callers surface as an empty result.
-    * Cached per snapshot ([[graft.sources.IndexCache]]) so the two
-    * spectral queries pay the corpus passes once.
+  /** The centered covariance (Gram/n) of the snapshot's embeddings as a
+    * DRIVER-SIDE d×d array (row-major, full symmetric), built by the
+    * two-pass partition-accumulated pattern described at [[embedPca]]
+    * and shared with [[embedPcaTopK]] / [[embedAbtt]]. Returns None for
+    * the degenerate corpora (empty table, zero variance) the callers
+    * surface as an empty result. Cached per snapshot
+    * ([[graft.sources.IndexCache]]) so the spectral queries pay the
+    * corpus passes once.
+    *
+    * Everything downstream of the corpus passes is O(d²) = 64×64
+    * doubles — CONSTANT in corpus size — so the power iteration runs on
+    * the driver (the same split MLlib's RowMatrix.computePrincipalComponents
+    * uses: distributed Gram accumulation, local eigensolve). The r14
+    * form ran the iterations as d²-row DataFrames with per-step eager
+    * checkpoints: ~15 scheduler round-trips of kilobyte jobs per
+    * execution, which made embed_pca_topk the #2 key of the quiet sf0.1
+    * surface (3.67s) despite touching no corpus data after the cache.
     */
   private def gramFrame(spark: SparkSession, dir: String)
-      : Option[(DataFrame, Int, Array[Double])] =
-    graft.sources.IndexCache.getOrBuild(spark, "pca_gram", dir) {
+      : Option[(Array[Double], Int, Array[Double])] =
+    graft.sources.IndexCache.getOrBuild(spark, "pca_gram_arr", dir) {
       import spark.implicits._
       val emb = Tables.embeddings(spark, dir)
       val vecs = emb
@@ -948,20 +959,48 @@ object Similarity extends QueryPack {
         // zero-variance corpus: every centered entry is 0, the power
         // step's norm would be 0 and the loadings NaN — empty sentinel
         if (!tot.exists(_ != 0.0)) None
-        else Some((
-          (for (i <- 0 until d; j <- 0 until d)
-            yield (i, j, (if (i <= j) tot(i * d + j) else tot(j * d + i)) / n.toDouble))
-            .toDF("i", "j", "cv").localCheckpoint(true), d, meanArr))
+        else {
+          val g = new Array[Double](d * d)
+          for (i <- 0 until d; j <- 0 until d)
+            g(i * d + j) = (if (i <= j) tot(i * d + j) else tot(j * d + i)) / n.toDouble
+          Some((g, d, meanArr))
+        }
       }
     }
 
-  /** One normalized power step v ← G·v / ‖G·v‖ on the d²-row gram. */
-  private def powerStep(gram: DataFrame, v: DataFrame): DataFrame = {
-    val mv = gram.join(broadcast(v), "j")
-      .groupBy(col("i")).agg(sum(col("cv") * col("vj")).as("mvi"))
-    val nrm = mv.agg(sqrt(sum(col("mvi") * col("mvi"))).as("nrm"))
-    mv.crossJoin(broadcast(nrm)).select(col("i").as("j"), (col("mvi") / col("nrm")).as("vj"))
+  /** v ← G·v (local d×d multiply). */
+  private def matVec(g: Array[Double], d: Int, v: Array[Double]): Array[Double] = {
+    val mv = new Array[Double](d)
+    var i = 0
+    while (i < d) {
+      var s = 0.0; var j = 0
+      while (j < d) { s += g(i * d + j) * v(j); j += 1 }
+      mv(i) = s; i += 1
+    }
+    mv
   }
+
+  /** One normalized power step v ← G·v / ‖G·v‖, driver-side. */
+  private def powerStep(g: Array[Double], d: Int, v: Array[Double]): Array[Double] = {
+    val mv = matVec(g, d, v)
+    val nrm = math.sqrt(mv.map(x => x * x).sum)
+    mv.map(_ / nrm)
+  }
+
+  /** Three power steps from the uniform start — the iteration count the
+    * DuckDB oracle unrolls statically.
+    */
+  private def threeSteps(g: Array[Double], d: Int): Array[Double] = {
+    val v0 = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    powerStep(g, d, powerStep(g, d, powerStep(g, d, v0)))
+  }
+
+  /** Spark's round(x + 1e-9, 4): scala BigDecimal HALF_UP, exactly the
+    * arithmetic Catalyst's Round performs on DoubleType — keeps the
+    * driver-side spectral path byte-identical to the old DataFrame form.
+    */
+  private def r4(x: Double): Double =
+    BigDecimal(x + 1e-9).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   private def emptyPca(spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -973,19 +1012,13 @@ object Similarity extends QueryPack {
     import spark.implicits._
     gramFrame(spark, dir) match {
       case None => emptyPca(spark)
-      case Some((gram, d, _)) =>
-        val v0 = (0 until d).map(j => (j, 1.0 / math.sqrt(d.toDouble))).toDF("j", "vj")
-        val v3 = powerStep(gram, powerStep(gram, powerStep(gram, v0)))
-        val mv4 = gram.join(broadcast(v3), "j")
-          .groupBy(col("i")).agg(sum(col("cv") * col("vj")).as("mvi"))
-        val lam = v3.join(mv4, col("j") === col("i"))
-          .agg(sum(col("vj") * col("mvi")).as("l"))
-        val tr = gram.filter(col("i") === col("j")).agg(sum(col("cv")).as("t"))
-        v3.crossJoin(broadcast(lam)).crossJoin(broadcast(tr))
-          .select(col("j").as("i"), round(col("vj") + lit(1e-9), 4).as("loading"),
-            round(col("l") + lit(1e-9), 4).as("eigval"),
-            round(col("l") / col("t") + lit(1e-9), 4).as("var_share"))
-          .orderBy(col("i"))
+      case Some((g, d, _)) =>
+        val v3 = threeSteps(g, d)
+        val mv4 = matVec(g, d, v3)
+        val lam = (0 until d).map(i => v3(i) * mv4(i)).sum
+        val tr = (0 until d).map(i => g(i * d + i)).sum
+        (0 until d).map(i => (i, r4(v3(i)), r4(lam), r4(lam / tr)))
+          .toDF("i", "loading", "eigval", "var_share")
     }
   }
 
@@ -1000,9 +1033,9 @@ object Similarity extends QueryPack {
     * start vector, takes its Rayleigh eigenvalue, then DEFLATES:
     * G ← G − λ_c·v_c·v_cᵀ (Hotelling deflation), so the next
     * iteration converges toward the next eigenvector. Everything past
-    * the corpus passes runs on d²-row frames — free at any corpus
-    * size; the oracle unrolls the identical iterations statically
-    * ([[pcaTopkSql]]).
+    * the corpus passes is local d×d arithmetic on the driver — free at
+    * any corpus size; the oracle unrolls the identical iterations
+    * statically ([[pcaTopkSql]]).
     */
   def embedPcaTopK(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -1010,40 +1043,19 @@ object Similarity extends QueryPack {
       case None =>
         Seq.empty[(Int, Int, Double, Double, Double)]
           .toDF("comp", "i", "loading", "eigval", "var_share")
-      case Some((gram0, d, _)) =>
-        val v0 = (0 until d).map(j => (j, 1.0 / math.sqrt(d.toDouble))).toDF("j", "vj")
-        val tr = gram0.filter(col("i") === col("j")).agg(sum(col("cv")).as("t"))
-        var gram = gram0
-        val comps = (1 to PcaK).map { c =>
-          // eager checkpoints on the d- and d²-row frames: without them
-          // each deflated gram EMBEDS the previous component's whole
-          // power-step tree, so the final union's logical plan grows
-          // multiplicatively per component and Catalyst analysis blows
-          // up (observed: minutes at k=3) — the frames are kilobytes,
-          // the checkpoint is free
-          val v3 = powerStep(gram, powerStep(gram, powerStep(gram, v0)))
-            .localCheckpoint(true)
-          val mv4 = gram.join(broadcast(v3), "j")
-            .groupBy(col("i")).agg(sum(col("cv") * col("vj")).as("mvi"))
-          val lam = v3.join(mv4, col("j") === col("i"))
-            .agg(sum(col("vj") * col("mvi")).as("l"))
-            .localCheckpoint(true)
-          val out = v3.crossJoin(broadcast(lam)).crossJoin(broadcast(tr))
-            .select(lit(c).as("comp"), col("j").as("i"),
-              round(col("vj") + lit(1e-9), 4).as("loading"),
-              round(col("l") + lit(1e-9), 4).as("eigval"),
-              round(col("l") / col("t") + lit(1e-9), 4).as("var_share"))
-          // Hotelling deflation on the d²-row frame
-          gram = gram
-            .join(broadcast(v3.select(col("j").as("i"), col("vj").as("vi_"))), Seq("i"))
-            .join(broadcast(v3.select(col("j"), col("vj").as("vj_"))), Seq("j"))
-            .crossJoin(broadcast(lam))
-            .select(col("i"), col("j"),
-              (col("cv") - col("l") * col("vi_") * col("vj_")).as("cv"))
-            .localCheckpoint(true)
-          out
+      case Some((g0, d, _)) =>
+        val tr = (0 until d).map(i => g0(i * d + i)).sum
+        val g = g0.clone() // deflation mutates — never the cached copy
+        val rows = (1 to PcaK).flatMap { c =>
+          val v3 = threeSteps(g, d)
+          val mv4 = matVec(g, d, v3)
+          val lam = (0 until d).map(i => v3(i) * mv4(i)).sum
+          // Hotelling deflation G ← G − λ·v·vᵀ
+          for (i <- 0 until d; j <- 0 until d)
+            g(i * d + j) -= lam * v3(i) * v3(j)
+          (0 until d).map(i => (c, i, r4(v3(i)), r4(lam), r4(lam / tr)))
         }
-        comps.reduce(_.unionByName(_)).orderBy(col("comp"), col("i"))
+        rows.toDF("comp", "i", "loading", "eigval", "var_share")
     }
   }
 
@@ -1077,10 +1089,8 @@ object Similarity extends QueryPack {
       case None =>
         Seq.empty[(Long, Int, Double, Double)]
           .toDF("vec_id", "label", "cos_raw", "cos_abtt")
-      case Some((gram, d, meanArr)) =>
-        val v0 = (0 until d).map(j => (j, 1.0 / math.sqrt(d.toDouble))).toDF("j", "vj")
-        val v1 = powerStep(gram, powerStep(gram, powerStep(gram, v0)))
-          .orderBy(col("j")).collect().map(_.getAs[Double]("vj"))
+      case Some((g, d, meanArr)) =>
+        val v1 = threeSteps(g, d)
         val qRaw = Tables.embeddings(spark, dir).filter(col("vec_id") === QueryVecId)
           .select(col("embedding")).head().getSeq[Float](0)
         // query-side constants, driver-side (d doubles each)

@@ -369,7 +369,11 @@ object TextAnalysis extends QueryPack {
   def piiScrub(spark: SparkSession, dir: String): DataFrame = {
     val emailRe = "[a-zA-Z0-9._]+@[a-zA-Z0-9.]+\\.[a-zA-Z]+"
     val digitsRe = "[0-9]{7,}"
-    val d = Tables.parallelized(spark, Tables.documents(spark, dir), "doc_id")
+    // redistribute only the two columns the kernel reads — the scrub
+    // never touches lang/source/n_chars, so they must not ride the
+    // (local-only) split-fix shuffle
+    val d = Tables.parallelized(spark,
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")), "doc_id")
     d.select(
       col("doc_id"),
       regexp_count(col("text"), lit(emailRe)).cast("long").as("n_emails"),

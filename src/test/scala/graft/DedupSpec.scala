@@ -209,6 +209,42 @@ class DedupSpec extends SparkSpec {
     assert(pairs.nonEmpty, "synthetic corpus has near-dups; expected shared passages")
   }
 
+  test("substring family rides the cached gram index — the explode runs once per snapshot") {
+    // r14 sf10 cert measured dedup_substring at 59.2s with the dominant
+    // cost being the kept-gram subtree computed TWICE per execution
+    // (once per self-join leg). The r15 form stages the pair-ready
+    // posting tables through IndexCache, so the query plans must carry
+    // NO Generate (explode) node at all — the gram explode happens once
+    // per snapshot inside the cached index build — and both self-join
+    // legs must replay the SAME checkpointed RDD.
+    def generates(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collectWithSubqueries {
+        case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+      }
+    def leafRddIds(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collectWithSubqueries {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+      }
+    val sub = Dedup.dedupSubstring(spark, sf)
+    assert(generates(sub).isEmpty,
+      "dedup_substring must read the cached posting table, not re-explode grams")
+    val subLeaves = leafRddIds(sub)
+    assert(subLeaves.size == 2 && subLeaves.distinct.size == 1,
+      s"self-join legs must share one checkpointed RDD, got $subLeaves")
+    val spans = Dedup.dedupSubstringSpans(spark, sf)
+    assert(generates(spans).isEmpty,
+      "dedup_substring_spans must read the cached posting table, not re-explode grams")
+    val spanLeaves = leafRddIds(spans)
+    assert(spanLeaves.size == 2 && spanLeaves.distinct.size == 1,
+      s"self-join legs must share one checkpointed RDD, got $spanLeaves")
+    // passage scrub owns exactly two Generates (its removal-interval
+    // explode and the token posexplode) — the gram explode must not be
+    // among them
+    val scrub = Dedup.dedupPassageScrub(spark, sf)
+    assert(generates(scrub).size == 2,
+      s"dedup_passage_scrub should carry exactly its own two explodes, got ${generates(scrub).size}")
+  }
+
   test("substring spans are verbatim-identical passages in both documents") {
     import org.apache.spark.sql.functions._
     val spans = Dedup.dedupSubstringSpans(spark, sf).collect()

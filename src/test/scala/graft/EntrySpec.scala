@@ -23,11 +23,9 @@ class EntrySpec extends SparkSpec {
     // single-source-of-truth pin (r13 verdict #4): a band declared for
     // a key that was renamed/removed, or a typo'd band name, must fail
     // CI — not silently grade as linear at certification time.
-    val declared = Seq(
-      operators.Analytics, operators.PathIndexOps, operators.IndexerOps,
-      operators.Search, operators.TemporalJoins, operators.Sketches,
-      operators.Dedup, operators.Similarity, operators.TextAnalysis,
-      operators.Multimodal, streaming.StreamingOps).flatMap(_.bands)
+    // iterate the REAL registry (SparkEntry.packs), not a hand-kept
+    // copy — a pack added to SparkEntry is validated here automatically
+    val declared = SparkEntry.packs.flatMap(_.bands)
     val orphans = declared.map(_._1).filterNot(SparkEntry.queries.keySet)
     assert(orphans.isEmpty, s"bands declared for unknown keys: $orphans")
     val illegal = declared.filterNot { case (_, b) => Band.All(b) }

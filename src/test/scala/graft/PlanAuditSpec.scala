@@ -74,12 +74,25 @@ class PlanAuditSpec extends SparkSpec {
       }
       assert(sorts.isEmpty,
         s"$name: expected a sort-free projection pipeline, found ${sorts.size} Sort node(s)")
+      // Collect exchanges from sparkPlan, NOT executedPlan: GraftSession
+      // enables AQE, so executedPlan is an AdaptiveSparkPlanExec — a
+      // LeafExecNode whose .collect sees no children, which made the
+      // r14 form of this guard vacuous (exchanges.size was always 0 and
+      // the assertions below could never fail). sparkPlan is the
+      // pre-AQE physical plan where ShuffleExchangeExec nodes are
+      // visible as real children.
       val exchanges = SparkEntry.queries(name)(spark, sf)
-        .queryExecution.executedPlan.collect {
+        .queryExecution.sparkPlan.collect {
           case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
         }
-      assert(exchanges.size <= 1,
-        s"$name: expected at most the parallelize redistribute, found ${exchanges.size} exchange(s)")
+      // Sanity pin against the guard going vacuous again: these keys DO
+      // carry exactly one exchange — Tables.parallelized's hash
+      // redistribute — so a collector that suddenly sees zero is broken.
+      assert(exchanges.size == 1,
+        s"$name: expected exactly the parallelize hash redistribute, found ${exchanges.size} exchange(s)")
+      assert(exchanges.head.outputPartitioning
+        .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning],
+        s"$name: the single exchange is not hash-partitioned: ${exchanges.head.outputPartitioning}")
       val range = exchanges.filter(
         _.outputPartitioning.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.RangePartitioning])
       assert(range.isEmpty, s"$name: found a range exchange — a sort crept back in")

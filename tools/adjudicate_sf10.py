@@ -79,7 +79,10 @@ for k in sorted(sf10["queries"]):
         z, r1, v1 = None, None, "-"
     rows.append((k, band, z, a, b, r1, v1, r2, v2))
 
-out = [r for r in rows if r[6] == "OUT" or r[8] == "OUT"]
+# ERR counts as not-certified (round-15 advice): a key missing from an
+# artifact or carrying a negative (failed-run) timing must surface in
+# the out-of-band summary, not silently grade as in-band.
+out = [r for r in rows if r[6] in ("OUT", "ERR") or r[8] in ("OUT", "ERR")]
 
 
 def f(x, fmt="{:.2f}"):
@@ -107,8 +110,8 @@ if sf01 is not None:
 print(f"out-of-band ({len(out)}):")
 for k, band, z, a, b, r1, v1, r2, v2 in out:
     which = []
-    if v1 == "OUT":
-        which.append(f"dec1 {f(z)}->{f(a)} ({f(r1, '{:.1f}x')})")
-    if v2 == "OUT":
-        which.append(f"dec2 {f(a)}->{f(b)} ({f(r2, '{:.1f}x')})")
+    if v1 in ("OUT", "ERR"):
+        which.append(f"dec1 {f(z)}->{f(a)} ({f(r1, '{:.1f}x')} {v1})")
+    if v2 in ("OUT", "ERR"):
+        which.append(f"dec2 {f(a)}->{f(b)} ({f(r2, '{:.1f}x')} {v2})")
     print(f"  {k}: {band} " + "; ".join(which))

@@ -41,13 +41,18 @@ fi
 
 echo "== shard plan + band export ($(date -u +%H:%M:%S)) =="
 # sbt prefixes every stdout line with "[info] " — strip it and keep
-# only key<TAB>band rows (drops sbt's own chatter lines)
+# only key<TAB>band rows (drops sbt's own chatter lines). Export to a
+# temp file FIRST and only replace the tracked tools/bands.tsv after
+# the key-count sanity check passes (round-15 advice: the old in-place
+# redirect clobbered the committed band table with a truncated file
+# whenever the sbt run was garbled, even though the script then aborted).
 sbt -batch "runMain graft.ListKeys bands" 2>&1 \
-  | sed -n $'s/^\[info\] \([a-z][a-z0-9_]*\t[a-z]*\)$/\\1/p' > tools/bands.tsv
-cut -f1 tools/bands.tsv > /tmp/graft_keys.txt
+  | sed -n $'s/^\[info\] \([a-z][a-z0-9_]*\t[a-z]*\)$/\\1/p' > /tmp/graft_bands.tsv
+cut -f1 /tmp/graft_bands.tsv > /tmp/graft_keys.txt
 N=$(wc -l < /tmp/graft_keys.txt)
 echo "$N keys across $SHARDS shards (bands -> tools/bands.tsv)"
 if [ "$N" -lt 100 ]; then echo "ABORT: key extraction broke ($N keys)"; exit 1; fi
+mv /tmp/graft_bands.tsv tools/bands.tsv
 split -d -n r/$SHARDS /tmp/graft_keys.txt /tmp/graft_shard_
 
 for SF in sf1 sf10; do
