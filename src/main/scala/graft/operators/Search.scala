@@ -385,7 +385,11 @@ object Search extends QueryPack {
     * the BATCH ALONE and anti-join-replacing its doc_ids. The emitted
     * dictionary stats ('sp'-prefix terms of the merged index) are
     * oracle-checked against a fresh FULL-corpus build — proving
-    * batch-merge == rebuild, at O(batch) cost instead of O(corpus).
+    * batch-merge == rebuild. The O(batch) saving is the TOKENIZATION
+    * (the expensive kernel runs only over the batch); the replace
+    * anti-join and the emitted stats still stream corpus-proportional
+    * posting rows, so the key grades in the linear band (re-filed from
+    * probe in r15 — quiet solo 0.58→3.30s/decade, see `bands`).
     */
   def searchIncremental(spark: SparkSession, dir: String): DataFrame = {
     val docs = index(spark, dir)
@@ -643,7 +647,15 @@ object Search extends QueryPack {
     * `search_ismatch_path`: highlight tokenizes every doc's text for
     * snippets and the path listing reconstructs upsert state over a
     * prefix-pruned change-log slice — both corpus scans by design,
-    * graded linear (the default).
+    * graded linear (the default). `search_incremental` RE-FILED
+    * probe→linear in r15 (audit trail, the dedup_minhash_est
+    * precedent): the merge avoids re-TOKENIZING the corpus (only the
+    * batch is tokenized — that is the O(batch) claim), but the
+    * replace anti-join streams the corpus-sized base posting frame and
+    * the emitted 's'-prefix stats scan merged posting rows — both
+    * corpus-proportional steady-state passes. Its r14 probe grade
+    * survived on a 1.91s sf10 point; the r15 quiet solo series reads
+    * 0.58→3.30s (5.7×/decade) — linear family, never flat.
     */
   override def bands: Map[String, String] = Seq(
     "search_filter", "search_filter_functions", "search_orderby_page",
@@ -651,8 +663,8 @@ object Search extends QueryPack {
     "search_ismatch_terms", "search_score_bm25", "search_hybrid_rrf",
     "search_suggest", "search_fuzzy", "search_fuzzy_jw", "search_phrase",
     "search_phrase_slop", "search_boolean", "search_more_like_this",
-    "search_multifield", "search_multiquery", "search_bm25_persisted",
-    "search_incremental").map(_ -> graft.Band.Probe).toMap
+    "search_multifield", "search_multiquery", "search_bm25_persisted")
+    .map(_ -> graft.Band.Probe).toMap
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "search_boolean" -> (searchBoolean _),
