@@ -85,17 +85,35 @@ class PlanAuditSpec extends SparkSpec {
         .queryExecution.sparkPlan.collect {
           case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
         }
-      // Sanity pin against the guard going vacuous again: these keys DO
-      // carry exactly one exchange — Tables.parallelized's hash
-      // redistribute — so a collector that suddenly sees zero is broken.
-      assert(exchanges.size == 1,
-        s"$name: expected exactly the parallelize hash redistribute, found ${exchanges.size} exchange(s)")
-      assert(exchanges.head.outputPartitioning
-        .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning],
-        s"$name: the single exchange is not hash-partitioned: ${exchanges.head.outputPartitioning}")
-      val range = exchanges.filter(
-        _.outputPartitioning.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.RangePartitioning])
-      assert(range.isEmpty, s"$name: found a range exchange — a sort crept back in")
+      // At most the one exchange Tables.parallelized may add (its hash
+      // redistribute fires only when the scan's split count is below
+      // defaultParallelism — on a low-core runner or a multi-split
+      // testdata layout it is legitimately skipped, so == 1 would fail
+      // spuriously there; r15 advice). Whatever exchanges exist must
+      // all be hash-partitioned — a RangePartitioning exchange means a
+      // sort crept back in, regardless of count.
+      assert(exchanges.size <= 1,
+        s"$name: expected at most the parallelize hash redistribute, found ${exchanges.size} exchange(s)")
+      exchanges.foreach { e =>
+        assert(e.outputPartitioning
+          .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning],
+          s"$name: non-hash exchange in a projection pipeline: ${e.outputPartitioning}")
+      }
+      // Non-vacuity: on THIS runner (32 cores vs a single-split local
+      // file) parallelized is known to fire, so the collector must see
+      // its exchange — proving sparkPlan-based collection still works.
+      val src = graft.Tables.parallelized(spark,
+        graft.Tables.events(spark, sf).select(org.apache.spark.sql.functions.col("event_id")),
+        "event_id")
+      val fires = graft.Tables.events(spark, sf).rdd.getNumPartitions <
+        spark.sparkContext.defaultParallelism
+      if (fires) {
+        val srcExchanges = src.queryExecution.sparkPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }
+        assert(srcExchanges.size == 1,
+          s"collector vacuous: parallelized fires here but no exchange seen")
+      }
     }
   }
 }

@@ -290,6 +290,34 @@ class TextMultimodalSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("hand-rolled BMP encoder is decode-equivalent to ImageIO's writer") {
+    // r16 replaced BufferedImage + ImageIO.write with a direct
+    // ByteBuffer encoder in the asset synthesizer (the decode side is
+    // untouched ImageIO.read). Pin full equivalence against the old
+    // encoder: same byte length (the oracle's analytic 54 + padded-rows
+    // formula) and the identical decoded raster, for ids covering every
+    // (w, h) = (id%16+1, id%12+1) combination incl. row-padding cases.
+    for (id <- 0L until 48L) {
+      val bytes = Multimodal.bmpBytes(id * 3) // image ids are %3==0
+      val w = (id * 3 % 16 + 1).toInt
+      val h = (id * 3 % 12 + 1).toInt
+      assert(bytes.length == 54 + ((w * 3 + 3) & ~3) * h)
+      val ref = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = ((id * 3 * 31 + x * 7 + y) % 256).toInt
+        ref.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(ref, "bmp", bos)
+      assert(bos.size() == bytes.length, s"id $id: length drifted from ImageIO's writer")
+      val got = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(got != null && got.getWidth == w && got.getHeight == h)
+      for (y <- 0 until h; x <- 0 until w)
+        assert(got.getRGB(x, y) == ref.getRGB(x, y), s"id $id pixel ($x,$y)")
+    }
+  }
+
   test("media decode: real imageio round-trip on image rows, digest stub elsewhere") {
     val assets = Multimodal.assets(spark, sf)
     val feats = Multimodal.decodeFeatures(spark, assets).collect()

@@ -55,11 +55,21 @@ if [ "$N" -lt 100 ]; then echo "ABORT: key extraction broke ($N keys)"; exit 1; 
 mv /tmp/graft_bands.tsv tools/bands.tsv
 split -d -n r/$SHARDS /tmp/graft_keys.txt /tmp/graft_shard_
 
+# Round-16 (r15 verdict #4): 7 of 8 r15 sf10 cert flags were shard
+# co-residency artifacts — GB-scale index builds (substring posting
+# tables, LSH band/shingle tables) age the shard JVM (heap churn,
+# page-cache eviction, /tmp pressure), inflating every key scheduled
+# AFTER them. Bench now executes keys in the CSV order given, so each
+# shard runs its ordinary keys FIRST and the known GB-scale builders
+# LAST — the builders' own numbers stay honest (their band allows the
+# build), and nothing runs downstream of them to absorb the aging.
+HEAVY='^(dedup_substring|dedup_substring_spans|dedup_passage_scrub|dedup_minhash_lsh|dedup_lookup_persisted|dedup_incremental|dedup_ngram_jaccard|dedup_threshold_sweep|dedup_containment|dedup_minhash_est|dedup_clusters)$'
+
 for SF in sf1 sf10; do
   DIR=/tmp/graft_$SF
   rm -f /tmp/bench_${TAG}_${SF}_shard*.json   # stale shards would merge silently
   for s in $(seq -f "%02g" 0 $((SHARDS-1))); do
-    KEYS=$(paste -sd, /tmp/graft_shard_$s)
+    KEYS=$( { grep -Ev "$HEAVY" /tmp/graft_shard_$s || true; grep -E "$HEAVY" /tmp/graft_shard_$s || true; } | paste -sd, )
     echo "== bench $SF shard $s ($(date -u +%H:%M:%S)) =="
     SPARK_GRAFT_SF_DIR=$DIR SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=32g \
       SPARK_GRAFT_ONLY=$KEYS \

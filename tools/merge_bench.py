@@ -22,6 +22,7 @@ if args and args[0] == "--expect":
     args = args[2:]
 out_path, shard_paths = args[0], args[1:]
 queries, runs, errors, shards = {}, {}, [], []
+load_start, converged = {}, {}
 sf = cpus = None
 load = [0.0, 0.0, 0.0]
 for p in shard_paths:
@@ -31,6 +32,8 @@ for p in shard_paths:
         sys.exit(f"duplicate keys across shards: {sorted(dup)}")
     queries.update(d["queries"])
     runs.update(d.get("runs", {}))
+    load_start.update(d.get("load_start", {}))
+    converged.update(d.get("converged", {}))
     errors += d.get("errors", [])
     la = d.get("loadavg", [])
     load = [max(x, y) for x, y in zip(load, (la + [0, 0, 0])[:3])]
@@ -42,7 +45,8 @@ if expect is not None and len(queries) != expect:
              f"{len(shard_paths)} shard files, expected {expect}")
 total = sum(v for v in queries.values() if v >= 0)
 merged = {"metric": "total", "value": total, "unit": "sec",
-          "queries": queries, "runs": runs, "errors": sorted(errors),
+          "queries": queries, "runs": runs, "load_start": load_start,
+          "converged": converged, "errors": sorted(errors),
           "sf": sf, "loadavg": load, "cpus": cpus, "shards": shards}
 json.dump(merged, open(out_path, "w"))
 print(f"{out_path}: {len(queries)} keys, total {total:.1f}s, "
