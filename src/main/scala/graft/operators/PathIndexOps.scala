@@ -84,26 +84,31 @@ object PathIndexOps extends QueryPack {
       (col("event_type") === "error").as("is_delete"))
   }
 
-  /** Latest record per key (merge-or-upload end state), formulated as a
-    * hash aggregate: `max_by(payload, (ts_ns, event_id))` + `count` per
-    * key. r15 and earlier used a window dedup (`row_number` over
-    * key/desc-ts), which shuffles EVERY version row and sorts whole
-    * partitions; the aggregate form partial-aggregates map-side, so the
-    * shuffle carries one partial row per (task, key) — on the synthetic
-    * change-log (2000 keys at every SF) that collapses the exchange to
-    * constant size, and on a real lake it is the classic combiner win:
-    * shuffle ∝ keys, not versions. Tie-break matches the reference's
-    * latest-write-wins (ts desc, then event_id desc) via the struct
-    * ordering of (ts_ns, event_id), which is unique per event.
+  /** Latest record per key (merge-or-upload end state): window dedup —
+    * one shuffle on the high-cardinality key, one per-partition sort.
+    *
+    * An r16 experiment reformulated this as a
+    * `max_by(full-payload-struct, (ts_ns, event_id))` hash aggregate,
+    * expecting the map-side-combine win (shuffle ∝ keys, not
+    * versions). MEASURED 10× SLOWER on the growing key space:
+    * `upsert_paths_grown` went 1.29s → 12.39s at sf1 cert — a struct
+    * aggregation buffer is not mutable-fixed-width, so the aggregate
+    * falls out of HashAggregateExec to sort-based aggregation that
+    * sorts the wide payload rows on BOTH sides of the exchange and
+    * evaluates a struct-compare CaseWhen per row, where the window
+    * form sorts narrow rows once. Reverted; the combiner idea lives
+    * on only in [[pathStates]], whose aggregate carries a 4-field
+    * primitive struct, not the row payload. (Generic callers: the
+    * §2B indexer keys and `upsert_paths_grown`.)
     */
   def upsertState(log: DataFrame): DataFrame = {
-    val others = log.columns.filterNot(_ == "key").toSeq
-    val payload = struct(others.map(col): _*)
-    log.groupBy(col("key"))
-      .agg(
-        max_by(payload, struct(col("ts_ns"), col("event_id"))).as("v"),
-        count(lit(1)).as("n_versions"))
-      .select(col("key") +: others.map(c => col("v").getField(c).as(c)) :+ col("n_versions"): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("ts_ns").desc, col("event_id").desc)
+    log.withColumn("rn", row_number().over(w))
+      .withColumn("n_versions", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("key"))))
+      .filter(col("rn") === 1)
+      .drop("rn")
   }
 
   /** THE maintained path index: one per-key state frame holding, for
