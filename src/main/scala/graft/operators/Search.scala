@@ -391,7 +391,8 @@ object Search extends QueryPack {
     * (the expensive kernel runs only over the batch); the replace
     * anti-join and the emitted stats still stream corpus-proportional
     * posting rows, so the key grades in the linear band (re-filed from
-    * probe in r15 — quiet solo 0.58→3.30s/decade, see `bands`).
+    * probe in r15 — sf1 cert 0.58s → quiet solo sf10 3.30s; only the
+    * sf10 point is a quiet solo artifact, see `bands`).
     */
   def searchIncremental(spark: SparkSession, dir: String): DataFrame = {
     val docs = index(spark, dir)
