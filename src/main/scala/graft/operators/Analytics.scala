@@ -402,13 +402,24 @@ object Analytics extends QueryPack {
     * the supply relation is derived from lineitem): per (part, supplier)
     * the cost is min(l_extendedprice / l_quantity); for STANDARD size-15
     * parts, report the EUROPE suppliers offering each part at its
-    * minimum European cost. The per-part argmin is a map-side
-    * combinable groupBy-min (never a window); the supplier/nation/region
-    * enrichment frame is nation×region-filtered — suppliers stay
-    * unhinted so AQE broadcasts them only while they fit.
+    * minimum European cost.
     */
   def q2(spark: SparkSession, dir: String): DataFrame = {
+    // r16: ONE lineitem pass, ONE exchange. The supply aggregate's
+    // exchange is keyed on l_partkey alone (a subset of the (partkey,
+    // suppkey) grouping, so the aggregate runs exchange-free on top of
+    // it) — the same partitioning then satisfies the per-part window
+    // min, so the argmin needs only a sort. The r15 shape computed the
+    // supply aggregate TWICE (once under `best`, once as the re-join
+    // probe: two lineitem scans + two exchanges) and sort-merge-joined
+    // the two corpus-sized legs; the first r16 cut (plain window) still
+    // let the planner BROADCAST the corpus-sized supply frame as a
+    // build side (driver collect) — the explicit broadcast(eu) pins the
+    // dimension side as the build. Row set identical: rows whose cost
+    // equals the per-part min among EU suppliers (min is exact value
+    // selection, so the equality filter matches the same doubles).
     val supply = Tables.lineitem(spark, dir)
+      .repartition(col("l_partkey"))
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(min(col("l_extendedprice") / col("l_quantity")).as("cost"))
     val eu = Tables.supplier(spark, dir)
@@ -416,14 +427,13 @@ object Analytics extends QueryPack {
       .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "EUROPE")),
         col("n_regionkey") === col("r_regionkey"))
       .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
-    val best = supply.join(eu, col("l_suppkey") === col("s_suppkey"))
-      .groupBy(col("l_partkey")).agg(min(col("cost")).as("min_cost"))
     val p = Tables.part(spark, dir)
       .filter(col("p_size") === 15 && col("p_type") === "STANDARD")
-    best.join(supply,
-        best("l_partkey") === supply("l_partkey") && col("cost") === col("min_cost"))
-      .join(eu, col("l_suppkey") === col("s_suppkey"))
-      .join(p, best("l_partkey") === col("p_partkey"))
+    supply.join(broadcast(eu), col("l_suppkey") === col("s_suppkey"))
+      .withColumn("min_cost",
+        min(col("cost")).over(Window.partitionBy(col("l_partkey"))))
+      .filter(col("cost") === col("min_cost"))
+      .join(p, col("l_partkey") === col("p_partkey"))
       .select(round(col("s_acctbal"), 2).as("s_acctbal"), col("s_name"), col("n_name"),
         col("p_partkey"), round(col("min_cost") + 1e-9, 2).as("supply_cost"))
       .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
@@ -774,19 +784,40 @@ object Analytics extends QueryPack {
 
   /** Market-basket pair mining: part pairs co-occurring in an order,
     * with support count (min support 3). The pairwise step is bounded
-    * per order (k lines ⇒ k² pairs with k ≈ single digits), so the
-    * self-join on l_orderkey never goes quadratic in the table — the
-    * same bounded-bucket shape as the dedup candidate joins.
+    * per order (k lines ⇒ k² pairs with k ≈ single digits).
+    *
+    * r16 shape: one pass — collect each order's DISTINCT parts into a
+    * sorted array (one exchange on l_orderkey; collect_set dedups
+    * map-side) and emit the (a<b) pairs from the array in-row. The
+    * r15 form (distinct + self-join on l_orderkey) ran the
+    * scan+distinct subtree twice and, past the broadcast threshold,
+    * sort-merge-joined two corpus-sized sides: 2 scans + 5 exchanges
+    * + 2 sorts vs 1 scan + 2 exchanges here (sf1 A/B same-mode:
+    * 2.89s → 1.02s; plans/r16/orders_basket_pairs_*). The explicit
+    * isNotNull filters keep the row set identical to the self-join,
+    * whose inner-join keys and a<b comparison dropped nulls.
     */
-  def basketPairs(spark: SparkSession, dir: String): DataFrame = {
-    val l = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")).distinct()
-    val a = l.select(col("l_orderkey"), col("l_partkey").as("part_a"))
-    val b = l.select(col("l_orderkey"), col("l_partkey").as("part_b"))
-    a.join(b, Seq("l_orderkey")).filter(col("part_a") < col("part_b"))
+  private def basketFrame(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+
+  /** All a<b part pairs of one basket, generated from the sorted
+    * distinct array (suffix pairing ⇒ each unordered pair exactly once).
+    */
+  private def basketPairExplode(baskets: DataFrame): DataFrame =
+    baskets
+      .select(explode(flatten(transform(col("parts"),
+        (x, i) => transform(slice(col("parts"), i + lit(2), size(col("parts"))),
+          y => struct(x.as("part_a"), y.as("part_b")))))).as("p"))
+      .select(col("p.part_a"), col("p.part_b"))
+
+  def basketPairs(spark: SparkSession, dir: String): DataFrame =
+    basketPairExplode(basketFrame(spark, dir))
       .groupBy(col("part_a"), col("part_b"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= 3)
-  }
 
   /** Association rules over the basket pairs: confidence and lift for
     * both directions of every co-occurring part pair, from three
@@ -798,16 +829,18 @@ object Analytics extends QueryPack {
     * the pair table the support floor already bounds.
     */
   def basketRules(spark: SparkSession, dir: String): DataFrame = {
-    // NOT parallelized: `l` is consumed by 3-4 legs and each re-runs
-    // its plan, so a redistribute would run once per leg (measured
-    // neutral at sf1 — 9.9s vs 10.4s without); the distinct's own
-    // exchange already spreads all downstream work
-    val l = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")).distinct()
-    val items = l.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_item"))
-    val tot = l.select(countDistinct(col("l_orderkey")).as("n_baskets"))
-    val a = l.select(col("l_orderkey"), col("l_partkey").as("part_a"))
-    val b = l.select(col("l_orderkey"), col("l_partkey").as("part_b"))
-    val pairs = a.join(b, Seq("l_orderkey")).filter(col("part_a") < col("part_b"))
+    // r16: all four legs derive from ONE per-order basket frame
+    // (basketFrame): per-part basket counts come off the exploded
+    // arrays, n_baskets is a plain row count (the r15 form paid a
+    // full countDistinct shuffle for it), pairs are the in-row a<b
+    // explode. localCheckpoint materializes the frame once for the
+    // consumers — without it each leg re-runs scan+collect_set (the
+    // r15 redistribute-per-leg finding, same failure shape).
+    val baskets = basketFrame(spark, dir).localCheckpoint(true)
+    val items = baskets.select(explode(col("parts")).as("l_partkey"))
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("n_item"))
+    val tot = baskets.select(count(lit(1)).as("n_baskets"))
+    val pairs = basketPairExplode(baskets)
       .groupBy(col("part_a"), col("part_b"))
       .agg(count(lit(1)).as("pair_supp"))
       .filter(col("pair_supp") >= 3)
@@ -849,15 +882,22 @@ object Analytics extends QueryPack {
 
   /** Order→ship latency distribution: per order the FIRST ship lag in
     * whole days (min over its lines — a map-side combinable min), then
-    * the order count per lag-day bucket. Two aggregations, both
-    * partial-aggregated; the fact-fact join shuffles on orderkey.
+    * the order count per lag-day bucket.
+    *
+    * r16: aggregate lineitem to per-order min(l_shipdate) BEFORE the
+    * fact-fact join (guide §2.3, aggregate before you shuffle) — the
+    * min commutes with datediff for a fixed o_orderdate, so the join
+    * shuffles one row per order instead of one per line and the
+    * post-join per-order aggregate disappears. Null shipdates skip the
+    * min in both forms; an all-null order keeps its null-lag row.
     */
   def ordersShipLag(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderdate"))
-    val l = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_shipdate"))
-    val firstShip = l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("o_orderkey"))
-      .agg(min(datediff(col("l_shipdate"), col("o_orderdate"))).as("lag_days"))
+    val firstShip = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(min(col("l_shipdate")).as("first_ship"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(datediff(col("first_ship"), col("o_orderdate")).as("lag_days"))
     firstShip.groupBy(col("lag_days"))
       .agg(count(lit(1)).as("n_orders"))
       .orderBy(col("lag_days"))
@@ -1473,9 +1513,17 @@ object Analytics extends QueryPack {
     * driver-scale at any SF.
     */
   def ordersCohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    // r16: first_dt via a whole-partition window min instead of
+    // aggregate-then-self-join — one exchange+sort on o_custkey
+    // replaces the r15 shape's aggregate exchange + second orders
+    // scan + join exchange + SMJ sorts (guide §2.4: window partitioned
+    // like the preceding keying shares the one shuffle). The custkey
+    // partitioning then satisfies the countDistinct partial stage
+    // (subset clustering), so the distinct rewrite adds no exchange.
     val o = Tables.orders(spark, dir)
-    val first = o.groupBy(col("o_custkey")).agg(min(col("o_orderdate")).as("first_dt"))
-    o.join(first, Seq("o_custkey"))
+      .select(col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+    o.withColumn("first_dt",
+        min(col("o_orderdate")).over(Window.partitionBy(col("o_custkey"))))
       .select(
         date_format(date_trunc("month", col("first_dt")), "yyyy-MM").as("cohort_month"),
         months_between(date_trunc("month", col("o_orderdate")),

@@ -165,10 +165,21 @@ object Sketches extends QueryPack {
     * non-null (filter first — both engines — so ranks agree).
     */
   private[graft] def binnedQuantiles(e: DataFrame, key: String, value: String,
-      pcts: Seq[Int]): DataFrame = {
+      pcts: Seq[Int]): DataFrame =
+    binnedQuantiles(e, key, value, pcts,
+      e.groupBy(col(key))
+        .agg(min(col(value)).as("mn"), max(col(value)).as("mx"),
+          count(lit(1)).as("n")))
+
+  /** Variant taking a PRECOMPUTED per-key stats frame (`key`, `mn`,
+    * `mx`, `n` — exact, unrounded) so a caller that already aggregated
+    * min/max/count (profile_columns' one-row stats pass) does not pay
+    * a second full pass of `e` just to rebuild them (r16; guide §2.4 —
+    * the bin range needs the same min/max the profile already has).
+    */
+  private[graft] def binnedQuantiles(e: DataFrame, key: String, value: String,
+      pcts: Seq[Int], stats: DataFrame): DataFrame = {
     val v = col(value)
-    val stats = e.groupBy(col(key))
-      .agg(min(v).as("mn"), max(v).as("mx"), count(lit(1)).as("n"))
     val binned = e.join(broadcast(stats), Seq(key))
       .withColumn("bin",
         when(col("mx") > col("mn"),

@@ -518,9 +518,17 @@ object TextAnalysis extends QueryPack {
         slice(col("t"), lit(2), size(col("t")) - 1),
         (a, b) => struct(a.as("a"), b.as("b")))).as("g"))
       .select(col("doc_id"), col("g.a").as("a"), col("g.b").as("b"))
+    // r16: dtb is NOT checkpointed — its only corpus-sized consumer is
+    // the final join, and the bigram-stat side (c_ab, c_a per distinct
+    // bigram) is VOCABULARY-bounded (Heaps-law, corpus-independent), so
+    // that side broadcasts and the r15 shape's sort-merge join (a
+    // second corpus-sized exchange + sorts of dtb, plus an eager
+    // corpus-sized localCheckpoint materialization) disappears. bfreq
+    // and its downstream head/tail frames stay checkpointed — they are
+    // small and have three consumers each. dtb's two consumers (bfreq,
+    // final join) share the one (doc,a,b) shuffle via AQE stage reuse.
     val dtb = bigrams.groupBy(col("doc_id"), col("a"), col("b"))
       .agg(count(lit(1)).as("k"))
-      .localCheckpoint(true)
     val bfreq = dtb.groupBy(col("a"), col("b")).agg(sum(col("k")).as("c_ab"))
       .localCheckpoint(true)
     val pref = bfreq.groupBy(col("a")).agg(sum(col("c_ab")).as("c_a"))
@@ -530,7 +538,7 @@ object TextAnalysis extends QueryPack {
       .unionByName(
         bfreq.join(broadcast(head.select(col("a"))), Seq("a"), "left_anti")
           .join(tail, Seq("a")))
-    dtb.join(enriched, Seq("a", "b"))
+    dtb.join(broadcast(enriched), Seq("a", "b"))
       .groupBy(col("doc_id"))
       .agg(
         round(lit(1e-9) + sum(col("k") * -log(col("c_ab") / col("c_a"))) / sum(col("k")), 4)
@@ -703,25 +711,37 @@ object TextAnalysis extends QueryPack {
     */
   def profileColumns(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(spark, dir)
+    // r16: the one-row stats pass also emits UNROUNDED min/max so the
+    // quantile sketch's bin range comes from here instead of a third
+    // full lineitem pass (binnedQuantiles' own stats aggregate) — the
+    // sketch sees byte-identical mn/mx/n (min/max are exact value
+    // selections; n is the same non-null count), so the binning and
+    // the oracle hash are unchanged. 3 scans → 2.
     val aggs = ProfiledCols.flatMap(c => Seq(
       count(col(c)).as(s"${c}_n"),
       sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+      min(col(c)).as(s"${c}_mn_raw"),
+      max(col(c)).as(s"${c}_mx_raw"),
       round(lit(1e-9) + min(col(c)), 4).as(s"${c}_min"),
       round(lit(1e-9) + max(col(c)), 4).as(s"${c}_max"),
       round(lit(1e-9) + avg(col(c)), 4).as(s"${c}_mean"),
       round(lit(1e-9) + stddev_samp(col(c)), 4).as(s"${c}_std")))
-    val one = l.agg(aggs.head, aggs.tail: _*)
+    val one = l.agg(aggs.head, aggs.tail: _*).localCheckpoint(true)
     val stackArgs = ProfiledCols.map(c =>
       s"'$c', ${c}_n, ${c}_nulls, ${c}_min, ${c}_max, ${c}_mean, ${c}_std")
       .mkString(", ")
     val stats = one.selectExpr(
       s"stack(${ProfiledCols.length}, $stackArgs) AS (col_name, n, n_null, min, max, mean, std)")
+    val sketchStats = one.selectExpr(
+      s"stack(${ProfiledCols.length}, ${ProfiledCols.map(c =>
+        s"'$c', ${c}_mn_raw, ${c}_mx_raw, ${c}_n").mkString(", ")}) AS (col_name, mn, mx, n)")
     // unpivot to (col_name, value) and sketch all columns in one build;
     // the p50 frame is ProfiledCols.length rows — broadcast the join back
     val unpivot = l.selectExpr(
       s"stack(${ProfiledCols.length}, ${ProfiledCols.map(c => s"'$c', $c").mkString(", ")}) AS (col_name, value)")
       .filter(col("value").isNotNull)
-    val p50 = Sketches.binnedQuantiles(unpivot, key = "col_name", value = "value", pcts = Seq(50))
+    val p50 = Sketches.binnedQuantiles(unpivot, key = "col_name", value = "value",
+        pcts = Seq(50), stats = sketchStats)
       .select(col("col_name"), col("p50_est").as("p50"))
     stats.join(broadcast(p50), Seq("col_name"))
       .select(col("col_name"), col("n"), col("n_null"), col("min"), col("max"),

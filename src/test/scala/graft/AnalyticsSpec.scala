@@ -148,9 +148,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(bals.sameElements(bals.sortBy(-_)))
   }
 
-  test("q2 per-part argmin runs as aggregation, never a per-part window") {
-    val plan = Analytics.q2(spark, sf).queryExecution.executedPlan.toString
-    assert(!plan.contains("Window"), s"q2 must not rank with a window:\n$plan")
+  test("q2 scans lineitem once and shuffles it once; the window ranks the aggregated frame") {
+    // r16: the argmin is a whole-partition window MIN over the
+    // (partkey,suppkey)-aggregated supply frame riding the aggregate's
+    // own l_partkey exchange — the r15 aggregation-then-rejoin shape
+    // this spec used to pin computed the supply aggregate twice (two
+    // lineitem scans) and let the planner broadcast the corpus-sized
+    // aggregate as a build side. Pin the new invariants: exactly one
+    // lineitem scan, exactly one non-broadcast exchange, and the
+    // Window's child is the aggregate, never raw lineitem.
+    val plan = Analytics.q2(spark, sf).queryExecution.executedPlan
+      .toString.split("== Initial Plan ==")(0)
+    assert(plan.split("lineitem.parquet").length - 1 == 1,
+      s"q2 must scan lineitem exactly once:\n$plan")
+    val shuffles = plan.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange") &&
+        !l.contains("ReusedExchange"))
+    assert(shuffles == 1, s"q2 must shuffle exactly once:\n$plan")
   }
 
   test("q11 keeps only parts above 1.5x the mean value, via one broadcast scalar") {
