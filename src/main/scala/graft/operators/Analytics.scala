@@ -182,7 +182,14 @@ object Analytics extends QueryPack {
     val o = Tables.orders(spark, dir)
       .filter(col("o_orderdate") >= lit("1995-07-01").cast("timestamp"))
       .filter(col("o_orderdate") < lit("1995-10-01").cast("timestamp"))
+    // r16: the join predicate l_shipdate > o_orderdate with o_orderdate
+    // >= 1995-07-01 implies l_shipdate > 1995-07-01 — stating the
+    // implied bound pushes it into the lineitem scan (PushedFilters)
+    // and drops the non-qualifying half of the big side BEFORE the
+    // semi-join shuffle (guide §3.2). Row set unchanged: a line with
+    // l_shipdate <= 1995-07-01 can never satisfy the join condition.
     val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit("1995-07-01").cast("timestamp"))
     o.join(l, o("o_orderkey") === l("l_orderkey") &&
         l("l_shipdate") > o("o_orderdate"), "left_semi")
       .groupBy(col("o_orderpriority"))
@@ -452,10 +459,14 @@ object Analytics extends QueryPack {
       .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "ASIA")),
         col("n_regionkey") === col("r_regionkey"))
       .select(col("s_suppkey"))
+    // r16: `value` (a part-dimension-sized frame) feeds both the mean
+    // scalar and the final filter — checkpoint it so the corpus
+    // join+aggregate provably runs once instead of once per consumer.
     val value = Tables.lineitem(spark, dir)
       .join(asia, col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("l_partkey"))
       .agg(sum(col("l_extendedprice")).as("value"))
+      .localCheckpoint(true)
     val mean = value.agg(avg(col("value")).as("mean_value"))
     value.crossJoin(broadcast(mean))
       .filter(col("value") > col("mean_value") * 1.5)
