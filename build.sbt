@@ -14,6 +14,16 @@ Test / fork := true
 // namespace); run them sequentially
 Test / parallelExecution := false
 run / fork := true
+// The driver parses the bench's one-line JSON from raw stdout. With the
+// default LoggedOutput strategy sbt prefixes every forked-run stdout
+// line with "[info] " (and stderr with "[error] "), which has made the
+// line unparseable in every round's BENCH artifact (r16 verdict #1:
+// `parsed: null` since r01). StdoutOutput passes the forked JVM's
+// streams through untouched; showSuccess drops the "[success] Total
+// time" epilogue so the JSON stays the last stdout line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
