@@ -294,22 +294,42 @@ object Analytics extends QueryPack {
       .select(col("event_type"), col("p50_est").as("p50"), col("p95_est").as("p95"), col("n"))
       .orderBy(col("event_type"))
 
-  /** Q7 analog: shipping volume between nation pairs per year. */
+  /** Q7 analog: shipping volume between nation pairs per year.
+    *
+    * r17 (guide §2.3, aggregate before you shuffle): lineitem is
+    * pre-aggregated to (l_orderkey, supp_nation, l_year, vol) BEFORE
+    * the fact-fact join with orders — the supplier→nation attachment
+    * is dimension-broadcast, so the pre-aggregate's map-side partials
+    * collapse the ~4 lines/order ahead of the exchange and the
+    * orderkey join moves one narrow row per (order, supp_nation,
+    * year) instead of every line. cust_nation attaches per order on
+    * the other side. Equivalence: every join is inner on the same
+    * keys, sum is additive over the pre-grouped rows, and the
+    * supp<cust filter depends only on columns constant within a
+    * pre-aggregated group.
+    */
   def q7(spark: SparkSession, dir: String): DataFrame = {
     val n1 = Tables.nation(spark, dir).select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
     val n2 = Tables.nation(spark, dir).select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
-    val s = Tables.supplier(spark, dir)
-    val c = Tables.customer(spark, dir)
-    val o = Tables.orders(spark, dir)
+    val s = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))
+    val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
     val l = Tables.lineitem(spark, dir)
-    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
+        col("l_extendedprice"), col("l_discount"))
+    val lpre = l
       .join(s, col("l_suppkey") === col("s_suppkey"))
-      .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .groupBy(col("l_orderkey"), col("supp_nation"), year(col("l_shipdate")).as("l_year"))
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("vol"))
+    val ocust = o
+      .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .select(col("o_orderkey"), col("cust_nation"))
+    lpre.join(ocust, col("l_orderkey") === col("o_orderkey"))
       .filter(col("supp_nation") < col("cust_nation"))
-      .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
-      .agg(round(lit(1e-9) + sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("volume"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(round(lit(1e-9) + sum(col("vol")), 2).as("volume"))
       .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
   }
 
@@ -425,6 +445,14 @@ object Analytics extends QueryPack {
     // dimension side as the build. Row set identical: rows whose cost
     // equals the per-part min among EU suppliers (min is exact value
     // selection, so the equality filter matches the same doubles).
+    // Trade-off (r16 advice): keying the exchange on l_partkey BEFORE
+    // the (pk, sk) aggregate moves the partial aggregate after the
+    // shuffle, so raw lineitem rows cross the exchange with no
+    // map-side combine. Locally that measured faster (one exchange
+    // shared by aggregate and window); on a multi-node cluster with
+    // real network shuffle the unreduced fact shuffle may cost more
+    // than the second exchange it saves — re-benchmark at scale before
+    // treating the single-exchange shape as universal.
     val supply = Tables.lineitem(spark, dir)
       .repartition(col("l_partkey"))
       .groupBy(col("l_partkey"), col("l_suppkey"))
@@ -816,13 +844,23 @@ object Analytics extends QueryPack {
 
   /** All a<b part pairs of one basket, generated from the sorted
     * distinct array (suffix pairing ⇒ each unordered pair exactly once).
+    *
+    * r17: two chained generators (posexplode, then explode of the
+    * suffix slice) instead of the r16 nested transform/flatten/struct
+    * HOF expression. Higher-order functions are CodegenFallback — the
+    * r16 form built every pair struct through interpreted eval plus
+    * two intermediate array allocations per element, and the sf10
+    * solo profile put the bare pair explode at 31–38 s vs 15–16 s for
+    * this form (same rows out; task guide §4 "eliminate non-codegen
+    * expressions in the hot path"). Row set identical: part_a =
+    * parts[i], part_b ranges over parts[i+2..len] in both forms.
     */
   private def basketPairExplode(baskets: DataFrame): DataFrame =
     baskets
-      .select(explode(flatten(transform(col("parts"),
-        (x, i) => transform(slice(col("parts"), i + lit(2), size(col("parts"))),
-          y => struct(x.as("part_a"), y.as("part_b")))))).as("p"))
-      .select(col("p.part_a"), col("p.part_b"))
+      .select(posexplode(col("parts")).as(Seq("i", "part_a")), col("parts"))
+      .select(col("part_a"),
+        explode(slice(col("parts"), col("i") + lit(2),
+          greatest(size(col("parts")) - col("i") - 1, lit(0)))).as("part_b"))
 
   def basketPairs(spark: SparkSession, dir: String): DataFrame =
     basketPairExplode(basketFrame(spark, dir))
@@ -847,6 +885,12 @@ object Analytics extends QueryPack {
     // explode. localCheckpoint materializes the frame once for the
     // consumers — without it each leg re-runs scan+collect_set (the
     // r15 redistribute-per-leg finding, same failure shape).
+    // Note (r16 advice): basketFrame filters l_partkey.isNotNull, so
+    // an order whose lines ALL have null l_partkey is excluded from
+    // n_baskets here where the r15 countDistinct(l_orderkey) counted
+    // it. No such orders exist in this data (TPC-H partkeys are
+    // non-null); on data with nulls the rule denominators would drift
+    // by the all-null-order count.
     val baskets = basketFrame(spark, dir).localCheckpoint(true)
     val items = baskets.select(explode(col("parts")).as("l_partkey"))
       .groupBy(col("l_partkey")).agg(count(lit(1)).as("n_item"))

@@ -77,9 +77,32 @@ object TemporalJoins extends QueryPack {
 
   /** Interval join: per session interval (the sessionize gap logic's
     * [min ts, max ts] per user-session), how many purchases OTHER users
-    * made while it was open. Bucketed by hour: sessions explode to
-    * their covered hour buckets, purchases map to exactly one bucket,
-    * the join is equi on the bucket with the range+user residual.
+    * made while it was open.
+    *
+    * r17 shape — PREFIX COUNTS, not interval pairing. The r16 form
+    * exploded sessions to hour buckets and equi-joined purchases on the
+    * bucket with a range residual; per-bucket join pairs are
+    * sessions_b × purchases_b, and both densities grow linearly with
+    * the corpus at a fixed time range, so the pair stream grew
+    * QUADRATICALLY (sf10 solo converged 15–16 s with the join stage
+    * dominating). Counting replaces pairing:
+    *
+    *   n_other(s) = (#purchases ≤ end − #purchases < start)
+    *              − (#own purchases ≤ end − #own purchases < start)
+    *
+    * Each #-term is a running count over the union of purchases
+    * (tag 0) and session-bound probes (start tag −1, end tag +1)
+    * ordered by (t, tag) — exactly the as-of union trick above. The
+    * own-user term partitions by user_id (skew-free). The global term
+    * partitions by hour bucket for the in-bucket count and adds the
+    * preceding buckets' totals via a broadcast non-equi prefix join
+    * over the bucket-count frame (calendar-bounded rows — the
+    * Ranks.globalCumSum formulation without its generic machinery).
+    * Every stage is linear in events; nothing multiplies densities.
+    * Probe tag ordering makes end inclusive (purchases sort before the
+    * end probe at equal t) and start exclusive-of-earlier (start probe
+    * sorts before equal-t purchases), matching the r16 residual
+    * p_ns ∈ [start_ns, end_ns] exactly.
     */
   def sessionOverlapPurchases(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
@@ -92,19 +115,40 @@ object TemporalJoins extends QueryPack {
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("user_id"), col("session_id"))
       .agg(min(col("ts_ns")).as("start_ns"), max(col("ts_ns")).as("end_ns"))
+      // sess feeds both probe legs; checkpoint so the corpus window
+      // pass provably runs once (the q11/basket pattern; guide §2.4).
+      .localCheckpoint(true)
     val purchases = e.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"), col("ts_ns").as("p_ns"))
-    val sessB = sess.withColumn("bucket",
-      explode(sequence(expr(s"start_ns div $HourNs"), expr(s"end_ns div $HourNs"))))
-    val purB = purchases.withColumn("bucket", expr(s"p_ns div $HourNs"))
-    val counts = sessB.join(purB, Seq("bucket"))
-      .filter(col("p_ns") >= col("start_ns") && col("p_ns") <= col("end_ns") &&
-        col("p_user") =!= col("user_id"))
+      .select(col("user_id"), lit(null).cast("long").as("session_id"),
+        col("ts_ns").as("t"), lit(0).as("tag"))
+    val probes = sess.select(col("user_id"), col("session_id"),
+        col("start_ns").as("t"), lit(-1).as("tag"))
+      .unionByName(sess.select(col("user_id"), col("session_id"),
+        col("end_ns").as("t"), lit(1).as("tag")))
+    val u = probes.unionByName(purchases)
+      .withColumn("bucket", expr(s"t div $HourNs"))
+    val isPur = when(col("tag") === 0, 1L).otherwise(0L)
+    val wBucket = Window.partitionBy(col("bucket")).orderBy(col("t"), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wUser = Window.partitionBy(col("user_id")).orderBy(col("t"), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // bucket window first, user window second: the frame leaves the
+    // last exchange hash-partitioned by user_id, which the final
+    // (user_id, session_id) aggregate reuses (subset clustering)
+    val counted = u
+      .withColumn("b_cnt", sum(isPur).over(wBucket))
+      .withColumn("u_cnt", sum(isPur).over(wUser))
+    val bt = purchases.withColumn("bucket", expr(s"t div $HourNs"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+    val cumBefore = u.select(col("bucket")).distinct().as("a")
+      .join(broadcast(bt.as("b")), col("b.bucket") < col("a.bucket"), "left_outer")
+      .groupBy(col("a.bucket").as("bucket"))
+      .agg(coalesce(sum(col("b.n")), lit(0L)).as("g_off"))
+    counted.filter(col("tag") =!= 0)
+      .join(broadcast(cumBefore), Seq("bucket"))
       .groupBy(col("user_id"), col("session_id"))
-      .agg(count(lit(1)).as("n_other_purchases"))
-    sess.select(col("user_id"), col("session_id"))
-      .join(counts, Seq("user_id", "session_id"), "left")
-      .na.fill(0L, Seq("n_other_purchases"))
+      .agg(sum(col("tag") * (col("b_cnt") + col("g_off") - col("u_cnt")))
+        .as("n_other_purchases"))
   }
 
   private val DecayHlNs = 900000000000L // 15-min credit half-life

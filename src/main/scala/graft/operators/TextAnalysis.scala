@@ -520,13 +520,18 @@ object TextAnalysis extends QueryPack {
       .select(col("doc_id"), col("g.a").as("a"), col("g.b").as("b"))
     // r16: dtb is NOT checkpointed — its only corpus-sized consumer is
     // the final join, and the bigram-stat side (c_ab, c_a per distinct
-    // bigram) is VOCABULARY-bounded (Heaps-law, corpus-independent), so
-    // that side broadcasts and the r15 shape's sort-merge join (a
-    // second corpus-sized exchange + sorts of dtb, plus an eager
+    // bigram) is far smaller than the occurrence stream, so that side
+    // ends up the broadcast build and the r15 shape's sort-merge join
+    // (a second corpus-sized exchange + sorts of dtb, plus an eager
     // corpus-sized localCheckpoint materialization) disappears. bfreq
     // and its downstream head/tail frames stay checkpointed — they are
     // small and have three consumers each. dtb's two consumers (bfreq,
     // final join) share the one (doc,a,b) shuffle via AQE stage reuse.
+    // r17 (r16 advice): the broadcast is NOT hinted — a distinct-bigram
+    // vocabulary grows Heaps-style without a corpus-independent bound
+    // (billions of entries are reachable at 100 TB), so a forced hint
+    // could exceed the 8 GB broadcast cap where AQE's size-based
+    // runtime decision degrades gracefully to a shuffle join instead.
     val dtb = bigrams.groupBy(col("doc_id"), col("a"), col("b"))
       .agg(count(lit(1)).as("k"))
     val bfreq = dtb.groupBy(col("a"), col("b")).agg(sum(col("k")).as("c_ab"))
@@ -538,7 +543,7 @@ object TextAnalysis extends QueryPack {
       .unionByName(
         bfreq.join(broadcast(head.select(col("a"))), Seq("a"), "left_anti")
           .join(tail, Seq("a")))
-    dtb.join(broadcast(enriched), Seq("a", "b"))
+    dtb.join(enriched, Seq("a", "b"))
       .groupBy(col("doc_id"))
       .agg(
         round(lit(1e-9) + sum(col("k") * -log(col("c_ab") / col("c_a"))) / sum(col("k")), 4)
@@ -994,11 +999,23 @@ object TextAnalysis extends QueryPack {
   }
 
   def bpeTrainStep(spark: SparkSession, dir: String): DataFrame = {
+    // r17: the word-count frame is CHECKPOINTED before the fold. The
+    // `size(toks) >= 2` filter below is a function of the grouping key
+    // alone, so Catalyst's predicate pushdown moved it (fold inlined)
+    // BELOW this aggregate, onto the exploded token stream — the
+    // 40-rule fold ran once per token OCCURRENCE (27.5M evaluations at
+    // sf10, measured 25 s solo converged; the word-count pass alone is
+    // ~2 s) instead of once per distinct word. The checkpoint is the
+    // structural barrier that keeps the fold on the vocabulary side
+    // (Heaps-law bounded — the frame is the tokenize-the-vocab
+    // discipline's own working set), exactly the guide §4.4 failure
+    // mode with an expression in place of the UDF.
     val dw = Tables.parallelized(spark,
       Tables.documents(spark, dir).select(col("doc_id"), col("text")), "doc_id")
       .select(explode(split(col("text"), " ")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("k"))
       .filter(length(col("w")) > 0)
+      .localCheckpoint(true)
     val vocab = dw.withColumn("toks",
       split(bpeTokenFold(col("w"), BpeMerges.take(BpeTrainAt)), BpeD))
       .filter(size(col("toks")) >= 2)

@@ -237,12 +237,14 @@ class DedupSpec extends SparkSpec {
     val spanLeaves = leafRddIds(spans)
     assert(spanLeaves.size == 2 && spanLeaves.distinct.size == 1,
       s"self-join legs must share one checkpointed RDD, got $spanLeaves")
-    // passage scrub owns exactly two Generates (its removal-interval
-    // explode and the token posexplode) — the gram explode must not be
-    // among them
+    // passage scrub owns exactly ONE Generate — its removal-interval
+    // explode. The r17 in-row rewrite removed the token posexplode
+    // (the scrub filters each doc's token array in place instead of
+    // exploding the corpus and re-collecting it), and the gram explode
+    // must not be among them either.
     val scrub = Dedup.dedupPassageScrub(spark, sf)
-    assert(generates(scrub).size == 2,
-      s"dedup_passage_scrub should carry exactly its own two explodes, got ${generates(scrub).size}")
+    assert(generates(scrub).size == 1,
+      s"dedup_passage_scrub should carry exactly its removal-interval explode, got ${generates(scrub).size}")
   }
 
   test("substring spans are verbatim-identical passages in both documents") {
@@ -369,5 +371,20 @@ class DedupSpec extends SparkSpec {
     sweep.foreach { case (t, n) =>
       assert(n == jac.count(_ >= t), s"threshold $t")
     }
+  }
+
+  test("minhash estimator probes the cached sketch - no shingle explode per execution") {
+    // r17: dedup_minhash_est previously re-ran the full shingle -> 9xmd5
+    // -> min pipeline per execution (23.1s solo converged at sf10); it
+    // must now probe the IndexCache-staged minhash sketch. The only
+    // Generate allowed in its plan is none at all: pairs ride the band
+    // index, the sketch sides ride the minhash index, the exact leg
+    // rides the shingle-set index - all checkpointed RDDs.
+    val df = Dedup.dedupMinhashEst(spark, sf)
+    val gens = df.queryExecution.optimizedPlan.collectWithSubqueries {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }
+    assert(gens.isEmpty,
+      s"dedup_minhash_est must probe cached index frames, got ${gens.size} Generates")
   }
 }

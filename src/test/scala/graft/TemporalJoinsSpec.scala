@@ -91,4 +91,33 @@ class TemporalJoinsSpec extends SparkSpec {
       assert(gaps.sameElements(gaps.sorted))
     }
   }
+
+  test("interval join computes the session frame once (checkpointed, shared by all consumers)") {
+    // r17: the session frame feeds both probe legs of the union, which
+    // itself feeds the counting windows and the bucket-prefix distinct.
+    // Without the checkpoint the lag+cumsum window pass re-ran once per
+    // consumer; every LogicalRDD leaf must be the SAME materialized RDD.
+    val df = graft.operators.TemporalJoins.sessionOverlapPurchases(spark, sf)
+    val leaves = df.queryExecution.optimizedPlan.collectWithSubqueries {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+    }
+    assert(leaves.nonEmpty && leaves.distinct.size == 1,
+      s"session frame must be one shared checkpointed RDD, got rdd ids $leaves")
+  }
+
+  test("interval join never pairs sessions with purchases (prefix counts, no interval join stage)") {
+    // r17: the hour-bucket equi-join of exploded session intervals
+    // against purchases built a pair stream of sessions_b × purchases_b
+    // per bucket — quadratic in corpus density at a fixed time range.
+    // The prefix-count shape must carry NO Generate (no interval
+    // explode) and only broadcast joins (the bucket-prefix frame).
+    val df = graft.operators.TemporalJoins.sessionOverlapPurchases(spark, sf)
+    val gens = df.queryExecution.optimizedPlan.collectWithSubqueries {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }
+    assert(gens.isEmpty, s"expected no interval explode, got ${gens.size} Generates")
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("SortMergeJoin"),
+      "prefix-count shape must not shuffle-join sessions against purchases")
+  }
 }

@@ -534,4 +534,25 @@ class TextMultimodalSpec extends SparkSpec {
         mean(byBucket("middle")) <= mean(byBucket("tail")), s"$lang means not monotone")
     }
   }
+
+  test("bpe training folds the vocabulary, not the token stream") {
+    // r17: Catalyst pushed the size(toks) >= 2 filter (a function of
+    // the grouping key, with the 40-rule fold inlined) BELOW the word-
+    // count aggregate, onto the exploded token stream — the fold ran
+    // per token occurrence (measured 25s solo at sf10 vs ~2s for the
+    // word count itself). The checkpointed word-count frame is the
+    // structural barrier: the query plan must carry exactly ONE
+    // Generate (the vocab pair explode) over a LogicalRDD leaf, with
+    // no token explode and no fold expression below an aggregate.
+    val df = TextAnalysis.bpeTrainStep(spark, sf)
+    val gens = df.queryExecution.optimizedPlan.collectWithSubqueries {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }
+    assert(gens.size == 1, s"expected only the vocab pair explode, got ${gens.size} Generates")
+    val leaves = df.queryExecution.optimizedPlan.collectWithSubqueries {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l
+    }
+    assert(leaves.size == 1,
+      s"expected the checkpointed word-count frame as the only leaf, got ${leaves.size} LogicalRDDs")
+  }
 }
