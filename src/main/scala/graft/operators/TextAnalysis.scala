@@ -527,11 +527,18 @@ object TextAnalysis extends QueryPack {
     // and its downstream head/tail frames stay checkpointed — they are
     // small and have three consumers each. dtb's two consumers (bfreq,
     // final join) share the one (doc,a,b) shuffle via AQE stage reuse.
-    // r17 (r16 advice): the broadcast is NOT hinted — a distinct-bigram
-    // vocabulary grows Heaps-style without a corpus-independent bound
-    // (billions of entries are reachable at 100 TB), so a forced hint
-    // could exceed the 8 GB broadcast cap where AQE's size-based
-    // runtime decision degrades gracefully to a shuffle join instead.
+    // r17 (r16 advice): the broadcast hint STAYS, with its assumption
+    // stated. Dropping it was measured: the static planner picks a
+    // sort-merge join (the checkpointed stat side has no size
+    // estimate), and even with AQE's runtime BHJ conversion the dtb
+    // occurrence stream pays an extra corpus exchange + sort — sf10
+    // solo converged 7.7 s (hinted) vs 33.0 s (unhinted), a 4×
+    // regression. ASSUMPTION the hint rests on: the distinct-bigram
+    // frame fits the broadcast limits. That is corpus-dependent
+    // (Heaps-style growth; a web-scale corpus can reach billions of
+    // bigrams and the 8 GB broadcast cap) — on such a corpus remove
+    // the hint and accept the shuffle join; here the frame is ~1k rows
+    // at every tested SF and the alternative is 4× slower.
     val dtb = bigrams.groupBy(col("doc_id"), col("a"), col("b"))
       .agg(count(lit(1)).as("k"))
     val bfreq = dtb.groupBy(col("a"), col("b")).agg(sum(col("k")).as("c_ab"))
@@ -543,7 +550,7 @@ object TextAnalysis extends QueryPack {
       .unionByName(
         bfreq.join(broadcast(head.select(col("a"))), Seq("a"), "left_anti")
           .join(tail, Seq("a")))
-    dtb.join(enriched, Seq("a", "b"))
+    dtb.join(broadcast(enriched), Seq("a", "b"))
       .groupBy(col("doc_id"))
       .agg(
         round(lit(1e-9) + sum(col("k") * -log(col("c_ab") / col("c_a"))) / sum(col("k")), 4)

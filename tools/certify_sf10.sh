@@ -68,11 +68,20 @@ HEAVY='^(dedup_substring|dedup_substring_spans|dedup_passage_scrub|dedup_minhash
 for SF in sf1 sf10; do
   DIR=/tmp/graft_$SF
   rm -f /tmp/bench_${TAG}_${SF}_shard*.json   # stale shards would merge silently
+  # r17 (r16 verdict #7): the sf10 leg runs in CONVERGENCE mode (each
+  # key re-runs, max 6, until the last two runs agree within 10% and
+  # records a per-key `converged` verdict) so cert readings on the
+  # heaviest point are steady-state-adjudicable from the artifact. sf1
+  # stays best-of-3 for comparability with every prior round's sf1
+  # artifact. Shards have always run SEQUENTIALLY (one sbt JVM at a
+  # time); per-key load_start readings above the core count reflect the
+  # 32-core JVM's own preceding tasks, not co-tenancy.
+  CONV=0; [ "$SF" = sf10 ] && CONV=1
   for s in $(seq -f "%02g" 0 $((SHARDS-1))); do
     KEYS=$( { grep -Ev "$HEAVY" /tmp/graft_shard_$s || true; grep -E "$HEAVY" /tmp/graft_shard_$s || true; } | paste -sd, )
     echo "== bench $SF shard $s ($(date -u +%H:%M:%S)) =="
     SPARK_GRAFT_SF_DIR=$DIR SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=32g \
-      SPARK_GRAFT_ONLY=$KEYS \
+      SPARK_GRAFT_ONLY=$KEYS SPARK_GRAFT_CONVERGE=$CONV \
       SPARK_GRAFT_BENCH_OUT=/tmp/bench_${TAG}_${SF}_shard$s.json \
       sbt -batch "runMain graft.Bench" 2>&1 | grep '"metric"'
   done
